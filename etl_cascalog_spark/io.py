@@ -1,0 +1,176 @@
+"""Sources & sinks (SURVEY.md §2.1, S1-S14).
+
+The reference's one connector is a Postgres JDBC tap with a declared
+all-String header and **no pushdown** (``/root/reference/src/common/trgx.clj:96-108``
+builds the JDBCScheme with nil conditions/limit → full table scan per query).
+Here every source is a DataFrame reader with real types; Catalyst pushes
+predicates and prunes columns into the scan (parquet row-group skipping, JDBC
+``pushDownPredicate``), which the reference could never do.
+
+Sink-side the reference does side-channel DDL/DML (CREATE TABLE IF,
+ranged DELETE, TRUNCATE, rename-swap publish — trgx.clj:118-127,188-193).
+We model the same lifecycle over parquet directories (tests / lakehouse
+layout) and JDBC (production), with atomic publish via write-temp+rename.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+
+#: canonical test-table names (TESTDATA.md)
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """S2 generator: table scan with typed schema.
+
+    Replaces ``pg-tap`` + header declaration (trgx.clj:96-108): parquet carries
+    the schema; Catalyst prunes/pushes down into the scan.
+
+    ``events.ts`` is written as parquet TIMESTAMP(NANOS), which Spark's
+    vectorized reader rejects; it is read as a nanos long (legacy conf) and
+    converted to a microsecond timestamp — the engine's canonical grain.
+    """
+    # The driver may hand us a session with a non-UTC timezone; date
+    # extraction from timestamps must match the (TZ-naive) DuckDB oracle.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(path)
+        from pyspark.sql import functions as F
+
+        if dict(df.dtypes).get("ts") == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+        return df
+    return spark.read.parquet(path)
+
+
+def read_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Load every test table as a dict (and register temp views for SQL)."""
+    out = {}
+    for name in TABLES:
+        path = os.path.join(sf_dir, f"{name}.parquet")
+        if os.path.exists(path):
+            df = spark.read.parquet(path)
+            df.createOrReplaceTempView(name)
+            out[name] = df
+    return out
+
+
+def from_rows(spark: SparkSession, rows, schema) -> DataFrame:
+    """S3 in-memory collection generator.
+
+    Reference: literal seqs as generators
+    (``model/d_bolome_order_show_debut.clj:102-104``, ``trgx.clj:256-262``).
+    """
+    return spark.createDataFrame(rows, schema)
+
+
+def jdbc_read(
+    spark: SparkSession,
+    url: str,
+    table: str,
+    properties: dict[str, str] | None = None,
+    partition_column: str | None = None,
+    num_partitions: int = 8,
+    lower_bound=None,
+    upper_bound=None,
+) -> DataFrame:
+    """S1 ``pg-tap`` source (trgx.clj:81-108) — with everything the reference
+    lacked: predicate pushdown (on by default), column pruning, and
+    **partitioned parallel reads** (the reference read through a single
+    JDBC split).
+    """
+    reader = (
+        spark.read.format("jdbc")
+        .option("url", url)
+        .option("dbtable", table)
+        .option("pushDownPredicate", "true")
+    )
+    for k, v in (properties or {}).items():
+        reader = reader.option(k, v)
+    if partition_column is not None:
+        reader = (
+            reader.option("partitionColumn", partition_column)
+            .option("numPartitions", str(num_partitions))
+            .option("lowerBound", str(lower_bound))
+            .option("upperBound", str(upper_bound))
+        )
+    return reader.load()
+
+
+def jdbc_append(df: DataFrame, url: str, table: str, properties: dict[str, str] | None = None) -> None:
+    """S6 ``?-`` into a JDBC sink tap (append), e.g.
+    ``m_cocacola_score_overall.clj:85``. Errors are NOT swallowed (the
+    reference wrapped every run in ``(try … (catch Exception _))``)."""
+    writer = df.write.format("jdbc").option("url", url).option("dbtable", table).mode("append")
+    for k, v in (properties or {}).items():
+        writer = writer.option(k, v)
+    writer.save()
+
+
+def write_parquet(df: DataFrame, path: str, mode: str = "overwrite", partition_by: list[str] | None = None) -> None:
+    """File sink (S7 family). ``partition_by`` gives partition pruning for
+    downstream readers — the watermark/date columns of I1/I5 are the natural
+    keys, so incremental reloads rewrite only the affected partitions."""
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)
+
+
+def publish_atomic(df: DataFrame, final_path: str) -> None:
+    """S11/S12 atomic publish: write to temp dir, swap into place.
+
+    Reference: ``replace-into-ods`` / ``switch-tab`` 3-way ``ALTER TABLE
+    RENAME`` shuffle (trgx.clj:188-193; model/d_bolome_order_show_debut.clj:55-58).
+    On a lakehouse you would use Delta/Iceberg ``REPLACE TABLE``; over plain
+    dirs we stage to a sibling temp dir then rename — readers see either the
+    old or the new table, never a partial write.
+    """
+    parent = os.path.dirname(os.path.abspath(final_path))
+    os.makedirs(parent, exist_ok=True)
+    tmp = tempfile.mkdtemp(prefix=".staging_", dir=parent)
+    staged = os.path.join(tmp, "data")
+    df.write.mode("overwrite").parquet(staged)
+    backup = final_path + ".old"
+    if os.path.exists(backup):
+        shutil.rmtree(backup)
+    if os.path.exists(final_path):
+        os.rename(final_path, backup)
+    os.rename(staged, final_path)
+    if os.path.exists(backup):
+        shutil.rmtree(backup)
+    shutil.rmtree(tmp, ignore_errors=True)
+
+
+def overwrite_logical_partition(
+    df: DataFrame, path: str, partition_col: str
+) -> None:
+    """S9/I5: idempotent reload — replace only the partitions present in
+    ``df`` (the reference did ranged ``DELETE`` + re-append, trgx.clj:118-119).
+    Uses dynamic partition overwrite so a watermark re-run is idempotent
+    without touching historical partitions.
+    """
+    (
+        df.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(partition_col)
+        .parquet(path)
+    )

@@ -1,0 +1,109 @@
+"""Aggregations (SURVEY.md §2.5, A1-A12).
+
+Cascalog groups implicitly by every non-aggregated output var; several
+aggregators in one rule share one grouping = **one shuffle**. The helpers
+here keep that property: each is a single ``groupBy(...).agg(...)`` pass.
+
+The custom Clojure aggregators map onto built-ins:
+
+- ``collect-kv``   (trgx.clj:45)    → ``map_from_entries(sort_array(collect_list(struct)))``
+- ``collect-set``  (mlin:41)        → ``collect_set``
+- ``collect-kvs``  (mlin:42)        → map of key → sorted set
+- ``str-max/min``  (trgx.clj:63-69) → max/min after "null"-string cleansing
+- ``tr-dimension-metrics`` (trgx.clj:72-77) → nested dim-path → metrics dict
+- ``row-num``      (trgx.clj:180-186) → window row_number + offset
+  (see :mod:`operators.surrogate` — parallel, unlike the reference's
+  single-reducer trick at ods/d_bolome_show.clj:51)
+
+All map-typed intermediates are built through ``sort_array`` first so output
+is deterministic regardless of partitioning/merge order.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from etl_cascalog_spark.functions.conditionals import convert_null
+
+
+def collect_kv(key: Column, value: Column) -> Column:
+    """A4 ``collect-kv`` (trgx.clj:45): per-group {k: v} map.
+
+    Used in nearly every report to pivot all periods of a series into one
+    row before probing lag keys (m_cocacola_score_channel.clj:42-45).
+    Deterministic: entries sorted by key before map construction.
+    """
+    return F.map_from_entries(
+        F.array_sort(F.collect_list(F.struct(key.alias("key"), value.alias("value"))))
+    )
+
+
+def collect_kvs(key: Column, value: Column) -> Column:
+    """A6 ``collect-kvs`` (mlin:42): per-group map key → sorted set of
+    values. Single aggregation pass: collect (k,v) pairs, then fold into a
+    map of distinct sorted arrays with higher-order functions (no second
+    shuffle)."""
+    pairs = F.array_sort(F.collect_set(F.struct(key.alias("key"), value.alias("value"))))
+    keys = F.array_distinct(F.transform(pairs, lambda p: p["key"]))
+    return F.map_from_arrays(
+        keys,
+        F.transform(
+            keys,
+            lambda k: F.array_sort(
+                F.transform(
+                    F.filter(pairs, lambda p: p["key"] == k), lambda p: p["value"]
+                )
+            )
+        ),
+    )
+
+
+def str_max(col: Column) -> Column:
+    """A3 ``str-max`` (trgx.clj:63-65): max over strings ignoring literal
+    "null" strings (F9 cleansing built in). Date strings in yyyy-MM-dd order
+    correctly under lexicographic max."""
+    return F.max(convert_null(col))
+
+
+def str_min(col: Column) -> Column:
+    """A3 ``str-min`` (trgx.clj:67-69)."""
+    return F.min(convert_null(col))
+
+
+def nest_dimension_metrics(
+    dim_cols: Sequence[str], metric_cols: Sequence[str]
+) -> Column:
+    """A7 ``tr-dimension-metrics`` (trgx.clj:72-77): the report payload — a
+    nested dict keyed by the dimension path with a {metric: value} leaf:
+    ``{dim1|dim2: {metric: value, ...}, ...}``.
+
+    Canonical engine representation is the **flat map keyed by the joined
+    dimension path** (deterministic: path-sorted). Sinks serialize it to JSON
+    (functions pair-edn->json, trgx.clj:78-79); the driver-facing reports use
+    :func:`etl_cascalog_spark.plans.report.payload_json` which emits
+    deterministic, key-sorted JSON text.
+    """
+    path = F.concat_ws("|", *[F.col(c) for c in dim_cols])
+    metrics = F.struct(*[F.col(m).alias(m) for m in metric_cols])
+    return F.map_from_entries(
+        F.array_sort(
+            F.collect_list(F.struct(path.alias("key"), metrics.alias("value")))
+        )
+    )
+
+
+def grouped_pivot(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    key: Column,
+    value: Column,
+    out_col: str = "kv",
+) -> DataFrame:
+    """The score-dt-kv pattern (m_cocacola_score_channel.clj:42-45): one
+    shuffle that pivots a series into a per-group map, ready for calendar-key
+    probing (§2.6). Map-side partial aggregation applies (collect_list has a
+    partial merge), so the shuffle carries pre-combined buffers."""
+    return df.groupBy(*group_cols).agg(collect_kv(key, value).alias(out_col))

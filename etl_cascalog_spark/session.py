@@ -1,0 +1,59 @@
+"""SparkSession factory tuned for both local testing and cluster scale.
+
+The reference runs each job in a fresh JVM over Hadoop MR with zero
+application-level tuning (``/root/reference/src/cocacola/rpt/cascalog.sh:37-119``,
+``resources/job-conf.clj:1-2``). Here a single session serves all pipelines;
+AQE handles runtime re-planning (partition coalescing, skew joins) so the same
+code works at local[32]/sf0.1 and on a 1000-executor cluster at 100 TB.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "etl_cascalog_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession with scale-conscious defaults.
+
+    Defaults chosen for a 100 TB posture:
+
+    - AQE on (runtime partition coalescing, skew-join splitting, dynamic
+      broadcast conversion) — replaces hand-scheduling.
+    - ``spark.sql.shuffle.partitions`` ~ cores locally; on a real cluster AQE
+      coalesces from a deliberately-high initial number.
+    - UTC session timezone so timestamp semantics match the DuckDB oracle and
+      are cluster-location-independent.
+    - Arrow enabled for the (rare) pandas-UDF paths.
+    """
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
+    if master is None:
+        master = f"local[{cpus}]"
+    if shuffle_partitions is None:
+        shuffle_partitions = cpus
+
+    builder = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.parquet.filterPushdown", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
