@@ -340,6 +340,405 @@ def surrogate_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "regex_filter_guard",
+    oracle="""
+    SELECT p_partkey, p_name, p_brand, p_type,
+           CASE WHEN NOT regexp_matches(p_name, 'widget|gear') THEN p_name END AS guarded_name
+    FROM part
+    WHERE regexp_matches(p_type, '^(ECONOMY|PROMO)')
+      AND NOT regexp_matches(p_brand, '#1[0-9]$')
+      AND p_brand NOT IN ('Brand#1', 'Brand#2', 'Brand#3')
+    """,
+    doc="F5/F6/F7: re-find keep (m_cocacola_score_overall.clj:67), negated "
+    "regex (m_cocacola_sovi_brand.clj:72), NOT-IN set "
+    "(m_cocacola_score_period.clj:74-79), and the regex-guard "
+    "filter+project (:68-70) as a nullable passthrough column.",
+)
+def regex_filter_guard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_cascalog_spark.operators.filters import (
+        not_in_set,
+        regex_drop,
+        regex_guard,
+        regex_keep,
+    )
+
+    part = read_table(spark, sf_dir, "part")
+    return (
+        part.where(regex_keep(F.col("p_type"), "^(ECONOMY|PROMO)"))
+        .where(regex_drop(F.col("p_brand"), "#1[0-9]$"))
+        .where(not_in_set(F.col("p_brand"), ["Brand#1", "Brand#2", "Brand#3"]))
+        .select(
+            "p_partkey",
+            "p_name",
+            "p_brand",
+            "p_type",
+            regex_guard(F.col("p_name"), "widget|gear").alias("guarded_name"),
+        )
+    )
+
+
+@register(
+    "null_string_cleansing",
+    oracle="""
+    WITH dirty AS (
+      SELECT o_orderpriority,
+             CASE WHEN o_orderstatus = 'P' THEN 'null' ELSE o_orderstatus END AS status
+      FROM orders
+    )
+    SELECT o_orderpriority,
+           max(CASE WHEN lower(status) = 'null' THEN NULL ELSE status END) AS max_status,
+           min(CASE WHEN lower(status) = 'null' THEN NULL ELSE status END) AS min_status,
+           count(*) AS n
+    FROM dirty GROUP BY o_orderpriority
+    """,
+    doc='F9/A3: "null"-string → real NULL (convert-null trgx.clj:20) feeding '
+    "str-max/str-min (trgx.clj:63-69).",
+)
+def null_string_cleansing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_cascalog_spark.operators.aggregates import str_max, str_min
+
+    orders = read_table(spark, sf_dir, "orders")
+    dirty = orders.select(
+        "o_orderpriority",
+        F.when(F.col("o_orderstatus") == "P", F.lit("null"))
+        .otherwise(F.col("o_orderstatus"))
+        .alias("status"),
+    )
+    return dirty.groupBy("o_orderpriority").agg(
+        str_max(F.col("status")).alias("max_status"),
+        str_min(F.col("status")).alias("min_status"),
+        F.count("*").alias("n"),
+    )
+
+
+@register(
+    "collect_set_agg",
+    oracle="""
+    SELECT c_nationkey,
+           string_agg(DISTINCT c_mktsegment, ',' ORDER BY c_mktsegment) AS segments,
+           count(DISTINCT c_mktsegment) AS n_segments
+    FROM customer GROUP BY c_nationkey
+    """,
+    doc="A5 collect-set (mlin/d_bolome_user_order.clj:41) — sorted for "
+    "deterministic output, serialized to a join-string at the edge.",
+)
+def collect_set_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = read_table(spark, sf_dir, "customer")
+    return cust.groupBy("c_nationkey").agg(
+        F.array_join(F.array_sort(F.collect_set("c_mktsegment")), ",").alias("segments"),
+        F.size(F.collect_set("c_mktsegment")).cast("long").alias("n_segments"),
+    )
+
+
+@register(
+    "collect_kvs_probe",
+    oracle="""
+    SELECT c_nationkey,
+           count(DISTINCT CASE WHEN c_mktsegment = 'BUILDING' THEN c_custkey END) AS n_building,
+           min(CASE WHEN c_mktsegment = 'BUILDING' THEN c_custkey END) AS first_building
+    FROM customer GROUP BY c_nationkey
+    """,
+    doc="A6 collect-kvs (mlin:42): map key → sorted value-set in ONE grouped "
+    "pass (higher-order fold, no second shuffle), probed to scalars.",
+)
+def collect_kvs_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_cascalog_spark.operators.aggregates import collect_kvs
+
+    cust = read_table(spark, sf_dir, "customer")
+    kvs = F.col("kvs")
+    probed = F.element_at(kvs, "BUILDING")
+    return (
+        cust.groupBy("c_nationkey")
+        .agg(collect_kvs(F.col("c_mktsegment"), F.col("c_custkey")).alias("kvs"))
+        .select(
+            "c_nationkey",
+            F.coalesce(F.size(probed), F.lit(0)).cast("long").alias("n_building"),
+            F.element_at(probed, 1).alias("first_building"),
+        )
+    )
+
+
+@register(
+    "union_variants",
+    oracle="""
+    SELECT o_orderpriority AS priority,
+           CAST(round(sum(CAST(o_totalprice AS DECIMAL(12,2))), 2) AS DOUBLE) AS revenue
+    FROM orders GROUP BY o_orderpriority
+    UNION ALL
+    SELECT 'ALL' AS priority,
+           CAST(round(sum(CAST(o_totalprice AS DECIMAL(12,2))), 2) AS DOUBLE) AS revenue
+    FROM orders
+    """,
+    doc="O3: the multi-?- append pattern — per-dimension variant + all-up "
+    "variant unioned into one sink (m_cocacola_core_sku.clj:93-95).",
+)
+def union_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = read_table(spark, sf_dir, "orders")
+    rev = dround(F.sum(money(F.col("o_totalprice")))).alias("revenue")
+    by_priority = orders.groupBy(F.col("o_orderpriority").alias("priority")).agg(rev)
+    all_up = orders.agg(rev).select(F.lit("ALL").alias("priority"), "revenue")
+    return by_priority.unionByName(all_up)
+
+
+@register(
+    "rollup_totals",
+    oracle="""
+    SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+           coalesce(l_linestatus, 'ALL') AS linestatus,
+           CAST(round(sum(CAST(l_quantity AS DECIMAL(12,2))), 2) AS DOUBLE) AS sum_qty,
+           count(*) AS n
+    FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    doc="A12: grouping-sets/rollup — replaces the reference's "
+    "separate-query-per-variant union (m_cocacola_core_sku.clj:44-80) with "
+    "one shuffle.",
+)
+def rollup_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            dround(F.sum(money(F.col("l_quantity")))).alias("sum_qty"),
+            F.count("*").alias("n"),
+        )
+        .select(
+            F.coalesce(F.col("l_returnflag"), F.lit("ALL")).alias("returnflag"),
+            F.coalesce(F.col("l_linestatus"), F.lit("ALL")).alias("linestatus"),
+            "sum_qty",
+            "n",
+        )
+    )
+
+
+@register(
+    "distinct_pairs",
+    oracle="""
+    SELECT DISTINCT o_orderpriority, o_orderstatus FROM orders
+    """,
+    doc="A11: explicit distinct (Cascalog 3 made dedup opt-in; SURVEY §2.5).",
+)
+def distinct_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return read_table(spark, sf_dir, "orders").select("o_orderpriority", "o_orderstatus").distinct()
+
+
+@register(
+    "anti_semi_join",
+    oracle="""
+    SELECT c.c_custkey, c.c_name,
+           CASE WHEN EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+                THEN 1 ELSE 0 END AS has_orders
+    FROM customer c
+    """,
+    doc="J6 semi/anti — absent in the reference (emulated via J3 + null "
+    "checks); native left_semi/left_anti here. Expressed as an "
+    "existence flag via semi ∪ anti.",
+)
+def anti_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_cascalog_spark.operators.joins import anti_join, semi_join
+
+    cust = read_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    orders = read_table(spark, sf_dir, "orders").select(F.col("o_custkey").alias("c_custkey"))
+    with_orders = semi_join(cust, orders, on="c_custkey").withColumn("has_orders", F.lit(1))
+    without = anti_join(cust, orders, on="c_custkey").withColumn("has_orders", F.lit(0))
+    return with_orders.unionByName(without)
+
+
+@register(
+    "scalar_kitchen_sink",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(last_day(CAST(o_orderdate AS DATE)) AS VARCHAR) AS month_end,
+           CAST(last_day(CAST(o_orderdate AS DATE) - INTERVAL 1 MONTH) AS VARCHAR) AS prev_month_end,
+           CAST(CAST(o_orderdate AS DATE) + 7 AS VARCHAR) AS next_week,
+           CAST(date_trunc('year', CAST(o_orderdate AS DATE)) AS VARCHAR) AS year_start,
+           substr(o_orderpriority, 1, 1) AS prio_code,
+           lower(split_part(o_orderpriority, '-', 2)) AS prio_word,
+           o_orderstatus || '/' || o_orderpriority AS status_prio,
+           regexp_extract(o_orderpriority, '^([0-9]+)', 1) AS prio_digit,
+           CAST(round(CAST(o_totalprice AS DECIMAL(12,2)) * 0.9, 2) AS DOUBLE) AS discounted,
+           CASE WHEN o_totalprice IS NULL THEN NULL
+                WHEN o_totalprice > 200000 THEN 1 ELSE 0 END AS is_big,
+           CASE WHEN o_orderstatus = 'F' THEN 'final' ELSE 'open' END AS status_word,
+           least(o_totalprice, 150000.0) AS capped
+    FROM orders WHERE o_orderkey < 400
+    """,
+    doc="X1-X6 scalar library sweep: calendar arithmetic (trgx.clj:26-32), "
+    "string ops (split+first m_cocacola_score_overall.clj:64-65, concat "
+    "m_cocacola_score_period.clj:64, regex extract trgx.clj:49), math, "
+    "cif/least/null-safe compare (mlin:45-48,64-65).",
+)
+def scalar_kitchen_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_cascalog_spark.functions.conditionals import c_gt, cif
+    from etl_cascalog_spark.functions.dates import (
+        future_dt,
+        last_day_of_month,
+        prev_last_day,
+    )
+
+    orders = read_table(spark, sf_dir, "orders").where(F.col("o_orderkey") < 400)
+    dt = F.col("o_orderdate").cast("date")
+    prio = F.col("o_orderpriority")
+    return orders.select(
+        "o_orderkey",
+        last_day_of_month(dt).cast("string").alias("month_end"),
+        prev_last_day(dt).cast("string").alias("prev_month_end"),
+        future_dt(dt, 7).cast("string").alias("next_week"),
+        F.trunc(dt, "year").cast("string").alias("year_start"),
+        F.substring(prio, 1, 1).alias("prio_code"),
+        F.lower(F.element_at(F.split(prio, "-"), 2)).alias("prio_word"),
+        F.concat(F.col("o_orderstatus"), F.lit("/"), prio).alias("status_prio"),
+        F.regexp_extract(prio, "^([0-9]+)", 1).alias("prio_digit"),
+        dround(money(F.col("o_totalprice")) * F.lit("0.9").cast("decimal(2,1)")).alias("discounted"),
+        c_gt(F.col("o_totalprice"), F.lit(200000.0)).cast("int").alias("is_big"),
+        cif(F.col("o_orderstatus") == "F", F.lit("final"), F.lit("open")).alias("status_word"),
+        F.least(F.col("o_totalprice"), F.lit(150000.0)).alias("capped"),
+    )
+
+
+@register(
+    "sessionization",
+    oracle="""
+    WITH s AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR ts > lag(ts) OVER w + INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ), t AS (
+      SELECT user_id, ts,
+             sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                               ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM s
+    )
+    SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+           CAST(floor(epoch(min(ts))) AS BIGINT) AS session_start_s,
+           CAST(floor(epoch(max(ts))) AS BIGINT) AS session_end_s,
+           count(*) AS n_events
+    FROM t GROUP BY 1, 2
+    """,
+    doc="Beyond-reference streaming surface (I6) in its batch formulation: "
+    "gaps-and-islands sessionization, 30-minute gap. Streaming twin: "
+    "session_window (streaming/windows.py).",
+)
+def sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_cascalog_spark.operators.sessions import session_stats
+
+    events = read_table(spark, sf_dir, "events")
+    stats = session_stats(events, ["user_id"], "ts", gap="30 minutes")
+    return stats.select(
+        "user_id",
+        F.col("session_id").cast("long"),
+        F.unix_timestamp("session_start").alias("session_start_s"),
+        F.unix_timestamp("session_end").alias("session_end_s"),
+        "n_events",
+    )
+
+
+@register(
+    "tumbling_window_agg",
+    oracle="""
+    SELECT CAST(floor(epoch(time_bucket(INTERVAL 1 HOUR, ts))) AS BIGINT) AS window_start_s,
+           event_type,
+           count(*) AS n,
+           CAST(round(sum(CAST(value AS DECIMAL(12,2))), 2) AS DOUBLE) AS total_value
+    FROM events GROUP BY 1, 2
+    """,
+    doc="I6 streaming surface, batch formulation: tumbling 1-hour event-time "
+    "window — identical semantics to groupBy(window(ts,'1 hour')) under "
+    "Structured Streaming with a watermark.",
+)
+def tumbling_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_cascalog_spark.operators.sessions import tumbling_window
+
+    events = read_table(spark, sf_dir, "events")
+    out = tumbling_window(
+        events,
+        "ts",
+        "1 hour",
+        group_cols=["event_type"],
+        aggs=[
+            F.count("*").alias("n"),
+            dround(F.sum(money(F.col("value")))).alias("total_value"),
+        ],
+    )
+    return out.select(
+        F.unix_timestamp("window_start").alias("window_start_s"),
+        "event_type",
+        "n",
+        "total_value",
+    )
+
+
+@register(
+    "watermark_incremental_load",
+    oracle="""
+    WITH sink AS (
+      SELECT * FROM orders WHERE o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+    ), wm AS (
+      SELECT CAST(max(o_orderdate) AS DATE) + 1 AS next_dt FROM sink
+    )
+    SELECT CAST((SELECT next_dt FROM wm) AS VARCHAR) AS load_start,
+           count(*) AS loaded_rows,
+           CAST(min(CAST(o_orderdate AS DATE)) AS VARCHAR) AS dw_start_dt,
+           CAST(max(CAST(o_orderdate AS DATE)) AS VARCHAR) AS dw_end_dt
+    FROM orders
+    WHERE CAST(o_orderdate AS DATE) >= (SELECT next_dt FROM wm)
+    """,
+    doc="I1/I2 watermark reload: next window = max(sink dt)+1 "
+    "(report->next-dt trgx.clj:110-116) filtering the source scan "
+    "(pushed down), plus the load-range audit row "
+    "(save-and-load-rng-dt! trgx.clj:130-164).",
+)
+def watermark_incremental_load(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_cascalog_spark.incremental import filter_to_range, next_load_range
+
+    orders = read_table(spark, sf_dir, "orders")
+    sink = orders.where(F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    start, _end = next_load_range(sink, date_col="o_orderdate")
+    loaded = filter_to_range(orders, "o_orderdate", start, "9999-12-31")
+    return loaded.agg(
+        F.lit(start).alias("load_start"),
+        F.count("*").alias("loaded_rows"),
+        F.min(F.col("o_orderdate").cast("date")).cast("string").alias("dw_start_dt"),
+        F.max(F.col("o_orderdate").cast("date")).cast("string").alias("dw_end_dt"),
+    )
+
+
+@register(
+    "running_window_totals",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           CAST(round(sum(CAST(o_totalprice AS DECIMAL(12,2)))
+                  OVER (PARTITION BY o_custkey
+                        ORDER BY o_orderdate, o_orderkey
+                        ROWS UNBOUNDED PRECEDING), 2) AS DOUBLE) AS running_total,
+           CAST(round(max(CAST(o_totalprice AS DECIMAL(12,2)))
+                  OVER (PARTITION BY o_custkey), 2) AS DOUBLE) AS group_max
+    FROM orders
+    """,
+    doc="W3: running totals + max-over-entire-group-history "
+    "(unbounded frames; the reference computed group max by pivoting to a "
+    "map and folding — m_cocacola_score_channel.clj:55).",
+)
+def running_window_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = read_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        dround(
+            F.sum(money(F.col("o_totalprice"))).over(
+                w.rowsBetween(Window.unboundedPreceding, 0)
+            )
+        ).alias("running_total"),
+        dround(
+            F.max(money(F.col("o_totalprice"))).over(Window.partitionBy("o_custkey"))
+        ).alias("group_max"),
+    )
+
+
+@register(
     "top_n_per_group",
     oracle="""
     SELECT * FROM (
