@@ -738,6 +738,241 @@ def running_window_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# E. LLM training-data pipeline surface (beyond-reference; BASELINE.json
+#    north star): text analysis, dedup tiers, similarity search, multimodal
+# ---------------------------------------------------------------------------
+
+_NORM_SQL = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
+_SHINGLE_CTE = f"""
+    tok AS (
+      SELECT doc_id, string_split({_NORM_SQL}, ' ') AS w FROM documents
+    ), sh AS (
+      SELECT DISTINCT doc_id,
+             unnest(list_transform(range(1, greatest(len(w) - 1, 1)),
+                                   i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+      FROM tok
+    ), sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+    common AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    jpairs AS (
+      SELECT doc_a, doc_b,
+             round(c * 1.0 / (sa.n_sh + sb.n_sh - c), 4) AS jaccard
+      FROM common
+      JOIN sizes sa ON sa.doc_id = doc_a
+      JOIN sizes sb ON sb.doc_id = doc_b
+      WHERE c * 1.0 / (sa.n_sh + sb.n_sh - c) >= 0.7
+    )
+"""
+
+
+@register(
+    "text_statistics",
+    oracle="""
+    SELECT doc_id,
+           length(text) AS n_chars_m,
+           CAST(len(string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) AS BIGINT) AS n_tokens_ws,
+           CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]')) AS BIGINT) AS n_tokens_bpe,
+           round(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) * 1.0 / length(text), 6) AS alpha_ratio,
+           round(0.4 * least(length(text) / 500.0, 1.0)
+               + 0.4 * (length(regexp_replace(text, '[^A-Za-z]', '', 'g')) * 1.0 / length(text))
+               + 0.2 * least(len(regexp_extract_all(text, '\\b(the|a|of|and|to|in|is)\\b')) * 5.0
+                             / len(string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')), 1.0), 6) AS quality
+    FROM documents
+    """,
+    doc="Text analysis (beyond-reference): whitespace + BPE-ish token "
+    "counts, alpha ratio, composite quality score — all JVM-side "
+    "regex/arithmetic, no UDFs, embarrassingly parallel at 100 TB.",
+)
+def text_statistics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_cascalog_spark.operators.text import (
+        quality_features,
+        quality_score,
+        token_count_bpe,
+        token_count_ws,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    feats = quality_features(t)
+    return docs.select(
+        "doc_id",
+        F.length(t).cast("long").alias("n_chars_m"),
+        token_count_ws(t).alias("n_tokens_ws"),
+        token_count_bpe(t).alias("n_tokens_bpe"),
+        F.round(feats["alpha_ratio"], 6).alias("alpha_ratio"),
+        quality_score(t).alias("quality"),
+    )
+
+
+@register(
+    "lang_id_heuristic",
+    oracle="""
+    WITH s AS (
+      SELECT doc_id,
+             CAST(len(regexp_extract_all(lower(text), '\\b(the|and|of|to|is)\\b')) AS BIGINT) AS s_en,
+             CAST(len(regexp_extract_all(lower(text), '\\b(el|la|los|que|de)\\b')) AS BIGINT) AS s_es,
+             CAST(len(regexp_extract_all(lower(text), '\\b(der|die|das|und|ist)\\b')) AS BIGINT) AS s_de,
+             CAST(len(regexp_extract_all(lower(text), '\\b(le|les|des|est|une)\\b')) AS BIGINT) AS s_fr,
+             CAST(len(regexp_extract_all(lower(text), '[一-鿿]')) AS BIGINT) AS s_zh
+      FROM documents
+    )
+    SELECT doc_id, s_en, s_es, s_de, s_fr, s_zh,
+           CASE WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr AND s_en >= s_zh AND s_en > 0 THEN 'en'
+                WHEN s_es >= s_de AND s_es >= s_fr AND s_es >= s_zh AND s_es > 0 THEN 'es'
+                WHEN s_de >= s_fr AND s_de >= s_zh AND s_de > 0 THEN 'de'
+                WHEN s_fr >= s_zh AND s_fr > 0 THEN 'fr'
+                WHEN s_zh > 0 THEN 'zh'
+                ELSE 'und' END AS lang_pred
+    FROM s
+    """,
+    doc="Language-ID heuristic (beyond-reference): per-language stopword/"
+    "script marker counts, argmax with fixed-priority tie-break.",
+)
+def lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_cascalog_spark.operators.text import lang_id, lang_scores
+
+    docs = read_table(spark, sf_dir, "documents")
+    scores = lang_scores(F.lower(F.col("text")))
+    return docs.select(
+        "doc_id",
+        *[scores[lang].alias(f"s_{lang}") for lang in ("en", "es", "de", "fr", "zh")],
+        lang_id(F.col("text")).alias("lang_pred"),
+    )
+
+
+@register(
+    "exact_dedup_docs",
+    oracle=f"""
+    SELECT md5({_NORM_SQL}) AS fp,
+           min(doc_id) AS keep_id,
+           count(*) AS n_copies
+    FROM documents GROUP BY 1
+    """,
+    doc="Exact dedup (beyond-reference): md5(normalized text) hash-groupBy, "
+    "min-id representative. Uniform digest key → skew-free shuffle at "
+    "100 TB.",
+)
+def exact_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_cascalog_spark.operators.dedup import exact_dedup
+
+    docs = read_table(spark, sf_dir, "documents")
+    return exact_dedup(docs, "doc_id", "text")
+
+
+@register(
+    "ngram_jaccard_dedup",
+    oracle=f"WITH {_SHINGLE_CTE} SELECT doc_a, doc_b, jaccard FROM jpairs",
+    doc="Exact 3-gram Jaccard near-dup pairs ≥ 0.7 via inverted shingle "
+    "index (explode → equi-join → pair counts) — the correctness "
+    "baseline for MinHash.",
+)
+def ngram_jaccard_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_cascalog_spark.operators.dedup import jaccard_pairs
+
+    docs = read_table(spark, sf_dir, "documents")
+    return jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.7)
+
+
+@register(
+    "minhash_lsh_dedup",
+    oracle=f"WITH {_SHINGLE_CTE} SELECT doc_a, doc_b, jaccard FROM jpairs",
+    doc="MinHash(64)+LSH(16 bands) near-dup pairs, exact-Jaccard verified — "
+    "the 100 TB scale path. Oracle equality holds because candidates are "
+    "re-verified exactly and banding recall at j≥0.7 is ≈0.9998.",
+)
+def minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_cascalog_spark.operators.dedup import minhash_lsh_pairs
+
+    docs = read_table(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(
+        docs, "doc_id", "text", n=3, num_hashes=64, bands=16, threshold=0.7
+    )
+
+
+@register(
+    "simhash_dedup",
+    oracle=None,  # engine-specific 64-bit hash — not SQL-expressible in DuckDB
+    doc="SimHash(64-bit) near-dup pairs, Hamming ≤ 3 (exact recall by the "
+    "band pigeonhole), candidates from 16-bit bands. Rows-only check: "
+    "the sketch depends on xxhash64, which DuckDB lacks.",
+)
+def simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_cascalog_spark.operators.dedup import simhash_pairs
+
+    docs = read_table(spark, sf_dir, "documents")
+    return simhash_pairs(docs, "doc_id", "text", n=3, max_hamming=3, bands=4)
+
+
+@register(
+    "ann_cosine_topk",
+    oracle="""
+    WITH q AS (
+      SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id % 50 = 0
+    ), c AS (
+      SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings
+    ), scored AS (
+      SELECT query_id, neighbor_id,
+             list_sum(list_transform(list_zip(qv, cv),
+                                     p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+             / (sqrt(list_sum(list_transform(qv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+              * sqrt(list_sum(list_transform(cv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS cos
+      FROM c CROSS JOIN q
+      WHERE query_id != neighbor_id
+    ), ranked AS (
+      SELECT query_id, neighbor_id, cos,
+             row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, round(cos, 4) AS cos_sim
+    FROM ranked WHERE rank <= 5
+    """,
+    doc="Brute-force cosine top-5 (beyond-reference ANN baseline): query "
+    "subset ⨯ corpus, double-cast sequential-fold dot product (bit-"
+    "portable), window top-k. Query side broadcast; corpus never moves.",
+)
+def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_cascalog_spark.operators.similarity import cosine_topk
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") % 50 == 0)
+    return cosine_topk(queries, emb, k=5)
+
+
+@register(
+    "multimodal_payload_meta",
+    oracle="""
+    SELECT doc_id,
+           octet_length(encode(text)) AS n_bytes,
+           lower(sha256(text)) AS payload_sha256,
+           'text/plain' AS mime
+    FROM documents
+    """,
+    doc="Multimodal column plumbing (beyond-reference): binary payload + "
+    "typed metadata struct (mime, n_bytes, sha256) computed JVM-side; "
+    "metadata pipelines prune the payload bytes at the scan.",
+)
+def multimodal_payload_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_cascalog_spark.operators.multimodal import (
+        text_as_payload,
+        with_payload_meta,
+    )
+
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id", text_as_payload(F.col("text")).alias("payload")
+    )
+    with_meta = with_payload_meta(docs, "payload", mime="text/plain")
+    return with_meta.select(
+        "doc_id",
+        F.col("payload_meta.n_bytes").alias("n_bytes"),
+        F.col("payload_meta.sha256").alias("payload_sha256"),
+        F.col("payload_meta.mime").alias("mime"),
+    )
+
+
 @register(
     "top_n_per_group",
     oracle="""

@@ -1,0 +1,138 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+Beyond-reference surface (BASELINE.json north star):
+
+- **brute-force cosine top-k** — the correctness baseline: query set ⨯
+  corpus with a JVM-side fold for the dot product (``zip_with`` +
+  ``aggregate`` — sequential left fold, bit-deterministic and portable to
+  the DuckDB oracle), window top-k per query.
+- **random-hyperplane LSH** — the scale path: ``n_planes`` fixed seeded
+  hyperplanes give each vector a sign-bucket; only same-bucket pairs are
+  scored. Expected candidates shrink ~2^-planes; recall tunes with plane
+  count / multi-probe. The hyperplanes are plain literals, so the same
+  bucketing is expressible in the SQL oracle.
+
+Scale: brute force is O(|Q|·|C|) — fine for |Q| small (re-ranking, eval
+sets); for corpus-vs-corpus use the LSH bucketing (shuffle on bucket id) or
+an IVF-style coarse quantizer (bucket = argmin centroid; same join shape).
+All arithmetic is double-cast BEFORE multiply/sum: float32 accumulation is
+neither portable nor stable across partitionings.
+"""
+
+from __future__ import annotations
+
+import math
+import random
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Σ aᵢ·bᵢ as a sequential left fold in double precision."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def cosine_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+) -> DataFrame:
+    """Brute-force cosine top-k: for every query vector the k nearest corpus
+    vectors (self-match excluded). Output: (query_id, neighbor_id, rank,
+    cos_sim). The corpus side is the big side — the query side is broadcast.
+    """
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine(F.col("qv"), F.col("cv")).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", F.round(F.col("cos"), 4).alias("cos_sim"))
+    )
+
+
+def hyperplanes(dim: int, n_planes: int = 8, seed: int = 7) -> list[list[float]]:
+    """Fixed seeded Gaussian hyperplanes (plain literals — portable)."""
+    rng = random.Random(seed)
+    return [
+        [round(rng.gauss(0.0, 1.0), 6) for _ in range(dim)] for _ in range(n_planes)
+    ]
+
+
+def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
+    """Sign-pattern bucket id: bit p = [vec · plane_p > 0]."""
+    bucket = F.lit(0).cast("long")
+    for p, plane in enumerate(planes):
+        d = F.aggregate(
+            F.zip_with(
+                vec,
+                F.array(*[F.lit(x) for x in plane]),
+                lambda x, y: x.cast("double") * y,
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        bucket = bucket + F.when(d > 0, F.lit(1 << p).cast("long")).otherwise(F.lit(0).cast("long"))
+    return bucket
+
+
+def lsh_cosine_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_planes: int = 8,
+    dim: int = 64,
+    seed: int = 7,
+) -> DataFrame:
+    """LSH-bucketed cosine top-k: score only candidates in the query's
+    hyperplane bucket. Equi-join on bucket id replaces the cross join —
+    the 100 TB shape (shuffle keyed on bucket; bucket skew bounded by
+    plane count)."""
+    planes = hyperplanes(dim, n_planes, seed)
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        lsh_bucket(F.col(vec_col), planes).alias("bucket"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cv"),
+        lsh_bucket(F.col(vec_col), planes).alias("bucket"),
+    )
+    scored = (
+        c.join(F.broadcast(q), on="bucket")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", cosine(F.col("qv"), F.col("cv")).alias("cos"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", F.round(F.col("cos"), 4).alias("cos_sim"))
+    )

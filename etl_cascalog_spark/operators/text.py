@@ -1,0 +1,124 @@
+"""Text-analysis operators for LLM training-data pipelines.
+
+Beyond-reference surface (BASELINE.json north star): language-ID heuristic,
+quality scoring, token counting, document fingerprinting — all pure Column
+expressions (JVM-side, codegen), no Python in the hot path. Designed for the
+``documents`` table (doc_id, text, lang, source, n_chars) but generic.
+
+Scale: every function here is embarrassingly parallel (no shuffle); the only
+wide operations in the dedup pipelines built on top are the grouped/joined
+stages in :mod:`operators.dedup`.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+#: words-with-apostrophes or single non-space symbols — a BPE-ish pre-token
+#: pattern (public GPT-2 style pre-tokenizer shape, simplified to be
+#: RE2/Java-regex portable)
+BPE_TOKEN_PATTERN = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"
+
+#: tiny per-language stopword markers for the n-gram/stopword heuristic
+LANG_MARKERS: dict[str, str] = {
+    "en": r"\b(the|and|of|to|is)\b",
+    "es": r"\b(el|la|los|que|de)\b",
+    "de": r"\b(der|die|das|und|ist)\b",
+    "fr": r"\b(le|les|des|est|une)\b",
+    "zh": r"[一-鿿]",
+}
+
+
+def normalize_text(col: Column) -> Column:
+    """Canonical normalization: lowercase + collapse all whitespace runs.
+    The shared first step of fingerprinting, exact dedup, and shingling."""
+    return F.regexp_replace(F.lower(F.trim(col)), r"\s+", " ")
+
+
+def whitespace_tokens(col: Column) -> Column:
+    """Whitespace tokenization of normalized text → array<string>."""
+    return F.split(normalize_text(col), " ")
+
+
+def token_count_ws(col: Column) -> Column:
+    """Whitespace token count."""
+    return F.size(whitespace_tokens(col)).cast("long")
+
+
+def token_count_bpe(col: Column) -> Column:
+    """BPE-ish token count: occurrences of the pre-tokenizer pattern.
+    A cheap, deterministic proxy for tokenizer cost estimation at corpus
+    scale (the real tokenizer is a Pandas-UDF path, multimodal.py pattern)."""
+    return F.regexp_count(col, F.lit(BPE_TOKEN_PATTERN)).cast("long")
+
+
+def quality_features(col: Column) -> dict[str, Column]:
+    """Quality-signal components: length, alpha ratio, punctuation ratio,
+    mean word length, stopword ratio. All double-typed, deterministic."""
+    n_chars = F.length(col).cast("double")
+    alpha = F.length(F.regexp_replace(col, r"[^A-Za-z]", "")).cast("double")
+    punct = F.length(F.regexp_replace(col, r"[^.,;:!?'\"()]", "")).cast("double")
+    n_tokens = token_count_ws(col).cast("double")
+    stop = F.regexp_count(col, F.lit(r"\b(the|a|of|and|to|in|is)\b")).cast("double")
+    return {
+        "n_chars": n_chars,
+        "alpha_ratio": alpha / n_chars,
+        "punct_ratio": punct / n_chars,
+        "mean_word_len": alpha / n_tokens,
+        "stopword_ratio": stop / n_tokens,
+    }
+
+
+def quality_score(col: Column) -> Column:
+    """Composite quality score in [0, ~1]: favors texts with healthy length,
+    high alpha ratio, and some stopwords (prose-likeness). Weights are fixed
+    constants — portable to SQL for the oracle."""
+    f = quality_features(col)
+    len_term = F.least(f["n_chars"] / F.lit(500.0), F.lit(1.0))
+    return F.round(
+        F.lit(0.4) * len_term
+        + F.lit(0.4) * f["alpha_ratio"]
+        + F.lit(0.2) * F.least(f["stopword_ratio"] * F.lit(5.0), F.lit(1.0)),
+        6,
+    )
+
+
+def lang_scores(col: Column) -> dict[str, Column]:
+    """Per-language marker hit counts (regexp_count — portable)."""
+    return {lang: F.regexp_count(col, F.lit(pat)).cast("long") for lang, pat in LANG_MARKERS.items()}
+
+
+def lang_id(col: Column) -> Column:
+    """Heuristic language ID: argmax marker count; ties go to the earlier
+    language in LANG_MARKERS order; 'und' when all scores are zero."""
+    scores = lang_scores(F.lower(col))
+    best_lang = F.lit("und")
+    best_score = F.lit(0).cast("long")
+    # process in reverse priority order with >=, so the earliest language
+    # (processed last) wins ties
+    for lang in reversed(list(scores)):
+        s = scores[lang]
+        take = (s >= best_score) & (s > 0)
+        best_lang = F.when(take, F.lit(lang)).otherwise(best_lang)
+        best_score = F.greatest(s, best_score)
+    return best_lang
+
+
+def fingerprint_md5(col: Column) -> Column:
+    """Whole-document fingerprint: md5 of normalized text. The exact-dedup
+    key (portable: identical md5 in every engine)."""
+    return F.md5(normalize_text(col))
+
+
+def shingles(col: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles of normalized text → array<string>.
+    The input unit for MinHash/SimHash/Jaccard dedup (operators/dedup.py)."""
+    w = whitespace_tokens(col)
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size(w) - n),
+        lambda i: F.concat_ws(" ", *[F.element_at(w, (i + j + 1).cast("int")) for j in range(n)]),
+    )
+    return F.when(F.size(w) >= n, F.array_distinct(grams)).otherwise(
+        F.array().cast("array<string>")
+    )

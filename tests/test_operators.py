@@ -1,0 +1,172 @@
+"""Operator unit tests on micro-datasets — the engine's replacement for the
+reference's REPL ``(comment …)`` smoke blocks (SURVEY.md §5.1), e.g.
+``model/d_bolome_order_show_debut.clj:101-109`` and ``trgx.clj:251-263``."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def test_regex_guard_cjk(spark):
+    """F6 regex-guard with CJK patterns (m_cocacola_score_overall.clj:68-70):
+    bottlers matching the drop-patterns become NULL → dropped by ?var."""
+    from etl_cascalog_spark.operators.filters import regex_guard, require_non_null
+
+    df = spark.createDataFrame(
+        [("China Total / 全国总体",), ("SBL Total / 全体",), ("辽宁区域",), ("湖南中可",)],
+        ["bottler"],
+    )
+    out = df.select(regex_guard(F.col("bottler"), "全国总体|全体", "区域$").alias("b"))
+    vals = [r.b for r in out.collect()]
+    assert vals.count(None) == 3
+    kept = require_non_null(out, "b").collect()
+    assert [r.b for r in kept] == ["湖南中可"]
+
+
+def test_or_tuple_full_outer_merge_micro(spark):
+    """J3 micro-case shaped like ods/d_bolome_show.clj:42-50."""
+    from etl_cascalog_spark.operators.joins import full_outer_coalesce
+
+    stg = spark.createDataFrame([(1, "new-name"), (3, "only-stg")], ["id", "name"])
+    ods = spark.createDataFrame([(1, "old-name"), (2, "only-ods")], ["id", "name"])
+    out = {r.id: r.name for r in full_outer_coalesce(stg, ods, ["id"]).collect()}
+    assert out == {1: "new-name", 2: "only-ods", 3: "only-stg"}
+
+
+def test_convert_null_and_str_max(spark):
+    """F9 + A3 (trgx.clj:20, 63-69)."""
+    from etl_cascalog_spark.operators.aggregates import str_max, str_min
+
+    df = spark.createDataFrame(
+        [("a", "2020-01-01"), ("a", "null"), ("a", "2021-05-05"), ("b", "NULL")],
+        ["k", "dt"],
+    )
+    out = {
+        r.k: (r.mx, r.mn)
+        for r in df.groupBy("k")
+        .agg(str_max(F.col("dt")).alias("mx"), str_min(F.col("dt")).alias("mn"))
+        .collect()
+    }
+    assert out["a"] == ("2021-05-05", "2020-01-01")
+    assert out["b"] == (None, None)
+
+
+def test_calendar_lag_null_on_missing_month(spark):
+    """W1 semantics: calendar-keyed lag yields NULL for a missing month,
+    never the previous row's value (SURVEY §2.6, gappy-input case)."""
+    from etl_cascalog_spark.operators.periods import with_period_comparisons
+
+    df = spark.createDataFrame(
+        [("x", "2024-01-31", 10.0), ("x", "2024-03-31", 30.0)], ["dim", "dt", "v"]
+    ).select("dim", F.col("dt").cast("date").alias("dt"), "v")
+    out = {
+        r.dw_dt.isoformat(): (r.value, r.pp_value)
+        for r in with_period_comparisons(
+            spark, df, ["dim"], "dt", "v", "2024-01-01", "2024-03-31"
+        ).collect()
+    }
+    # March's prev-month probe hits Feb (absent) → NULL, not January's 10.0
+    assert out["2024-03-31"] == (30.0, None)
+    assert out["2024-01-31"] == (10.0, None)
+
+
+def test_pad_array(spark):
+    """X7 pad (trgx.clj:249-263)."""
+    from etl_cascalog_spark.functions.maps import pad_array
+
+    df = spark.createDataFrame([([1, 2],)], ["a"])
+    out = df.select(pad_array(F.col("a"), 5, F.lit(0)).alias("p")).collect()[0].p
+    assert out == [1, 2, 0, 0, 0]
+
+
+def test_simhash_finds_near_dups(spark):
+    """SimHash recall guarantee: pairs within the banded Hamming bound are
+    always found. Micro-dataset with controlled edits (1 word changed →
+    Hamming ≈ 0-2) + unrelated docs as negatives."""
+    from etl_cascalog_spark.operators.dedup import simhash_pairs
+
+    # long NON-repeating docs: many distinct shingles → stable vote margins
+    base = " ".join(f"word{i}" for i in range(200))
+    edited = base.replace("word100", "changed", 1)
+    other = " ".join(f"other{i}" for i in range(200))
+    docs = spark.createDataFrame(
+        [(1, base), (2, edited), (3, other), (4, other + " extra tail words here")],
+        ["doc_id", "text"],
+    )
+    sim = {
+        (r.doc_a, r.doc_b): r.hamming
+        for r in simhash_pairs(docs, "doc_id", "text").collect()
+    }
+    assert (1, 2) in sim  # near-identical pair found
+    assert (1, 3) not in sim and (2, 3) not in sim  # unrelated not paired
+
+
+def test_multimodal_fake_decode_plumbing(spark):
+    """Multimodal: mapInPandas plumbing with the deterministic fake codec —
+    schema, batch iteration, and byte-derived features survive a
+    repartition (stability under partitioning)."""
+    from etl_cascalog_spark.operators.multimodal import (
+        fake_decode_features,
+        text_as_payload,
+    )
+    from etl_cascalog_spark.io import read_table
+
+    docs = (
+        read_table(spark, "/root/testdata/sf0.001", "documents")
+        .limit(20)
+        .select("doc_id", text_as_payload(F.col("text")).alias("payload"))
+    )
+    a = {r.doc_id: (r.width, r.height, r.mean_luma) for r in fake_decode_features(docs, "doc_id", "payload").collect()}
+    b = {
+        r.doc_id: (r.width, r.height, r.mean_luma)
+        for r in fake_decode_features(docs.repartition(7), "doc_id", "payload").collect()
+    }
+    assert a == b and len(a) == 20
+    assert all(1 <= w <= 640 and 1 <= h <= 480 and 0 <= l <= 1 for (w, h, l) in a.values())
+
+
+def test_decode_image_is_explicit_stub(spark):
+    """The real-codec path must fail loudly, not silently fake."""
+    from etl_cascalog_spark.operators.multimodal import decode_image, text_as_payload
+    from etl_cascalog_spark.io import read_table
+    from py4j.protocol import Py4JJavaError
+
+    docs = (
+        read_table(spark, "/root/testdata/sf0.001", "documents")
+        .limit(1)
+        .select("doc_id", text_as_payload(F.col("text")).alias("payload"))
+    )
+    with pytest.raises(Exception) as exc:
+        decode_image(docs, "payload").collect()
+    assert "NotImplementedError" in str(exc.value) or "codec" in str(exc.value)
+
+
+def test_lsh_cosine_matches_brute_force_in_bucket(spark):
+    """LSH top-k returns a subset consistent with brute force when the true
+    neighbors share the query's bucket (high-sim vectors do)."""
+    from etl_cascalog_spark.io import read_table
+    from etl_cascalog_spark.operators.similarity import cosine_topk, lsh_cosine_topk
+
+    emb = read_table(spark, "/root/testdata/sf0.001", "embeddings")
+    q = emb.where(F.col("vec_id") % 100 == 0)
+    brute = cosine_topk(q, emb, k=1).collect()
+    lsh = {
+        (r.query_id, r.rank): r.neighbor_id for r in lsh_cosine_topk(q, emb, k=1).collect()
+    }
+    # for each query where LSH found a rank-1 neighbor with cos ≥ 0.9 in
+    # brute force, they agree (near-identical vectors share sign buckets)
+    for r in brute:
+        if r.cos_sim >= 0.9 and (r.query_id, 1) in lsh:
+            assert lsh[(r.query_id, 1)] == r.neighbor_id
+
+
+def test_assign_sparse_ids_unique(spark):
+    """A8 scale path: zero-shuffle ids are unique and ≥ start."""
+    from etl_cascalog_spark.io import read_table
+    from etl_cascalog_spark.operators.surrogate import assign_sparse_ids
+
+    df = read_table(spark, "/root/testdata/sf0.001", "customer").repartition(8)
+    ids = [r.dw_id for r in assign_sparse_ids(df, start_at=500).collect()]
+    assert len(ids) == len(set(ids))
+    assert min(ids) >= 500
