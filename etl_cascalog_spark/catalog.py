@@ -739,6 +739,345 @@ def running_window_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# D2. Report framework + trgx tree layer (the reference's 38-job workload)
+# ---------------------------------------------------------------------------
+
+@register(
+    "report_pipeline",
+    oracle="""
+    WITH monthly AS (
+      SELECT o_orderpriority AS priority, o_orderstatus AS status,
+             last_day(CAST(o_orderdate AS DATE)) AS dw_dt,
+             CAST(round(sum(CAST(o_totalprice AS DECIMAL(12,2))), 2) AS DOUBLE) AS value
+      FROM orders GROUP BY 1, 2, 3
+    ), spine AS (
+      SELECT last_day(CAST(d AS DATE)) AS dw_dt
+      FROM (SELECT unnest(generate_series(DATE '1996-01-01', DATE '1997-12-01', INTERVAL 1 MONTH)) AS d)
+    ), dims AS (SELECT DISTINCT priority, status FROM monthly),
+    cmp AS (
+      SELECT d.priority, d.status, s.dw_dt,
+             b.value AS value,
+             b.value - pp.value AS pp_delta,
+             b.value - yoy.value AS yoy_delta
+      FROM dims d CROSS JOIN spine s
+      LEFT JOIN monthly b   ON b.priority = d.priority AND b.status = d.status AND b.dw_dt = s.dw_dt
+      LEFT JOIN monthly pp  ON pp.priority = d.priority AND pp.status = d.status AND pp.dw_dt = last_day(s.dw_dt - INTERVAL 1 MONTH)
+      LEFT JOIN monthly yoy ON yoy.priority = d.priority AND yoy.status = d.status AND yoy.dw_dt = last_day(s.dw_dt - INTERVAL 12 MONTH)
+      WHERE b.value IS NOT NULL
+    ), leaf AS (
+      SELECT priority, status, dw_dt,
+             '{"value":' || coalesce(CAST(CAST(value AS DECIMAL(18,2)) AS VARCHAR), 'null')
+             || ',"pp_delta":' || coalesce(CAST(CAST(pp_delta AS DECIMAL(18,2)) AS VARCHAR), 'null')
+             || ',"yoy_delta":' || coalesce(CAST(CAST(yoy_delta AS DECIMAL(18,2)) AS VARCHAR), 'null')
+             || '}' AS j
+      FROM cmp
+    ), nested AS (
+      SELECT dw_dt, priority,
+             '{' || string_agg('"' || status || '":' || j, ',' ORDER BY status) || '}' AS tree
+      FROM leaf GROUP BY 1, 2
+    )
+    SELECT dw_dt, 'tpch' AS project, 'demo' AS category,
+           'm_orders_by_status' AS report,
+           '{"priority":"' || priority || '"}' AS selector,
+           priority AS selector_desc,
+           tree AS dimension_metrics
+    FROM nested
+    """,
+    doc="THE reference workload: the full 38-report pipeline shape "
+    "(SURVEY Appendix A / m_cocacola_score_overall.clj:60-74) as one "
+    "declarative ReportSpec — scan → pivot → spine → calendar lags → "
+    "null-safe deltas → nested payload JSON → ms.report sink rows. Even "
+    "the JSON columns hash-match the oracle (deterministic assembly).",
+)
+def report_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_cascalog_spark.plans.report import ReportSpec, build_report
+
+    orders = read_table(spark, sf_dir, "orders")
+    monthly = orders.groupBy(
+        F.col("o_orderpriority").alias("priority"),
+        F.col("o_orderstatus").alias("status"),
+        F.last_day(F.col("o_orderdate").cast("date")).alias("dw_dt"),
+    ).agg(dround(F.sum(money(F.col("o_totalprice")))).alias("value"))
+    spec = ReportSpec(
+        report="m_orders_by_status",
+        project="tpch",
+        category="demo",
+        source="orders",
+        date_col="dw_dt",
+        value_col="value",
+        selector_dims=["priority"],
+        payload_dims=["status"],
+        spine_start="1996-01-01",
+        spine_end="1997-12-31",
+        metrics=["value", "pp_delta", "yoy_delta"],
+    )
+    return build_report(spark, monthly, spec)
+
+
+@register(
+    "trgx_path_ops",
+    oracle="""
+    WITH base AS (
+      SELECT r.r_name, n.n_name, count(*) AS n_customers
+      FROM customer c
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      JOIN region r ON n.n_regionkey = r.r_regionkey
+      GROUP BY 1, 2
+    )
+    SELECT r_name AS path_prefix_1, n_name AS path_suffix_1, n_customers
+    FROM base WHERE r_name = 'EUROPE'
+    """,
+    doc="trgx tree algebra on the canonical (path, metrics) long format "
+    "(SURVEY §1.2): wildcard path match (mlvar:73-95), split-at "
+    "(trgx.clj:246-247) — array ops, no tree type, no UDF.",
+)
+def trgx_path_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_cascalog_spark.plans.trgx import match_path, path_col, split_at_depth
+
+    cust = read_table(spark, sf_dir, "customer")
+    nation = read_table(spark, sf_dir, "nation")
+    region = read_table(spark, sf_dir, "region")
+    base = (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(F.count("*").alias("n_customers"))
+        .select(path_col(F.col("r_name"), F.col("n_name")).alias("path"), "n_customers")
+    )
+    matched = base.where(match_path(F.col("path"), ["EUROPE", "*"]))
+    split = split_at_depth(matched, 1)
+    return split.select(
+        F.element_at("path_prefix", 1).alias("path_prefix_1"),
+        F.element_at("path_suffix", 1).alias("path_suffix_1"),
+        "n_customers",
+    )
+
+
+@register(
+    "trgx_nested_json",
+    oracle="""
+    WITH base AS (
+      SELECT r.r_name, n.n_name,
+             CAST(round(sum(CAST(c.c_acctbal AS DECIMAL(12,2))), 2) AS DOUBLE) AS balance,
+             count(*) AS n_customers
+      FROM customer c
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      JOIN region r ON n.n_regionkey = r.r_regionkey
+      GROUP BY 1, 2
+    )
+    SELECT r_name,
+           '{' || string_agg(
+             '"' || n_name || '":{"balance":'
+             || CAST(CAST(balance AS DECIMAL(18,2)) AS VARCHAR)
+             || ',"n_customers":' || CAST(n_customers AS VARCHAR) || '}',
+             ',' ORDER BY n_name) || '}' AS tree_json
+    FROM base GROUP BY r_name
+    """,
+    doc="A7 tr-dimension-metrics → nested JSON (trgx.clj:72-79): leaf-to-"
+    "root staged fold (nest_json), deterministic key order — the report "
+    "payload and the mlvar tree rollup (mlvar:80-132) in one operator.",
+)
+def trgx_nested_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_cascalog_spark.plans.trgx import metrics_json, nest_json
+
+    cust = read_table(spark, sf_dir, "customer")
+    nation = read_table(spark, sf_dir, "nation")
+    region = read_table(spark, sf_dir, "region")
+    base = (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            dround(F.sum(money(F.col("c_acctbal")))).alias("balance"),
+            F.count("*").alias("n_customers"),
+        )
+    )
+    leaf = metrics_json(
+        {
+            "balance": F.col("balance").cast("decimal(18,2)"),
+            "n_customers": F.col("n_customers"),
+        }
+    )
+    return nest_json(base, group_cols=["r_name"], level_cols=["n_name"], leaf_json=leaf)
+
+
+@register(
+    "ods_merge_pipeline",
+    oracle="""
+    WITH stg AS (
+      SELECT s_suppkey AS src_id, s_name AS name, s_acctbal AS bal
+      FROM supplier WHERE s_suppkey % 2 = 1
+    ), ods AS (
+      SELECT s_suppkey AS src_id,
+             CAST(row_number() OVER (ORDER BY s_suppkey) AS BIGINT) AS dw_id,
+             s_name || '_old' AS name, s_acctbal AS bal
+      FROM supplier WHERE s_suppkey <= 6
+    ), merged AS (
+      SELECT coalesce(s.src_id, o.src_id) AS src_id,
+             o.dw_id,
+             coalesce(s.name, o.name) AS name,
+             coalesce(s.bal, o.bal) AS bal
+      FROM stg s FULL OUTER JOIN ods o ON s.src_id = o.src_id
+    ), max_id AS (SELECT coalesce(max(dw_id), 0) AS m FROM ods)
+    SELECT src_id,
+           coalesce(dw_id, (SELECT m FROM max_id)
+                    + row_number() OVER (PARTITION BY (dw_id IS NULL) ORDER BY src_id)) AS dw_id,
+           name, bal
+    FROM merged
+    """,
+    doc="E2: the stg→ods warehouse merge end-to-end "
+    "(ods/d_bolome_show.clj:39-83): full-outer merge with or-tuple "
+    "coalescing (J3), surrogate-id continuation from max(dw_id) for "
+    "new keys only (A8/I3) — parallel window, not the reference's "
+    "single-reducer group (:51).",
+)
+def ods_merge_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from etl_cascalog_spark.operators.joins import full_outer_coalesce
+    from etl_cascalog_spark.operators.surrogate import current_max_id
+
+    supp = read_table(spark, sf_dir, "supplier")
+    stg = supp.where(F.col("s_suppkey") % 2 == 1).select(
+        F.col("s_suppkey").alias("src_id"),
+        F.col("s_name").alias("name"),
+        F.col("s_acctbal").alias("bal"),
+    )
+    ods = supp.where(F.col("s_suppkey") <= 6).select(
+        F.col("s_suppkey").alias("src_id"),
+        F.row_number().over(W.orderBy("s_suppkey")).cast("long").alias("dw_id"),
+        F.concat(F.col("s_name"), F.lit("_old")).alias("name"),
+        F.col("s_acctbal").alias("bal"),
+    )
+    merged = full_outer_coalesce(
+        stg, ods.select("src_id", "name", "bal"), on=["src_id"], prefer="left"
+    ).join(ods.select("src_id", "dw_id"), on="src_id", how="left")
+    max_id = current_max_id(ods, "dw_id")
+    new_id = F.row_number().over(
+        W.partitionBy(F.col("dw_id").isNull()).orderBy("src_id")
+    )
+    return merged.select(
+        "src_id",
+        F.coalesce(F.col("dw_id"), (F.lit(max_id) + new_id).cast("long")).alias("dw_id"),
+        "name",
+        "bal",
+    )
+
+
+@register(
+    "star_feature_assembly",
+    oracle="""
+    SELECT l.l_orderkey AS order_id, l.l_linenumber AS line_no,
+           o.o_custkey AS user_id,
+           p.p_brand AS product_brand,
+           coalesce(s.s_name, 'NO_SUPPLIER') AS supplier_name,
+           CAST(round(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                      * (1 - CAST(l.l_discount AS DECIMAL(4,2))), 2) AS DOUBLE) AS revenue,
+           CASE WHEN l.l_quantity >= 25 THEN 1 ELSE 0 END AS bulk_flag,
+           CASE WHEN o.o_orderstatus = 'F' THEN 'true' ELSE 'false' END AS order_final,
+           CASE WHEN l.l_returnflag = 'R' THEN 'true' ELSE 'false' END AS order_returned
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN part p   ON l.l_partkey = p.p_partkey
+    LEFT JOIN (SELECT s_suppkey, s_name FROM supplier WHERE s_suppkey % 3 != 0) s
+      ON l.l_suppkey = s.s_suppkey
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+    """,
+    doc="mlin feature assembly (mlin/d_bolome_user_order.clj:67-92): 4-way "
+    "star join (J1) with a may-miss lookup (J2 !!var), decimal revenue "
+    "math (:78-80), cif/nvl2 bool-as-string flags (:45-49) — the ML "
+    "feature-table shape. Dims broadcast; fact shuffles once.",
+)
+def star_feature_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_cascalog_spark.functions.conditionals import cif
+    from etl_cascalog_spark.operators.joins import left_lookup, star_join
+
+    li = read_table(spark, sf_dir, "lineitem")
+    orders = read_table(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp")
+    )
+    part = read_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    supp = (
+        read_table(spark, sf_dir, "supplier")
+        .where(F.col("s_suppkey") % 3 != 0)
+        .select("s_suppkey", "s_name")
+    )
+    joined = star_join(
+        li.join(orders, li.l_orderkey == orders.o_orderkey, "inner"),
+        [(part, [F.col("l_partkey") == F.col("p_partkey")], "inner")],
+    )
+    joined = left_lookup(joined, supp, on=[F.col("l_suppkey") == F.col("s_suppkey")])
+    price = money(F.col("l_extendedprice"))
+    disc = money(F.col("l_discount"), "decimal(4,2)")
+    return joined.select(
+        F.col("l_orderkey").alias("order_id"),
+        F.col("l_linenumber").alias("line_no"),
+        F.col("o_custkey").alias("user_id"),
+        F.col("p_brand").alias("product_brand"),
+        F.coalesce(F.col("s_name"), F.lit("NO_SUPPLIER")).alias("supplier_name"),
+        dround(price * (F.lit(1) - disc)).alias("revenue"),
+        (F.col("l_quantity") >= 25).cast("int").alias("bulk_flag"),
+        cif(F.col("o_orderstatus") == "F", F.lit("true"), F.lit("false")).alias("order_final"),
+        cif(F.col("l_returnflag") == "R", F.lit("true"), F.lit("false")).alias("order_returned"),
+    )
+
+
+@register(
+    "delta_shadow_merge",
+    oracle="""
+    WITH live AS (
+      SELECT o_custkey AS k,
+             CAST(round(sum(CAST(o_totalprice AS DECIMAL(12,2))), 2) AS DOUBLE) AS total,
+             count(*) AS n
+      FROM orders WHERE o_orderdate < TIMESTAMP '1999-01-01 00:00:00'
+      GROUP BY 1
+    ), delta AS (
+      SELECT o_custkey AS k,
+             CAST(round(sum(CAST(o_totalprice AS DECIMAL(12,2))), 2) AS DOUBLE) AS total,
+             count(*) AS n
+      FROM orders WHERE o_orderdate >= TIMESTAMP '1999-01-01 00:00:00'
+      GROUP BY 1
+    )
+    SELECT coalesce(d.k, l.k) AS k,
+           CAST(round(coalesce(l.total, 0) + coalesce(d.total, 0), 2) AS DOUBLE) AS total,
+           coalesce(l.n, 0) + coalesce(d.n, 0) AS n
+    FROM delta d FULL OUTER JOIN live l ON d.k = l.k
+    """,
+    doc="I4: delta → shadow → live aggregate maintenance "
+    "(model/d_bolome_order_show_debut.clj:61-99): the delta window's "
+    "aggregate full-outer-merged into the live aggregate with additive "
+    "combine fns (merge-with, :91). Only delta + touched keys shuffle — "
+    "never the full history.",
+)
+def delta_shadow_merge_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_cascalog_spark.incremental import delta_shadow_merge
+
+    orders = read_table(spark, sf_dir, "orders")
+    cutoff = F.lit("1999-01-01 00:00:00").cast("timestamp")
+
+    def agg(df):
+        return df.groupBy(F.col("o_custkey").alias("k")).agg(
+            dround(F.sum(money(F.col("o_totalprice")))).alias("total"),
+            F.count("*").alias("n"),
+        )
+
+    live = agg(orders.where(F.col("o_orderdate") < cutoff))
+    delta = agg(orders.where(F.col("o_orderdate") >= cutoff))
+    merged = delta_shadow_merge(
+        live,
+        delta,
+        keys=["k"],
+        combine={
+            "total": lambda l, d: F.round(
+                F.coalesce(l, F.lit(0.0)) + F.coalesce(d, F.lit(0.0)), 2
+            ).cast("double"),
+            "n": lambda l, d: F.coalesce(l, F.lit(0)) + F.coalesce(d, F.lit(0)),
+        },
+    )
+    return merged
+
+
+# ---------------------------------------------------------------------------
 # E. LLM training-data pipeline surface (beyond-reference; BASELINE.json
 #    north star): text analysis, dedup tiers, similarity search, multimodal
 # ---------------------------------------------------------------------------

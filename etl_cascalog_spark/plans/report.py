@@ -1,0 +1,116 @@
+"""Declarative report pipeline — the framework behind the reference's 38
+``src/cocacola/rpt/`` jobs (SURVEY.md Appendix A).
+
+Every report job in the reference is the same pipeline with different
+parameters (source tap, filters, selector dims, payload dims → metrics,
+refresh mode):
+
+  scan → filters → group-pivot (A4) → month spine (W5/J4) → calendar lags
+  (W1/W2, trgx.clj:30-32) → null-safe deltas (X6) → nested payload (A7,
+  tr-dimension-metrics trgx.clj:72-77) → JSON → append to ``ms.report``
+  with watermark (I1) or full-refresh (I5)
+
+Here that is one :class:`ReportSpec` + :func:`build_report`. The sink row
+shape matches the reference's generic report table
+(m_cocacola_score_overall.clj:40): dw_dt, project, category, report,
+selector (JSON), selector_desc, dimension_metrics (JSON).
+
+JSON output is built with deterministic string assembly
+(:func:`plans.trgx.metrics_json` / :func:`json_object`): fixed key order,
+decimal-string numbers — byte-identical across engines, so even the JSON
+columns are oracle-checkable.
+
+Scale: one shuffle for the pivot (on selector+payload dims), a broadcast
+spine join, one grouped pass per payload level for the nested JSON. The
+reference ran each report as its own serial Hadoop job (cascalog.sh:37-119);
+here reports are lazy DataFrames — schedule N of them concurrently and
+Spark shares the scans.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+from dataclasses import dataclass, field
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_cascalog_spark.operators.periods import with_period_comparisons
+from etl_cascalog_spark.plans.trgx import metrics_json, nest_json
+
+
+def json_object(pairs: dict[str, Column]) -> Column:
+    """Deterministic ``{"k":"v",...}`` JSON from string columns — fixed key
+    order, values escaped as plain strings (dims in report data are
+    identifier-ish; full escaping would go through to_json)."""
+    parts: list[Column] = []
+    for i, (name, col) in enumerate(pairs.items()):
+        prefix = ("," if i else "") + f'"{name}":"'
+        parts.append(F.concat(F.lit(prefix), col.cast("string"), F.lit('"')))
+    return F.concat(F.lit("{"), *parts, F.lit("}"))
+
+
+@dataclass
+class ReportSpec:
+    """Parameters of one report job (one row of SURVEY.md Appendix A)."""
+
+    report: str
+    project: str
+    category: str
+    source: str
+    date_col: str
+    value_col: str
+    selector_dims: Sequence[str]
+    payload_dims: Sequence[str]
+    spine_start: str
+    spine_end: str
+    filters: Sequence[Column] = field(default_factory=list)
+    #: which period-comparison metrics go into the payload leaf
+    metrics: Sequence[str] = ("value", "pp_delta", "yoy_delta")
+    refresh: str = "wm"  # "wm" (I1 watermark) | "full" (I5)
+
+
+def build_report(spark: SparkSession, source_df: DataFrame, spec: ReportSpec) -> DataFrame:
+    """Compose the full report pipeline for ``spec``; returns the sink-shaped
+    DataFrame (not written — callers append via io.jdbc_append /
+    io.overwrite_logical_partition per refresh mode)."""
+    df = source_df
+    for f in spec.filters:
+        df = df.where(f)
+
+    dims = list(spec.selector_dims) + list(spec.payload_dims)
+    compared = with_period_comparisons(
+        spark,
+        df,
+        dims=dims,
+        date_col=spec.date_col,
+        value_col=spec.value_col,
+        spine_start=spec.spine_start,
+        spine_end=spec.spine_end,
+    )
+
+    leaf = metrics_json(
+        {m: F.col(m).cast("decimal(18,2)") for m in spec.metrics}
+    )
+    if spec.payload_dims:
+        nested = nest_json(
+            compared,
+            group_cols=["dw_dt", *spec.selector_dims],
+            level_cols=list(spec.payload_dims),
+            leaf_json=leaf,
+        )
+    else:
+        nested = compared.withColumn("tree_json", leaf).select(
+            "dw_dt", *spec.selector_dims, "tree_json"
+        )
+
+    selector = json_object({d: F.col(d) for d in spec.selector_dims})
+    return nested.select(
+        F.col("dw_dt"),
+        F.lit(spec.project).alias("project"),
+        F.lit(spec.category).alias("category"),
+        F.lit(spec.report).alias("report"),
+        selector.alias("selector"),
+        F.concat_ws("-", *[F.col(d) for d in spec.selector_dims]).alias("selector_desc"),
+        F.col("tree_json").alias("dimension_metrics"),
+    )

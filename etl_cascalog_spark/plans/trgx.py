@@ -1,0 +1,135 @@
+"""trgx tree algebra over the canonical (path, metrics) long format.
+
+The reference's one non-relational structure is the recursive "trgx" map
+``{node {:DATA {...} :CHILDREN {...}}}`` (SURVEY.md §1.2), built by custom
+aggregators (``kv->trgx`` trgx.clj:51-55), manipulated by a tree-op library
+(trgx.clj:212-275), serialized as EDN strings between jobs, and emitted as
+JSON.
+
+Engine stance (SURVEY §7 "hard parts"): trees never exist as a runtime
+type. The canonical representation is the **long format** —
+
+    (group keys…, path: array<string>, metric columns…)
+
+— one row per tree node path. Tree ops become array ops (JVM-side, no UDF,
+no shuffle); nested output materializes only at sinks via
+:func:`nest_json`, which folds leaf→root with one grouped pass per level
+(exactly the reference's 5-stage rollup shape,
+mlvar/d_bolome_user_order.clj:80-132, minus the EDN).
+
+Reference op → long-format mapping:
+
+- ``trgx->leaf``      (trgx.clj:212-213) → filter size(path) = max depth
+- ``trgx->path`` / ``trgx-path-seq`` (:220-227) → the format itself
+- ``trgx-take``       (:229-236) → :func:`take_depth`
+- ``trgx-take-last``  (:238-244) → :func:`take_last_depth`
+- ``trgx-split-at``   (:246-247) → :func:`split_at_depth`
+- ``trgx-leaf-trunc`` (:265-269) → :func:`leaf_trunc`
+- ``subtree``/``tree-nodes`` path filters with ``"*"`` wildcards
+  (mlvar/d_bolome_user_order.clj:73-95) → :func:`match_path`
+- ``path-trgx->tuple-kv`` (:275) → the long format again (identity)
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def path_col(*levels: Column) -> Column:
+    """Assemble a path array from level columns (root first)."""
+    return F.array(*levels)
+
+
+def take_depth(df: DataFrame, n: int, path: str = "path") -> DataFrame:
+    """trgx-take (trgx.clj:229-236): keep only the top n levels — truncate
+    deeper paths and drop the now-duplicate nodes (metrics of truncated
+    nodes are NOT re-aggregated; matches the reference, which keeps the
+    node's own :DATA)."""
+    return df.where(F.size(F.col(path)) <= n)
+
+
+def take_last_depth(df: DataFrame, n: int, path: str = "path") -> DataFrame:
+    """trgx-take-last (trgx.clj:238-244): keep the deepest n levels,
+    re-rooting each path at depth-n (the path's last n elements)."""
+    p = F.col(path)
+    return df.withColumn(path, F.slice(p, F.greatest(F.size(p) - n + 1, F.lit(1)), n))
+
+
+def leaf_trunc(df: DataFrame, path: str = "path") -> DataFrame:
+    """trgx-leaf-trunc (trgx.clj:265-269): drop the leaf level (paths of
+    length 1 vanish)."""
+    p = F.col(path)
+    return df.where(F.size(p) > 1).withColumn(path, F.slice(p, 1, F.size(p) - 1))
+
+
+def split_at_depth(df: DataFrame, n: int, path: str = "path") -> DataFrame:
+    """trgx-split-at (trgx.clj:246-247): (path) → (prefix, suffix) columns."""
+    p = F.col(path)
+    return df.withColumn("path_prefix", F.slice(p, 1, n)).withColumn(
+        "path_suffix", F.slice(p, n + 1, F.greatest(F.size(p) - n, F.lit(0)))
+    )
+
+
+def match_path(path: Column, pattern: Sequence[str]) -> Column:
+    """Wildcard path predicate (mlvar/d_bolome_user_order.clj:73-95):
+    pattern elements are literals or ``"*"`` (match any); the path must be
+    exactly as deep as the pattern."""
+    cond = F.size(path) == len(pattern)
+    for i, pat in enumerate(pattern):
+        if pat != "*":
+            cond = cond & (F.element_at(path, i + 1) == pat)
+    return cond
+
+
+def metrics_json(metrics: dict[str, Column]) -> Column:
+    """Deterministic leaf JSON ``{"m":1.23,...}`` — numbers embedded via
+    decimal-string casts (no scientific notation, engine-portable), keys in
+    given order. NULL metric → JSON null."""
+    parts: list[Column] = []
+    for i, (name, col) in enumerate(metrics.items()):
+        prefix = ("," if i else "") + f'"{name}":'
+        parts.append(F.concat(F.lit(prefix), F.coalesce(col.cast("string"), F.lit("null"))))
+    return F.concat(F.lit("{"), *parts, F.lit("}"))
+
+
+def nest_json(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    level_cols: Sequence[str],
+    leaf_json: Column,
+) -> DataFrame:
+    """Fold a (group, level1..levelN, leaf_json) frame into one nested JSON
+    string per group: ``{"l1":{"l2":{...leaf...}}}`` with keys sorted at
+    every level (deterministic).
+
+    One grouped pass per level, leaf → root — the reference's staged
+    rollup (mlvar/d_bolome_user_order.clj:80-132) re-expressed; each stage
+    shuffles on a strict prefix of the previous stage's key, so AQE/
+    partial aggregation keep it pipeline-friendly at scale.
+    """
+    out = df.withColumn("__json", leaf_json)
+    for depth in range(len(level_cols), 0, -1):
+        keys = list(group_cols) + list(level_cols[: depth - 1])
+        level = level_cols[depth - 1]
+        entries = F.array_sort(
+            F.collect_list(F.struct(F.col(level).alias("k"), F.col("__json").alias("v")))
+        )
+        body = F.aggregate(
+            entries,
+            F.lit("").cast("string"),
+            lambda acc, e: F.concat(
+                acc,
+                F.when(acc == "", F.lit("")).otherwise(F.lit(",")),
+                F.lit('"'),
+                e["k"],
+                F.lit('":'),
+                e["v"],
+            ),
+        )
+        out = out.groupBy(*[F.col(k) for k in keys]).agg(
+            F.concat(F.lit("{"), body, F.lit("}")).alias("__json")
+        )
+    return out.withColumnRenamed("__json", "tree_json")
