@@ -1,0 +1,131 @@
+"""Streaming operators: watermarked tumbling/sliding/session windows and
+stateful dedup over the ``events`` surface.
+
+The reference is batch-only — its "incrementality" is watermark-style
+reload (SURVEY §2.9). This module is the true streaming counterpart: the
+same logical aggregations as the batch twins in
+:mod:`operators.sessions` (oracle-checked in the catalog), lifted onto
+``readStream``/``writeStream``:
+
+- batch ``tumbling_window``  ≙ streaming :func:`tumbling` (same window())
+- batch ``sessionize``       ≙ streaming :func:`sessions`
+  (``session_window``; streaming session end = last event + gap)
+- batch ``exact_dedup``      ≙ streaming :func:`dedup_within_watermark`
+
+Scale: streaming state lives in the state store keyed by (window, group);
+watermarks bound state size; ``dropDuplicatesWithinWatermark`` keeps the
+dedup state window-bounded instead of unbounded-forever.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+#: events table schema as stored (ts is parquet TIMESTAMP(NANOS) read as
+#: nanos-long under the legacy conf — converted on read like io.read_table)
+EVENTS_RAW_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType(), True),
+        T.StructField("ts", T.LongType(), True),
+        T.StructField("user_id", T.LongType(), True),
+        T.StructField("event_type", T.StringType(), True),
+        T.StructField("value", T.DoubleType(), True),
+        T.StructField("props", T.StringType(), True),
+    ]
+)
+
+
+def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """readStream over the events parquet (file-source micro-batches; in
+    production this is the kafka source with identical downstream code)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # file streaming sources need a directory — glob-filter the events file
+    raw = (
+        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return raw.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+
+
+def tumbling(
+    events: DataFrame, duration: str = "1 hour", watermark: str = "2 hours"
+) -> DataFrame:
+    """Watermarked tumbling window counts/sums per event_type."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", duration), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+
+
+def sliding(
+    events: DataFrame,
+    duration: str = "1 hour",
+    slide: str = "15 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Watermarked sliding window aggregation."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", duration, slide), "event_type")
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            "event_type",
+            "n",
+        )
+    )
+
+
+def sessions(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours"
+) -> DataFrame:
+    """Session windows per user (gap-based). Note the boundary convention:
+    streaming ``session_window.end`` = last event ts + gap; the batch twin
+    (operators.sessions.session_stats) reports last event ts — assert
+    accordingly in equivalence tests."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "user_id",
+            "n_events",
+        )
+    )
+
+
+def dedup_within_watermark(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Stateful streaming dedup by event_id with watermark-bounded state
+    (exactly-once ingestion of an at-least-once source)."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(["event_id"])
+
+
+def run_to_memory(stream_df: DataFrame, name: str, output_mode: str = "complete") -> DataFrame:
+    """Drive a streaming DataFrame to completion against the current files
+    (memory sink + processAllAvailable) and return the materialized result.
+    Test/driver harness — production sinks are kafka/parquet/foreachBatch."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return stream_df.sparkSession.table(name)

@@ -1,0 +1,69 @@
+"""Streaming ⟷ batch equivalence: the streaming operators must produce the
+same aggregates as their oracle-checked batch twins (catalog queries
+``tumbling_window_agg`` / ``sessionization``)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMOKE
+
+
+def test_tumbling_stream_matches_batch(spark):
+    from etl_cascalog_spark.io import read_table
+    from etl_cascalog_spark.operators.sessions import tumbling_window
+    from etl_cascalog_spark.streaming.windows import run_to_memory, stream_events, tumbling
+
+    stream = run_to_memory(
+        tumbling(stream_events(spark, SF_SMOKE)), "t_tumbling", "complete"
+    )
+    got = {
+        (r.window_start, r.event_type): (r.n, round(r.total_value, 2))
+        for r in stream.collect()
+    }
+
+    events = read_table(spark, SF_SMOKE, "events")
+    batch = tumbling_window(
+        events,
+        "ts",
+        "1 hour",
+        group_cols=["event_type"],
+        aggs=[F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total_value")],
+    )
+    want = {
+        (r.window_start, r.event_type): (r.n, round(r.total_value, 2))
+        for r in batch.collect()
+    }
+    assert got == want
+
+
+def test_session_stream_matches_batch(spark):
+    from etl_cascalog_spark.io import read_table
+    from etl_cascalog_spark.operators.sessions import session_stats
+    from etl_cascalog_spark.streaming.windows import run_to_memory, sessions, stream_events
+
+    stream = run_to_memory(
+        sessions(stream_events(spark, SF_SMOKE)), "t_sessions", "complete"
+    )
+    got = {(r.user_id, r.session_start): r.n_events for r in stream.collect()}
+
+    events = read_table(spark, SF_SMOKE, "events")
+    batch = session_stats(events, ["user_id"], "ts", gap="30 minutes")
+    want = {(r.user_id, r.session_start): r.n_events for r in batch.collect()}
+    assert got == want
+
+
+def test_streaming_dedup(spark):
+    from etl_cascalog_spark.streaming.windows import (
+        dedup_within_watermark,
+        run_to_memory,
+        stream_events,
+    )
+
+    deduped = run_to_memory(
+        dedup_within_watermark(stream_events(spark, SF_SMOKE)).select("event_id"),
+        "t_dedup",
+        "append",
+    )
+    ids = [r.event_id for r in deduped.collect()]
+    assert len(ids) == len(set(ids)) > 0
