@@ -27,6 +27,12 @@ def main() -> None:
     sf = sf_dir.rstrip("/").split("sf")[-1]
     spark = get_spark("etl_cascalog_spark_bench")
 
+    # untimed warm-up: JVM/JIT + parquet footer caches, not query work
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+    from etl_cascalog_spark.io import read_table
+
+    read_table(spark, sf_dir, "lineitem").limit(1).collect()
+
     timings: dict[str, float] = {}
     for name in sorted(QUERIES):
         t0 = time.perf_counter()

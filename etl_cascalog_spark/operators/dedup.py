@@ -30,7 +30,11 @@ import random
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from etl_cascalog_spark.operators.text import fingerprint_md5, shingles
+from etl_cascalog_spark.operators.text import (
+    fingerprint_md5,
+    shingles_from_tokens,
+    whitespace_tokens,
+)
 
 #: Mersenne prime 2^31-1 — modulus for the permutation hash family. Small
 #: enough that (a·h + b) actually WRAPS (a monotonic affine map would make
@@ -53,11 +57,19 @@ def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
-def shingle_sets(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
-    """(id, shingle) long format — the inverted-index input."""
+def shingle_arrays(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
+    """(doc, sh: array<string>) — tokenize ONCE into a materialized column,
+    then shingle (see shingles_from_tokens performance note)."""
     return df.select(
         F.col(id_col).alias("doc"),
-        F.explode(shingles(F.col(text_col), n)).alias("shingle"),
+        whitespace_tokens(F.col(text_col)).alias("__w"),
+    ).select("doc", shingles_from_tokens(F.col("__w"), n).alias("sh"))
+
+
+def shingle_sets(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
+    """(id, shingle) long format — the inverted-index input."""
+    return shingle_arrays(df, id_col, text_col, n).select(
+        "doc", F.explode(F.col("sh")).alias("shingle")
     )
 
 
@@ -150,7 +162,9 @@ def minhash_lsh_pairs(
     (see SCALE.md).
     """
     rows = num_hashes // bands
-    sigs = minhash_signatures(df, id_col, text_col, n, num_hashes, seed)
+    # cache: the signature pipeline feeds both sides of the bucket
+    # self-join — without this Spark recomputes shingling+K mins twice
+    sigs = minhash_signatures(df, id_col, text_col, n, num_hashes, seed).cache()
     band_cols = F.array(
         *[
             F.struct(
@@ -177,10 +191,8 @@ def minhash_lsh_pairs(
         .select("doc_a", "doc_b")
         .distinct()
     )
-    # exact verification on candidates only
-    sets = df.select(
-        F.col(id_col).alias("doc"), shingles(F.col(text_col), n).alias("sh")
-    )
+    # exact verification on candidates only (cached: probed from both sides)
+    sets = shingle_arrays(df, id_col, text_col, n).cache()
     sa = sets.toDF("doc_a", "sh_a")
     sb = sets.toDF("doc_b", "sh_b")
     common = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
@@ -196,27 +208,33 @@ def minhash_lsh_pairs(
 
 def simhash_sketch(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
     """64-bit SimHash as a bits array: bit b = sign of Σ_shingles ±1 by the
-    b-th bit of xxhash64(shingle). Higher-order folds over the per-doc
-    shingle-hash array — map-side only, no per-bit shuffle."""
-    sets = df.select(
-        F.col(id_col).alias("doc"),
-        F.transform(shingles(F.col(text_col), n), lambda s: F.xxhash64(s)).alias("hs"),
+    b-th bit of xxhash64(shingle).
+
+    Shape chosen for whole-stage codegen: explode shingle hashes to rows,
+    then ONE groupBy(doc) with 64 conditional-sum aggregates (partial
+    aggregation combines map-side — the shuffle carries 64 longs per doc).
+    An earlier higher-order-fold formulation (64 ``F.aggregate`` lambdas
+    over the per-doc hash array) was ~20× slower: array lambdas are
+    interpreted, column sums are codegen'd.
+    """
+    # materialize the hash once per shingle row — an inline xxhash64 would
+    # be re-evaluated inside each of the 64 aggregate expressions
+    sh = shingle_sets(df, id_col, text_col, n).select(
+        "doc", F.xxhash64(F.col("shingle")).alias("h")
     )
-    hs = F.col("hs")
-
-    def _vote(bit: int):
-        def merge(acc, h):
-            return acc + F.when(
-                F.shiftright(h, bit).bitwiseAND(F.lit(1)) == 1, F.lit(1)
-            ).otherwise(F.lit(-1))
-
-        return merge
-
-    bit_exprs = []
-    for b in range(64):
-        vote = F.aggregate(hs, F.lit(0).cast("long"), _vote(b))
-        bit_exprs.append(F.when(vote > 0, F.lit(1)).otherwise(F.lit(0)))
-    return sets.select("doc", F.array(*bit_exprs).alias("bits"))
+    h = F.col("h")
+    votes = sh.groupBy("doc").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"v{b}")
+            for b in range(64)
+        ]
+    )
+    bits = F.array(
+        *[F.when(F.col(f"v{b}") > 0, 1).otherwise(0) for b in range(64)]
+    )
+    return votes.select("doc", bits.alias("bits"))
 
 
 def simhash_pairs(
@@ -253,8 +271,10 @@ def simhash_pairs(
             for bi in range(bands)
         ]
     )
-    banded = sk.select("doc", "bits", F.explode(band_cols).alias("b")).select(
-        "doc", "bits", F.col("b.band").alias("band"), F.col("b.bh").alias("bh")
+    banded = (
+        sk.select("doc", "bits", F.explode(band_cols).alias("b"))
+        .select("doc", "bits", F.col("b.band").alias("band"), F.col("b.bh").alias("bh"))
+        .cache()  # the 64-fold sketch feeds both sides of the band self-join
     )
     a = banded.select(F.col("doc").alias("doc_a"), F.col("bits").alias("bits_a"), "band", "bh")
     b = banded.select(F.col("doc").alias("doc_b"), F.col("bits").alias("bits_b"), "band", "bh")

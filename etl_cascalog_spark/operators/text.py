@@ -111,14 +111,31 @@ def fingerprint_md5(col: Column) -> Column:
     return F.md5(normalize_text(col))
 
 
+def shingles_from_tokens(w: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles from a token array → array<string>.
+
+    Built with shifted-slice ``zip_with`` (not per-index ``element_at`` in a
+    ``transform`` lambda): Catalyst inlines the token expression into every
+    lambda reference, so the element_at formulation re-tokenized the
+    document once per shingle element (measured 20×+ slowdown at sf0.1);
+    the zip form references the token array O(n) times per ROW instead.
+    Rows past the last full n-gram zip against NULL and are filtered.
+    """
+    grams = w
+    for j in range(1, n):
+        sj = F.slice(w, j + 1, F.greatest(F.size(w) - j, F.lit(1)))
+        if j < n - 1:
+            grams = F.zip_with(grams, sj, lambda a, b: F.concat_ws(" ", a, b))
+        else:
+            grams = F.zip_with(
+                grams, sj, lambda a, b: F.when(b.isNotNull(), F.concat_ws(" ", a, b))
+            )
+    out = F.array_distinct(F.filter(grams, lambda g: g.isNotNull()))
+    return F.when(F.size(w) >= n, out).otherwise(F.array().cast("array<string>"))
+
+
 def shingles(col: Column, n: int = 3) -> Column:
-    """Distinct word n-gram shingles of normalized text → array<string>.
-    The input unit for MinHash/SimHash/Jaccard dedup (operators/dedup.py)."""
-    w = whitespace_tokens(col)
-    grams = F.transform(
-        F.sequence(F.lit(0), F.size(w) - n),
-        lambda i: F.concat_ws(" ", *[F.element_at(w, (i + j + 1).cast("int")) for j in range(n)]),
-    )
-    return F.when(F.size(w) >= n, F.array_distinct(grams)).otherwise(
-        F.array().cast("array<string>")
-    )
+    """Shingles as a single expression — ONLY for tiny/literal inputs; on
+    real tables prefer the two-step tokenize-then-shingle (see
+    :func:`shingles_from_tokens` warning)."""
+    return shingles_from_tokens(whitespace_tokens(col), n)

@@ -51,6 +51,9 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # wide-aggregate plans (64-column sketches) stay in whole-stage
+        # codegen instead of falling back to interpreted mode
+        .config("spark.sql.codegen.maxFields", "256")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
