@@ -902,6 +902,136 @@ def trgx_nested_json(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "top_k_limit",
+    oracle="""
+    SELECT o_orderkey, o_totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 10
+    """,
+    doc="O1 first-n with sort (c/first-n, m_cocacola_score_bottler_ranking"
+    ".clj:63): global ordered limit — Spark runs it as a per-partition "
+    "TakeOrdered + driver merge, no full sort.",
+)
+def top_k_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = read_table(spark, sf_dir, "orders")
+    return (
+        orders.select("o_orderkey", "o_totalprice")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(10)
+    )
+
+
+@register(
+    "json_extraction",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract(props, '$.k') AS BIGINT) AS k_value,
+           '{"event_type":"' || event_type || '","k":'
+             || CAST(CAST(json_extract(props, '$.k') AS BIGINT) AS VARCHAR) || '}' AS enriched
+    FROM events
+    WHERE CAST(json_extract(props, '$.k') AS BIGINT) > 90
+    """,
+    doc="X8 JSON surface (pair-edn->json trgx.clj:78-79, manual JSON build "
+    "m_cocacola_gt_score_deep_dive.clj:36-37): from_json with explicit "
+    "schema on scan, deterministic JSON re-assembly at the sink. The "
+    "engine's replacement for EDN-string columns (SURVEY §1.3).",
+)
+def json_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import types as T
+
+    events = read_table(spark, sf_dir, "events")
+    parsed = events.select(
+        "event_id",
+        "event_type",
+        F.from_json(F.col("props"), T.StructType([T.StructField("k", T.LongType())]))["k"].alias("k_value"),
+    )
+    return parsed.where(F.col("k_value") > 90).select(
+        "event_id",
+        "k_value",
+        F.concat(
+            F.lit('{"event_type":"'),
+            F.col("event_type"),
+            F.lit('","k":'),
+            F.col("k_value").cast("string"),
+            F.lit("}"),
+        ).alias("enriched"),
+    )
+
+
+@register(
+    "cube_totals",
+    oracle="""
+    SELECT coalesce(o_orderpriority, 'ALL') AS priority,
+           coalesce(o_orderstatus, 'ALL') AS status,
+           count(*) AS n,
+           CAST(round(sum(CAST(o_totalprice AS DECIMAL(12,2))), 2) AS DOUBLE) AS revenue
+    FROM orders GROUP BY CUBE (o_orderpriority, o_orderstatus)
+    """,
+    doc="A12 grouping sets, cube flavor: all dimension combinations in one "
+    "shuffle — replaces the reference's query-per-variant unions.",
+)
+def cube_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = read_table(spark, sf_dir, "orders")
+    return (
+        orders.cube("o_orderpriority", "o_orderstatus")
+        .agg(
+            F.count("*").alias("n"),
+            dround(F.sum(money(F.col("o_totalprice")))).alias("revenue"),
+        )
+        .select(
+            F.coalesce(F.col("o_orderpriority"), F.lit("ALL")).alias("priority"),
+            F.coalesce(F.col("o_orderstatus"), F.lit("ALL")).alias("status"),
+            "n",
+            "revenue",
+        )
+    )
+
+
+@register(
+    "pivot_map_max",
+    oracle="""
+    WITH b AS (
+      SELECT c_nationkey, c_mktsegment,
+             CAST(round(sum(CAST(c_acctbal AS DECIMAL(12,2))), 2) AS DOUBLE) AS v
+      FROM customer GROUP BY 1, 2
+    )
+    SELECT c_nationkey,
+           max(v) AS max_over_segments,
+           CAST(round(sum(CAST(v AS DECIMAL(18,2))), 2) AS DOUBLE) AS total
+    FROM b GROUP BY c_nationkey
+    """,
+    doc="A10: max over an entire group's pivot map — "
+    "``(->> kv vals (apply max))`` (m_cocacola_score_channel.clj:55) as "
+    "array_max(map_values(...)) on the already-pivoted row (no second "
+    "shuffle vs. the naive re-aggregation).",
+)
+def pivot_map_max(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_cascalog_spark.operators.aggregates import grouped_pivot
+
+    cust = read_table(spark, sf_dir, "customer")
+    b = cust.groupBy("c_nationkey", "c_mktsegment").agg(
+        dround(F.sum(money(F.col("c_acctbal")))).alias("v")
+    )
+    pivoted = grouped_pivot(b, ["c_nationkey"], F.col("c_mktsegment"), F.col("v"), out_col="kv")
+    vals = F.map_values(F.col("kv"))
+    # decimal accumulator: order-independent exact sum (map iteration order
+    # must not leak into a float result)
+    # accumulator at decimal(38,2): (38,2)+(18,2) saturates back to (38,2),
+    # so the fold's merge type equals the accumulator type
+    total = F.aggregate(
+        vals,
+        F.lit(0).cast("decimal(38,2)"),
+        lambda acc, v: acc + v.cast("decimal(18,2)"),
+    )
+    return pivoted.select(
+        "c_nationkey",
+        F.array_max(vals).alias("max_over_segments"),
+        F.round(total, 2).cast("double").alias("total"),
+    )
+
+
+@register(
     "ods_merge_pipeline",
     oracle="""
     WITH stg AS (

@@ -1,0 +1,64 @@
+"""Sink lifecycle tests: atomic publish (S11/S12) and dynamic-partition
+full refresh (I5) — the reference's rename-swap and ranged-DELETE patterns
+over parquet directories."""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import functions as F
+
+
+def test_publish_atomic_swap(spark):
+    from etl_cascalog_spark.io import publish_atomic
+
+    with tempfile.TemporaryDirectory() as tmp:
+        target = os.path.join(tmp, "ods_table")
+        v1 = spark.range(10).withColumn("v", F.lit("one"))
+        publish_atomic(v1, target)
+        assert spark.read.parquet(target).count() == 10
+
+        v2 = spark.range(25).withColumn("v", F.lit("two"))
+        publish_atomic(v2, target)
+        got = spark.read.parquet(target)
+        assert got.count() == 25
+        assert got.select("v").distinct().collect()[0].v == "two"
+        # no leftover staging/backup dirs
+        assert sorted(d for d in os.listdir(tmp)) == ["ods_table"]
+
+
+def test_overwrite_logical_partition_idempotent(spark):
+    """I5: re-running a reload for a partition replaces only that partition
+    (the reference's delete-at-snapshot-key + re-append,
+    m_cocacola_score_period.clj:96-101)."""
+    from etl_cascalog_spark.io import overwrite_logical_partition, write_parquet
+
+    with tempfile.TemporaryDirectory() as tmp:
+        path = os.path.join(tmp, "report")
+        base = spark.createDataFrame(
+            [("2024-01", 1.0), ("2024-01", 2.0), ("2024-02", 3.0)], ["period", "v"]
+        )
+        write_parquet(base, path, partition_by=["period"])
+
+        # reload 2024-02 with different data, twice (idempotence)
+        reload_df = spark.createDataFrame([("2024-02", 99.0)], ["period", "v"])
+        for _ in range(2):
+            overwrite_logical_partition(reload_df, path, "period")
+
+        got = spark.read.parquet(path)
+        assert got.where(F.col("period") == "2024-01").count() == 2  # untouched
+        feb = got.where(F.col("period") == "2024-02").collect()
+        assert [r.v for r in feb] == [99.0]
+
+
+def test_load_range_audit_row(spark):
+    """I2: the bookkeeping row (save-and-load-rng-dt!, trgx.clj:130-164)."""
+    from etl_cascalog_spark.incremental import load_range_audit
+    from etl_cascalog_spark.io import read_table
+
+    orders = read_table(spark, "/root/testdata/sf0.001", "orders")
+    row = load_range_audit(orders, "o_orderdate").collect()[0]
+    assert row.dw_start_dt == "1995-01-01"
+    assert row.dw_ld_cnt == orders.count()
+    assert row.dw_in_use == "1"
