@@ -1032,6 +1032,123 @@ def pivot_map_max(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "config_broadcast_lookup",
+    oracle="""
+    SELECT n.n_nationkey, n.n_name, r.r_name AS region_name
+    FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+    """,
+    doc="J5: plan-time config fetch baked into the plan as a literal map "
+    "(latest-trgx-merge trgx.clj:198-207) — the region lookup costs zero "
+    "joins at runtime; the oracle states the equivalent relational join.",
+)
+def config_broadcast_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_cascalog_spark.operators.projections import broadcast_config_map
+
+    region = read_table(spark, sf_dir, "region")
+    nation = read_table(spark, sf_dir, "nation")
+    lookup = broadcast_config_map(spark, region, "r_regionkey", "r_name")
+    return nation.select(
+        "n_nationkey",
+        "n_name",
+        F.element_at(lookup, F.col("n_regionkey")).alias("region_name"),
+    )
+
+
+@register(
+    "others_share",
+    oracle="""
+    WITH shares AS (
+      SELECT c_nationkey, c_mktsegment,
+             CAST(round(100.0 * count(*) / sum(count(*)) OVER (PARTITION BY c_nationkey), 2)
+                  AS DECIMAL(8,2)) AS share
+      FROM customer GROUP BY 1, 2
+    ), named AS (
+      SELECT c_nationkey, c_mktsegment AS segment, CAST(share AS DOUBLE) AS share
+      FROM shares WHERE c_mktsegment IN ('BUILDING', 'AUTOMOBILE')
+      UNION ALL
+      SELECT c_nationkey, 'Others' AS segment,
+             CAST(100 - sum(CASE WHEN c_mktsegment IN ('BUILDING','AUTOMOBILE')
+                                 THEN share ELSE CAST(0 AS DECIMAL(8,2)) END) AS DOUBLE) AS share
+      FROM shares GROUP BY c_nationkey
+    )
+    SELECT * FROM named
+    """,
+    doc='X5/O3: the SOVI "Others = 100 − Σ(named shares)" computation '
+    "(m_cocacola_sovi_brand.clj:46-48): named rows pass through, the "
+    "remainder becomes a synthetic Others row, unioned into one sink — "
+    "decimal arithmetic keeps the remainder exact.",
+)
+def others_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = read_table(spark, sf_dir, "customer")
+    named_set = ["BUILDING", "AUTOMOBILE"]
+    shares = (
+        cust.groupBy("c_nationkey", "c_mktsegment")
+        .agg(F.count("*").alias("cnt"))
+        .withColumn(
+            "share",
+            F.round(
+                F.lit(100.0) * F.col("cnt")
+                / F.sum("cnt").over(Window.partitionBy("c_nationkey")),
+                2,
+            ).cast("decimal(8,2)"),
+        )
+    )
+    named = shares.where(F.col("c_mktsegment").isin(named_set)).select(
+        "c_nationkey",
+        F.col("c_mktsegment").alias("segment"),
+        F.col("share").cast("double").alias("share"),
+    )
+    others = (
+        shares.groupBy("c_nationkey")
+        .agg(
+            (
+                F.lit(100)
+                - F.sum(
+                    F.when(F.col("c_mktsegment").isin(named_set), F.col("share")).otherwise(
+                        F.lit(0).cast("decimal(8,2)")
+                    )
+                )
+            )
+            .cast("double")
+            .alias("share")
+        )
+        .select("c_nationkey", F.lit("Others").alias("segment"), "share")
+    )
+    return named.unionByName(others)
+
+
+@register(
+    "sql_api_query",
+    oracle="""
+    SELECT o.o_orderpriority AS priority,
+           count(DISTINCT o.o_custkey) AS n_customers,
+           CAST(round(sum(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                          * (1 - CAST(l.l_discount AS DECIMAL(4,2)))), 2) AS DOUBLE) AS revenue
+    FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    GROUP BY 1
+    """,
+    doc="The SQL API surface: identical Catalyst plan whether built via "
+    "DataFrame combinators or spark.sql over registered views — the "
+    "engine exposes both (S2 + E3).",
+)
+def sql_api_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_cascalog_spark.io import read_table as _rt
+
+    _rt(spark, sf_dir, "orders").createOrReplaceTempView("v_orders")
+    _rt(spark, sf_dir, "lineitem").createOrReplaceTempView("v_lineitem")
+    return spark.sql(
+        """
+        SELECT o.o_orderpriority AS priority,
+               count(DISTINCT o.o_custkey) AS n_customers,
+               CAST(round(sum(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                              * (1 - CAST(l.l_discount AS DECIMAL(4,2)))), 2) AS DOUBLE) AS revenue
+        FROM v_orders o JOIN v_lineitem l ON l.l_orderkey = o.o_orderkey
+        GROUP BY 1
+        """
+    )
+
+
+@register(
     "ods_merge_pipeline",
     oracle="""
     WITH stg AS (
@@ -1409,6 +1526,62 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = read_table(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") % 50 == 0)
     return cosine_topk(queries, emb, k=5)
+
+
+def _lsh_oracle_sql() -> str:
+    """DuckDB oracle for ann_lsh_topk: the hyperplanes are plain literals
+    (seeded, fixed), so the exact bucketing is reproducible in SQL."""
+    from etl_cascalog_spark.operators.similarity import hyperplanes
+
+    planes = hyperplanes(dim=64, n_planes=8, seed=7)
+    terms = []
+    for p_idx, plane in enumerate(planes):
+        arr = "[" + ",".join(repr(x) for x in plane) + "]"
+        dot = (
+            f"list_sum(list_transform(list_zip(embedding, {arr}), "
+            "p -> CAST(p[1] AS DOUBLE) * p[2]))"
+        )
+        terms.append(f"(CASE WHEN {dot} > 0 THEN {1 << p_idx} ELSE 0 END)")
+    bucket = " + ".join(terms)
+    return f"""
+    WITH b AS (
+      SELECT vec_id, embedding, CAST({bucket} AS BIGINT) AS bucket FROM embeddings
+    ), q AS (
+      SELECT vec_id AS query_id, embedding AS qv, bucket FROM b WHERE vec_id % 50 = 0
+    ), c AS (
+      SELECT vec_id AS neighbor_id, embedding AS cv, bucket FROM b
+    ), scored AS (
+      SELECT query_id, neighbor_id,
+             list_sum(list_transform(list_zip(qv, cv),
+                                     p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+             / (sqrt(list_sum(list_transform(qv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+              * sqrt(list_sum(list_transform(cv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS cos
+      FROM c JOIN q USING (bucket)
+      WHERE query_id != neighbor_id
+    ), ranked AS (
+      SELECT query_id, neighbor_id, cos,
+             row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, round(cos, 4) AS cos_sim
+    FROM ranked WHERE rank <= 5
+    """
+
+
+@register(
+    "ann_lsh_topk",
+    oracle=_lsh_oracle_sql(),
+    doc="Hyperplane-LSH cosine top-k — the corpus-scale ANN path: bucket "
+    "equi-join replaces the cross join (shuffle keyed on sign-bucket). "
+    "The seeded hyperplanes are literals, so even the bucketing is "
+    "oracle-reproducible.",
+)
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_cascalog_spark.operators.similarity import lsh_cosine_topk
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") % 50 == 0)
+    return lsh_cosine_topk(queries, emb, k=5, n_planes=8, dim=64, seed=7)
 
 
 @register(
