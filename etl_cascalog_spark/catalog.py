@@ -671,6 +671,46 @@ def tumbling_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sliding_window_agg",
+    oracle="""
+    SELECT CAST(floor(epoch(time_bucket(INTERVAL 1 HOUR, ts) - off)) AS BIGINT)
+             AS window_start_s,
+           event_type,
+           count(*) AS n,
+           CAST(round(sum(CAST(value AS DECIMAL(12,2))), 2) AS DOUBLE) AS total_value
+    FROM events,
+         UNNEST([INTERVAL 0 HOUR, INTERVAL 1 HOUR]) AS t(off)
+    GROUP BY 1, 2
+    """,
+    doc="I6 streaming surface, batch formulation: 2-hour windows hopping "
+    "every hour — each event explodes into width/slide windows map-side "
+    "(the oracle states the same via the two shifted hour-buckets); one "
+    "shuffle for the grouped agg, identical under Structured Streaming.",
+)
+def sliding_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_cascalog_spark.operators.sessions import sliding_window
+
+    events = read_table(spark, sf_dir, "events")
+    out = sliding_window(
+        events,
+        "ts",
+        "2 hours",
+        "1 hour",
+        group_cols=["event_type"],
+        aggs=[
+            F.count("*").alias("n"),
+            dround(F.sum(money(F.col("value")))).alias("total_value"),
+        ],
+    )
+    return out.select(
+        F.unix_timestamp("window_start").alias("window_start_s"),
+        "event_type",
+        "n",
+        "total_value",
+    )
+
+
+@register(
     "watermark_incremental_load",
     oracle="""
     WITH sink AS (
@@ -1330,6 +1370,37 @@ def delta_shadow_merge_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _NORM_SQL = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
+
+
+@register(
+    "doc_fingerprint",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, string_split({_NORM_SQL}, ' ') AS w FROM documents
+    ), gr AS (
+      SELECT doc_id,
+             list_transform(range(1, greatest(len(w) - 2, 0) + 1),
+                            i -> md5(w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS h
+      FROM tok WHERE len(w) >= 3
+    ), wins AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(1, greatest(len(h) - 3, 1) + 1),
+                                          i -> list_min(h[i:i+3]))) AS fps
+      FROM gr WHERE len(h) > 0
+    )
+    SELECT doc_id, unnest(fps) AS fp FROM wins
+    """,
+    doc="Winnowing rolling-hash document fingerprints (MOSS scheme): "
+    "positional 3-gram md5s, window-of-4 minima, distinct — guarantees a "
+    "shared fingerprint for any ≥6-token overlap. Map-side per row; the "
+    "inverted fp index is one groupBy away.",
+)
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_cascalog_spark.operators.text import whitespace_tokens, winnow_fingerprints
+
+    docs = read_table(spark, sf_dir, "documents")
+    fps = winnow_fingerprints(whitespace_tokens(F.col("text")), k=3, w=4)
+    return docs.select("doc_id", F.explode(fps).alias("fp"))
 _SHINGLE_CTE = f"""
     tok AS (
       SELECT doc_id, string_split({_NORM_SQL}, ' ') AS w FROM documents
@@ -1582,6 +1653,69 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = read_table(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") % 50 == 0)
     return lsh_cosine_topk(queries, emb, k=5, n_planes=8, dim=64, seed=7)
+
+
+def _neardup_oracle_sql() -> str:
+    """DuckDB oracle for embedding_neardup: planted scaled duplicates
+    (×2.0 is exact in binary fp, cosine-invariant) + the same literal
+    hyperplane bucketing as ann_lsh_topk."""
+    from etl_cascalog_spark.operators.similarity import hyperplanes
+
+    planes = hyperplanes(dim=64, n_planes=8, seed=7)
+    terms = []
+    for p_idx, plane in enumerate(planes):
+        arr = "[" + ",".join(repr(x) for x in plane) + "]"
+        dot = (
+            f"list_sum(list_transform(list_zip(embedding, {arr}), "
+            "p -> CAST(p[1] AS DOUBLE) * p[2]))"
+        )
+        terms.append(f"(CASE WHEN {dot} > 0 THEN {1 << p_idx} ELSE 0 END)")
+    bucket = " + ".join(terms)
+    return f"""
+    WITH corpus AS (
+      SELECT vec_id, embedding FROM embeddings
+      UNION ALL
+      SELECT vec_id + 100000,
+             list_transform(embedding, x -> CAST(x * CAST(2.0 AS FLOAT) AS FLOAT))
+      FROM embeddings WHERE vec_id % 10 = 0
+    ), b AS (
+      SELECT vec_id, embedding, CAST({bucket} AS BIGINT) AS bucket FROM corpus
+    ), pairs AS (
+      SELECT a.vec_id AS id_a, c.vec_id AS id_b,
+             round(
+               list_sum(list_transform(list_zip(a.embedding, c.embedding),
+                                       p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+               / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                * sqrt(list_sum(list_transform(c.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
+               4) AS cos_sim
+      FROM b a JOIN b c USING (bucket)
+      WHERE a.vec_id < c.vec_id
+    )
+    SELECT id_a, id_b, cos_sim FROM pairs WHERE cos_sim >= 0.99
+    """
+
+
+@register(
+    "embedding_neardup",
+    oracle=_neardup_oracle_sql(),
+    doc="Fifth dedup tier (beyond-reference): embedding-cosine near-dup "
+    "pairs via hyperplane-LSH bucket join — semantic duplicates that share "
+    "no n-grams. Planted ×2-scaled copies (cosine exactly 1) make recall "
+    "assertable; the bucket equi-join is the 100 TB shape (no cross join).",
+)
+def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_cascalog_spark.operators.dedup import embedding_neardup_pairs
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    planted = emb.where(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform(
+            "embedding", lambda x: (x * F.lit(2.0).cast("float")).cast("float")
+        ).alias("embedding"),
+        "label",
+    )
+    corpus = emb.unionByName(planted)
+    return embedding_neardup_pairs(corpus, threshold=0.99)
 
 
 @register(

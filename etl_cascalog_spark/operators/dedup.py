@@ -290,3 +290,49 @@ def simhash_pairs(
         .where(F.col("hamming") <= max_hamming)
         .distinct()
     )
+
+
+def embedding_neardup_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.99,
+    n_planes: int = 8,
+    dim: int = 64,
+    seed: int = 7,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs — the fifth dedup tier: semantic
+    near-dups that share no n-grams (paraphrases, re-encodes) but sit at
+    cosine ≥ ``threshold`` in embedding space.
+
+    Scale path: hyperplane-LSH bucketing (similarity.lsh_bucket) turns the
+    quadratic all-pairs scan into an equi-join keyed on the sign bucket —
+    one shuffle on bucket id, candidate volume ~ Σ bucket², tunable via
+    ``n_planes`` (more planes → smaller buckets → higher precision, lower
+    recall for borderline pairs). True duplicates (cosine ≈ 1) have
+    identical sign patterns by construction, so recall at the dedup
+    threshold is exact; at 100 TB add band-OR over several plane sets the
+    same way minhash_lsh_pairs bands signatures.
+
+    Output: (id_a, id_b, cos_sim) with id_a < id_b, cos_sim ≥ threshold.
+    """
+    from etl_cascalog_spark.operators.similarity import cosine, hyperplanes, lsh_bucket
+
+    planes = hyperplanes(dim, n_planes, seed)
+    sides = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        lsh_bucket(F.col(vec_col), planes).alias("bucket"),
+    )
+    a = sides.select(F.col("id").alias("id_a"), F.col("v").alias("va"), "bucket")
+    b = sides.select(F.col("id").alias("id_b"), F.col("v").alias("vb"), "bucket")
+    return (
+        a.join(b, on="bucket")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(cosine(F.col("va"), F.col("vb")), 4).alias("cos_sim"),
+        )
+        .where(F.col("cos_sim") >= threshold)
+    )

@@ -38,6 +38,28 @@ def tumbling_window(
     )
 
 
+def sliding_window(
+    df: DataFrame,
+    ts_col: str,
+    duration: str,
+    slide: str,
+    group_cols: Sequence[str] = (),
+    aggs: Sequence[Column] = (),
+) -> DataFrame:
+    """Sliding (hopping) event-time window aggregation — each event lands in
+    ``duration/slide`` overlapping windows (``F.window(ts, duration, slide)``
+    explodes map-side, so the only shuffle is the grouped aggregation, same
+    as tumbling). Streaming twin: identical expression under readStream
+    with a watermark."""
+    w = F.window(F.col(ts_col), duration, slide)
+    out = df.groupBy(w, *[F.col(c) for c in group_cols]).agg(*aggs)
+    return out.select(
+        F.col("window.start").alias("window_start"),
+        F.col("window.end").alias("window_end"),
+        *[c for c in out.columns if c != "window"],
+    )
+
+
 def sessionize(
     df: DataFrame,
     key_cols: Sequence[str],

@@ -134,6 +134,49 @@ def shingles_from_tokens(w: Column, n: int = 3) -> Column:
     return F.when(F.size(w) >= n, out).otherwise(F.array().cast("array<string>"))
 
 
+def ordered_shingles(w: Column, n: int = 3) -> Column:
+    """Positional (in-order, non-distinct) n-gram shingles — winnowing needs
+    the positional sequence, so no ``array_distinct`` (contrast
+    :func:`shingles_from_tokens`). Same shifted-slice ``zip_with`` build for
+    the same Catalyst-inlining reason."""
+    grams = w
+    for j in range(1, n):
+        sj = F.slice(w, j + 1, F.greatest(F.size(w) - j, F.lit(1)))
+        if j < n - 1:
+            grams = F.zip_with(grams, sj, lambda a, b: F.concat_ws(" ", a, b))
+        else:
+            grams = F.zip_with(
+                grams, sj, lambda a, b: F.when(b.isNotNull(), F.concat_ws(" ", a, b))
+            )
+    out = F.filter(grams, lambda g: g.isNotNull())
+    return F.when(F.size(w) >= n, out).otherwise(F.array().cast("array<string>"))
+
+
+def winnow_fingerprints(tokens: Column, k: int = 3, w: int = 4) -> Column:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken, the
+    MOSS rolling-hash scheme): hash every positional k-gram, slide a
+    w-gram window over the hash sequence, keep each window's minimum →
+    the distinct minima are the document's fingerprint set.
+
+    Hashes are md5 hex strings compared lexicographically — winnowing only
+    needs a total order, and hex-string order is bit-identical across
+    engines (oracle-portable, no 64-bit int parsing). Guarantee: any shared
+    substring of ≥ w+k-1 tokens yields at least one shared fingerprint.
+
+    Whole expression is per-row (map-side, no shuffle): the 100 TB shape is
+    scan → explode(fingerprints) → groupBy(fp) for the inverted index.
+    """
+    grams = ordered_shingles(tokens, k)
+    hashes = F.transform(grams, lambda g: F.md5(g))
+    n_win = F.greatest(F.size(hashes) - (w - 1), F.lit(1))
+    wins = F.transform(
+        F.sequence(F.lit(1), n_win), lambda i: F.array_min(F.slice(hashes, i, w))
+    )
+    return F.when(
+        F.size(hashes) > 0, F.array_sort(F.array_distinct(wins))
+    ).otherwise(F.array().cast("array<string>"))
+
+
 def shingles(col: Column, n: int = 3) -> Column:
     """Shingles as a single expression — ONLY for tiny/literal inputs; on
     real tables prefer the two-step tokenize-then-shingle (see

@@ -67,3 +67,32 @@ def test_streaming_dedup(spark):
     )
     ids = [r.event_id for r in deduped.collect()]
     assert len(ids) == len(set(ids)) > 0
+
+
+def test_stateful_running_totals_matches_batch(spark):
+    """applyInPandasWithState running totals: after the stream drains, each
+    user's final state row equals the batch groupBy aggregate."""
+    from etl_cascalog_spark.io import read_table
+    from etl_cascalog_spark.streaming.stateful import running_user_totals
+    from etl_cascalog_spark.streaming.windows import run_to_memory, stream_events
+
+    out = run_to_memory(
+        running_user_totals(stream_events(spark, SF_SMOKE)), "t_stateful", "update"
+    )
+    # update mode may emit one row per key per micro-batch — keep the last
+    got = {}
+    for r in out.collect():
+        got[r.user_id] = (r.n_events, round(r.total_value, 2), round(r.max_value, 2))
+
+    events = read_table(spark, SF_SMOKE, "events")
+    want = {
+        r.user_id: (r.n, round(r.total, 2), round(r.maxv, 2))
+        for r in events.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("value").alias("total"),
+            F.max("value").alias("maxv"),
+        )
+        .collect()
+    }
+    assert got == want
