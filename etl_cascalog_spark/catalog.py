@@ -1396,11 +1396,11 @@ _NORM_SQL = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
     "inverted fp index is one groupBy away.",
 )
 def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from etl_cascalog_spark.operators.text import whitespace_tokens, winnow_fingerprints
+    from etl_cascalog_spark.operators.text import winnow_fingerprint_rows
 
     docs = read_table(spark, sf_dir, "documents")
-    fps = winnow_fingerprints(whitespace_tokens(F.col("text")), k=3, w=4)
-    return docs.select("doc_id", F.explode(fps).alias("fp"))
+    rows = winnow_fingerprint_rows(docs, "doc_id", "text", k=3, w=4)
+    return rows.select(F.col("doc").alias("doc_id"), "fp")
 _SHINGLE_CTE = f"""
     tok AS (
       SELECT doc_id, string_split({_NORM_SQL}, ' ') AS w FROM documents

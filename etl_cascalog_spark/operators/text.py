@@ -152,6 +152,43 @@ def ordered_shingles(w: Column, n: int = 3) -> Column:
     return F.when(F.size(w) >= n, out).otherwise(F.array().cast("array<string>"))
 
 
+def winnow_fingerprint_rows(
+    df, id_col: str, text_col: str, k: int = 3, w: int = 4
+):
+    """Winnowing fingerprints as rows ``(doc, fp)`` — the table-scale path.
+
+    Explodes positional k-grams to rows (md5 per row is codegen'd, unlike
+    array-lambda HOFs which are interpreted), then takes the sliding
+    w-window minimum with a row-frame window function and dedups. One
+    shuffle on doc id for the window sort + the distinct — at 100 TB this
+    is the same shape as the shingle pipeline feeding MinHash.
+
+    Short docs (fewer than w full windows) contribute the min over all
+    their hashes, matching :func:`winnow_fingerprints`.
+    """
+    from pyspark.sql import Window
+
+    grams = ordered_shingles(whitespace_tokens(F.col(text_col)), k)
+    # ONLY the generator leaves this projection: a pass-through
+    # ``size(grams)`` column would be re-evaluated per exploded ROW (the
+    # whole shingle chain per gram — O(n²)/doc, measured 35s at sf0.1);
+    # the gram count is recovered below as count() over the doc partition.
+    g = df.select(F.col(id_col).alias("doc"), F.posexplode(grams).alias("pos", "gram"))
+    win = Window.partitionBy("doc").orderBy("pos").rowsBetween(0, w - 1)
+    nwin = Window.partitionBy("doc")
+    return (
+        g.select(
+            "doc",
+            "pos",
+            F.min(F.md5("gram")).over(win).alias("fp"),
+            F.count("*").over(nwin).alias("n"),
+        )
+        .where((F.col("pos") <= F.col("n") - w) | ((F.col("n") < w) & (F.col("pos") == 0)))
+        .select("doc", "fp")
+        .distinct()
+    )
+
+
 def winnow_fingerprints(tokens: Column, k: int = 3, w: int = 4) -> Column:
     """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken, the
     MOSS rolling-hash scheme): hash every positional k-gram, slide a
@@ -167,13 +204,21 @@ def winnow_fingerprints(tokens: Column, k: int = 3, w: int = 4) -> Column:
     scan → explode(fingerprints) → groupBy(fp) for the inverted index.
     """
     grams = ordered_shingles(tokens, k)
-    hashes = F.transform(grams, lambda g: F.md5(g))
-    n_win = F.greatest(F.size(hashes) - (w - 1), F.lit(1))
-    wins = F.transform(
-        F.sequence(F.lit(1), n_win), lambda i: F.array_min(F.slice(hashes, i, w))
-    )
+    h = F.transform(grams, lambda g: F.md5(g))
+    # Sliding-min via w-1 chained shifted-slice zip_with/least — NOT a
+    # per-window slice inside a transform lambda: Catalyst inlines the hash
+    # array into every lambda reference, so that form recomputes the md5
+    # array once per WINDOW (O(n²) per doc; measured 38s → ~1s at sf0.1).
+    # Here h is referenced w times total. least() skips the null padding
+    # zip_with adds, so tail entries hold truncated-suffix minima — the
+    # final slice keeps only the max(n-w+1, 1) full windows.
+    mins = h
+    for j in range(1, w):
+        sj = F.slice(h, j + 1, F.greatest(F.size(h) - j, F.lit(1)))
+        mins = F.zip_with(mins, sj, lambda a, b: F.least(a, b))
+    wins = F.slice(mins, 1, F.greatest(F.size(h) - (w - 1), F.lit(1)))
     return F.when(
-        F.size(hashes) > 0, F.array_sort(F.array_distinct(wins))
+        F.size(h) > 0, F.array_sort(F.array_distinct(wins))
     ).otherwise(F.array().cast("array<string>"))
 
 
