@@ -671,6 +671,120 @@ def tumbling_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "report_ranking_buttons",
+    oracle="""
+    WITH monthly AS (
+      SELECT n.n_name AS nation,
+             last_day(CAST(o.o_orderdate AS DATE)) AS dw_dt,
+             CAST(round(sum(CAST(o.o_totalprice AS DECIMAL(12,2))), 2) AS DOUBLE) AS value
+      FROM orders o
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      GROUP BY 1, 2
+    ), spine AS (
+      SELECT last_day(CAST(d AS DATE)) AS dw_dt
+      FROM (SELECT unnest(generate_series(DATE '1996-01-01', DATE '1997-12-01', INTERVAL 1 MONTH)) AS d)
+    ), dims AS (SELECT DISTINCT nation FROM monthly),
+    cmp AS (
+      SELECT d.nation, s.dw_dt, b.value,
+             b.value - pp.value  AS pp_delta,
+             b.value - ld.value  AS last_dec_delta,
+             b.value - yoy.value AS yoy_delta
+      FROM dims d CROSS JOIN spine s
+      LEFT JOIN monthly b   ON b.nation = d.nation AND b.dw_dt = s.dw_dt
+      LEFT JOIN monthly pp  ON pp.nation = d.nation AND pp.dw_dt = last_day(s.dw_dt - INTERVAL 1 MONTH)
+      LEFT JOIN monthly ld  ON ld.nation = d.nation AND ld.dw_dt = CAST(date_trunc('year', s.dw_dt) AS DATE) - 1
+      LEFT JOIN monthly yoy ON yoy.nation = d.nation AND yoy.dw_dt = last_day(s.dw_dt - INTERVAL 12 MONTH)
+      WHERE b.value IS NOT NULL
+    ), buttons AS (
+      SELECT nation, dw_dt, 'vs Last Month' AS button,
+             CAST(pp_delta AS DECIMAL(18,2)) AS score FROM cmp WHERE pp_delta IS NOT NULL
+      UNION ALL
+      SELECT nation, dw_dt, 'vs Last Dec',
+             CAST(last_dec_delta AS DECIMAL(18,2)) FROM cmp WHERE last_dec_delta IS NOT NULL
+      UNION ALL
+      SELECT nation, dw_dt, 'vs Last Year',
+             CAST(yoy_delta AS DECIMAL(18,2)) FROM cmp WHERE yoy_delta IS NOT NULL
+    ), ranked AS (
+      SELECT dw_dt, button, nation, score,
+             row_number() OVER (PARTITION BY dw_dt, button ORDER BY score DESC, nation) AS r_top,
+             row_number() OVER (PARTITION BY dw_dt, button ORDER BY score ASC, nation)  AS r_bot
+      FROM buttons
+    )
+    SELECT dw_dt, button, nation, CAST(score AS DOUBLE) AS score,
+           CAST(r_top AS INT) AS rnk, 'top' AS side
+    FROM ranked WHERE r_top <= 5
+    UNION ALL
+    SELECT dw_dt, button, nation, CAST(score AS DOUBLE) AS score,
+           CAST(r_bot AS INT) AS rnk, 'bottom' AS side
+    FROM ranked WHERE r_bot <= 5
+    """,
+    doc="The m_cocacola_score_top_bottom5_ranking shape (SURVEY W4/O3, "
+    ":81-148): three button variants ranked by a different calendar delta "
+    "each (pp / last-Dec / yoy), top-5 + bottom-5 per month, unioned into "
+    "one sink — the reference ran it as three ?- appends. Native "
+    "row_number replaces the reference's ship-sort-keys-to-UI approach.",
+)
+def report_ranking_buttons(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_cascalog_spark.operators.periods import with_period_comparisons
+
+    orders = read_table(spark, sf_dir, "orders")
+    customer = read_table(spark, sf_dir, "customer")
+    nation = read_table(spark, sf_dir, "nation")
+    monthly = (
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.last_day(F.col("o_orderdate").cast("date")).alias("dw_dt"),
+        )
+        .agg(dround(F.sum(money(F.col("o_totalprice")))).alias("value"))
+    )
+    compared = with_period_comparisons(
+        spark, monthly, dims=["nation"], date_col="dw_dt", value_col="value",
+        spine_start="1996-01-01", spine_end="1997-12-31",
+    )
+    variants = []
+    for button, metric in [
+        ("vs Last Month", "pp_delta"),
+        ("vs Last Dec", "last_dec_delta"),
+        ("vs Last Year", "yoy_delta"),
+    ]:
+        scored = compared.where(F.col(metric).isNotNull()).select(
+            "dw_dt",
+            F.lit(button).alias("button"),
+            "nation",
+            F.col(metric).cast("decimal(18,2)").alias("score"),
+        )
+        w_top = Window.partitionBy("dw_dt", "button").orderBy(
+            F.col("score").desc(), "nation"
+        )
+        w_bot = Window.partitionBy("dw_dt", "button").orderBy(
+            F.col("score").asc(), "nation"
+        )
+        ranked = scored.select(
+            "*",
+            F.row_number().over(w_top).alias("r_top"),
+            F.row_number().over(w_bot).alias("r_bot"),
+        )
+        for side, rcol in [("top", "r_top"), ("bottom", "r_bot")]:
+            variants.append(
+                ranked.where(F.col(rcol) <= 5).select(
+                    "dw_dt",
+                    "button",
+                    "nation",
+                    F.col("score").cast("double").alias("score"),
+                    F.col(rcol).cast("int").alias("rnk"),
+                    F.lit(side).alias("side"),
+                )
+            )
+    out = variants[0]
+    for v in variants[1:]:
+        out = out.unionByName(v)
+    return out
+
+
+@register(
     "sliding_window_agg",
     oracle="""
     SELECT CAST(floor(epoch(time_bucket(INTERVAL 1 HOUR, ts) - off)) AS BIGINT)

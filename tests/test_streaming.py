@@ -96,3 +96,25 @@ def test_stateful_running_totals_matches_batch(spark):
         .collect()
     }
     assert got == want
+
+
+def test_sliding_stream_matches_batch(spark):
+    from etl_cascalog_spark.io import read_table
+    from etl_cascalog_spark.operators.sessions import sliding_window
+    from etl_cascalog_spark.streaming.windows import run_to_memory, sliding, stream_events
+
+    stream = run_to_memory(
+        sliding(stream_events(spark, SF_SMOKE), "2 hours", "1 hour"),
+        "t_sliding",
+        "complete",
+    )
+    got = {(r.window_start, r.event_type): r.n for r in stream.collect()}
+
+    events = read_table(spark, SF_SMOKE, "events")
+    batch = sliding_window(
+        events, "ts", "2 hours", "1 hour",
+        group_cols=["event_type"],
+        aggs=[F.count("*").alias("n")],
+    )
+    want = {(r.window_start, r.event_type): r.n for r in batch.collect()}
+    assert got == want
