@@ -40,6 +40,10 @@ def main() -> None:
         n = df.count()
         timings[name] = round(time.perf_counter() - t0, 3)
         print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
+        # queries are independent jobs (the reference ran each report in its
+        # own JVM): drop caches so one query's persisted frames don't skew
+        # the next query's storage/GC behavior
+        spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 3)
     print(

@@ -481,6 +481,38 @@ def union_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "set_ops",
+    oracle="""
+    WITH b AS (SELECT DISTINCT c_nationkey FROM customer WHERE c_mktsegment = 'BUILDING'),
+         a AS (SELECT DISTINCT c_nationkey FROM customer WHERE c_mktsegment = 'AUTOMOBILE'),
+         m AS (SELECT DISTINCT c_nationkey FROM customer WHERE c_mktsegment = 'MACHINERY'
+               AND c_acctbal > 9000)
+    SELECT c_nationkey, 'both' AS which FROM (SELECT * FROM b INTERSECT SELECT * FROM a)
+    UNION ALL
+    SELECT c_nationkey, 'no_rich_machinery' AS which
+    FROM (SELECT * FROM b EXCEPT SELECT * FROM m)
+    """,
+    doc="O4 intersect/except — absent from the reference (Cascalog offered "
+    "no set ops; SURVEY §2.7), free in Spark: distinct-set INTERSECT and "
+    "EXCEPT over derived keys, tagged and unioned into one result.",
+)
+def set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = read_table(spark, sf_dir, "customer")
+    building = cust.where(F.col("c_mktsegment") == "BUILDING").select("c_nationkey")
+    auto = cust.where(F.col("c_mktsegment") == "AUTOMOBILE").select("c_nationkey")
+    rich_mach = cust.where(
+        (F.col("c_mktsegment") == "MACHINERY") & (F.col("c_acctbal") > 9000)
+    ).select("c_nationkey")
+    both = building.intersect(auto).select(
+        "c_nationkey", F.lit("both").alias("which")
+    )
+    without = building.distinct().exceptAll(rich_mach.distinct()).select(
+        "c_nationkey", F.lit("no_rich_machinery").alias("which")
+    )
+    return both.unionByName(without)
+
+
+@register(
     "rollup_totals",
     oracle="""
     SELECT coalesce(l_returnflag, 'ALL') AS returnflag,

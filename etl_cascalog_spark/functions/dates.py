@@ -1,4 +1,4 @@
-"""Date helpers (X1-X3) — calendar arithmetic and date spines.
+"""Date helpers (X1 parse/format, X2 arithmetic, X3 sequences/spines).
 
 Reference (all in ``/root/reference/src/common/trgx.clj``):
 

@@ -11,6 +11,11 @@ Sink-side the reference does side-channel DDL/DML (CREATE TABLE IF,
 ranged DELETE, TRUNCATE, rename-swap publish — trgx.clj:118-127,188-193).
 We model the same lifecycle over parquet directories (tests / lakehouse
 layout) and JDBC (production), with atomic publish via write-temp+rename.
+
+Execution taps (S4-S6): Cascalog's ``stdout`` tap / ``??-`` collect /
+``?-`` sink-execute are Spark's native ``df.show()`` / ``df.collect()`` /
+``df.write...`` — queries here ARE DataFrames, so these come free
+(SURVEY §3 E3).
 """
 
 from __future__ import annotations
@@ -59,6 +64,37 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             df = df.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
         return df
     return spark.read.parquet(path)
+
+
+def ensure_min_parallelism(df: DataFrame, *key_cols: str) -> DataFrame:
+    """Guarantee at least default-parallelism partitions before a
+    compute-heavy map-side stage (shingling, hashing, vector math).
+
+    A small single-file parquet scans as ONE partition, serializing all
+    downstream per-row work on one core (measured: the whole minhash
+    pipeline at sf0.1 in a single task). At real scale the input already
+    has >= cluster-parallelism partitions and this is a NO-OP — the guard
+    means we never add a shuffle to a 100 TB scan; locally it costs one
+    tiny shuffle of the raw rows.
+    """
+    from pyspark.sql import functions as F
+
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    # file-count heuristic: metadata-only (df.rdd.getNumPartitions() would
+    # physical-plan the frame through py4j — measured ~0.1-0.9s per call,
+    # paid at plan-BUILD time). A many-file (real-scale) input is left
+    # untouched; frames with no file lineage (literals, post-shuffle) are
+    # assumed already parallel.
+    try:
+        n_files = len(df.inputFiles())
+    except Exception:
+        return df
+    if n_files == 0 or n_files >= target:
+        return df
+    if key_cols:
+        return df.repartition(target, *[F.col(c) for c in key_cols])
+    return df.repartition(target)
 
 
 def read_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
@@ -123,6 +159,54 @@ def jdbc_append(df: DataFrame, url: str, table: str, properties: dict[str, str] 
     for k, v in (properties or {}).items():
         writer = writer.option(k, v)
     writer.save()
+
+
+def render_create_table_if(table: str, columns: dict[str, str]) -> str:
+    """S8 ``create-table-if`` DDL (trgx.clj:121-127) — rendered SQL."""
+    cols = ", ".join(f"{name} {typ}" for name, typ in columns.items())
+    return f"CREATE TABLE IF NOT EXISTS {table} ({cols})"
+
+
+def render_truncate(table: str) -> str:
+    """S10 ``truncate-tab`` (mlin/d_bolome_user_order.clj:52-53)."""
+    return f"TRUNCATE TABLE {table}"
+
+
+def render_delete_range(table: str, date_col: str, start_dt: str, end_dt: str) -> str:
+    """S9/S13 ranged DELETE before re-append — the idempotent-reload
+    primitive (``detele-report!`` trgx.clj:118-119; raw ``DELETE … USING
+    rng`` mlin/d_bolome_user_order.clj:181-184)."""
+    return (
+        f"DELETE FROM {table} WHERE {date_col} >= '{start_dt}' "
+        f"AND {date_col} <= '{end_dt}'"
+    )
+
+
+def jdbc_execute(
+    spark: SparkSession, url: str, sql: str, properties: dict[str, str] | None = None
+) -> None:
+    """Side-channel DDL/DML on a JDBC sink (S8-S14): the reference issued
+    these through clojure.java.jdbc on the driver (trgx.clj:118-127,
+    161-163, 188-193); here through the JVM's DriverManager on the Spark
+    driver — cluster-side data paths never run DDL.
+
+    For parquet/Delta sinks prefer :func:`publish_atomic` /
+    :func:`overwrite_logical_partition` — these JDBC statements exist for
+    parity with the reference's Postgres sink lifecycle.
+    """
+    jvm = spark._jvm  # noqa: SLF001 - py4j bridge is the supported path here
+    props = jvm.java.util.Properties()
+    for k, v in (properties or {}).items():
+        props.setProperty(k, v)
+    conn = jvm.java.sql.DriverManager.getConnection(url, props)
+    try:
+        stmt = conn.createStatement()
+        try:
+            stmt.execute(sql)
+        finally:
+            stmt.close()
+    finally:
+        conn.close()
 
 
 def write_parquet(df: DataFrame, path: str, mode: str = "overwrite", partition_by: list[str] | None = None) -> None:

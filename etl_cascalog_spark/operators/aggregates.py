@@ -6,6 +6,7 @@ here keep that property: each is a single ``groupBy(...).agg(...)`` pass.
 
 The custom Clojure aggregators map onto built-ins:
 
+- ``c/count`` / ``c/max`` (A1/A2, trgx.clj:158,169) → ``F.count``/``F.max``
 - ``collect-kv``   (trgx.clj:45)    → ``map_from_entries(sort_array(collect_list(struct)))``
 - ``collect-set``  (mlin:41)        → ``collect_set``
 - ``collect-kvs``  (mlin:42)        → map of key → sorted set
@@ -16,7 +17,9 @@ The custom Clojure aggregators map onto built-ins:
   single-reducer trick at ods/d_bolome_show.clj:51)
 
 All map-typed intermediates are built through ``sort_array`` first so output
-is deterministic regardless of partitioning/merge order.
+is deterministic regardless of partitioning/merge order — this also covers
+O2 (sort-keys / sorted-map inside scalar tree fns, mlin:43,
+model/…debut.clj:69,92): map keys come out sorted by construction.
 """
 
 from __future__ import annotations

@@ -60,6 +60,9 @@ def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 def shingle_arrays(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
     """(doc, sh: array<string>) — tokenize ONCE into a materialized column,
     then shingle (see shingles_from_tokens performance note)."""
+    from etl_cascalog_spark.io import ensure_min_parallelism
+
+    df = ensure_min_parallelism(df, id_col)
     return df.select(
         F.col(id_col).alias("doc"),
         whitespace_tokens(F.col(text_col)).alias("__w"),
@@ -130,8 +133,13 @@ def minhash_signatures(
     groupBy(doc) takes the K mins simultaneously (partial aggregation
     combines map-side — the shuffle carries K longs per doc, not shingles).
     """
-    sh = shingle_sets(df, id_col, text_col, n)
-    h = F.xxhash64(F.col("shingle")).bitwiseAND(F.lit((1 << 32) - 1))
+    # materialize the base hash once per shingle row — inlined, the
+    # xxhash64 sub-expression would be re-evaluated inside each of the K
+    # min-aggregates (same lesson as simhash_sketch)
+    sh = shingle_sets(df, id_col, text_col, n).select(
+        "doc", F.xxhash64(F.col("shingle")).bitwiseAND(F.lit((1 << 32) - 1)).alias("h")
+    )
+    h = F.col("h")
     mins = [
         F.min((F.lit(a) * h + F.lit(b)) % F.lit(_MERSENNE)).alias(f"mh_{i}")
         for i, (a, b) in enumerate(_perm_params(num_hashes, seed))
@@ -177,11 +185,18 @@ def minhash_lsh_pairs(
     banded = sigs.select(F.col("doc"), F.explode(band_cols).alias("b")).select(
         "doc", F.col("b.band").alias("band"), F.col("b.bh").alias("bh")
     )
-    # cap pathological buckets (skew guard)
-    bucket_sizes = banded.groupBy("band", "bh").agg(F.count("*").alias("sz"))
-    capped = banded.join(
-        bucket_sizes.where(F.col("sz") <= max_bucket).select("band", "bh"),
-        on=["band", "bh"],
+    # cap pathological buckets (skew guard) with ONE shuffle: an unordered
+    # count-over-window partitions on (band, bh), and the self-join below
+    # reuses that exact partitioning (no second exchange for the cap join)
+    from pyspark.sql import Window
+
+    capped = (
+        banded.withColumn(
+            "__sz", F.count("*").over(Window.partitionBy("band", "bh"))
+        )
+        .where(F.col("__sz") <= max_bucket)
+        .drop("__sz")
+        .cache()  # feeds both sides of the bucket self-join
     )
     a = capped.select(F.col("doc").alias("doc_a"), "band", "bh")
     b = capped.select(F.col("doc").alias("doc_b"), "band", "bh")
@@ -191,7 +206,9 @@ def minhash_lsh_pairs(
         .select("doc_a", "doc_b")
         .distinct()
     )
-    # exact verification on candidates only (cached: probed from both sides)
+    # exact verification on candidates only: candidates is tiny relative to
+    # the corpus (that is the whole point of LSH) — broadcast it through
+    # both set lookups so the shingle-array side never shuffles
     sets = shingle_arrays(df, id_col, text_col, n).cache()
     sa = sets.toDF("doc_a", "sh_a")
     sb = sets.toDF("doc_b", "sh_b")
@@ -199,7 +216,7 @@ def minhash_lsh_pairs(
     union = F.size(F.col("sh_a")) + F.size(F.col("sh_b")) - common
     j = common.cast("double") / union.cast("double")
     return (
-        candidates.join(sa, "doc_a")
+        sa.join(F.broadcast(candidates), "doc_a")
         .join(sb, "doc_b")
         .where(j >= threshold)
         .select("doc_a", "doc_b", F.round(j, 4).alias("jaccard"))
@@ -316,8 +333,10 @@ def embedding_neardup_pairs(
 
     Output: (id_a, id_b, cos_sim) with id_a < id_b, cos_sim ≥ threshold.
     """
+    from etl_cascalog_spark.io import ensure_min_parallelism
     from etl_cascalog_spark.operators.similarity import cosine, hyperplanes, lsh_bucket
 
+    df = ensure_min_parallelism(df, id_col)
     planes = hyperplanes(dim, n_planes, seed)
     sides = df.select(
         F.col(id_col).alias("id"),

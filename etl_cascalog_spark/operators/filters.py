@@ -7,7 +7,13 @@ explicit (Appendix B of SURVEY.md):
 - ``(not !var)`` is an IS NULL test (F3,
   ``m_cocacola_score_overall.clj:63``);
 - a mapfn returning nil bound to a ``?var`` drops the row (F6 — the
-  regex-guard idiom at ``m_cocacola_score_overall.clj:68-70``).
+  regex-guard idiom at ``m_cocacola_score_overall.clj:68-70``);
+- plain (in)equality to constants (F1 ``m_cocacola_score_overall.clj:66``,
+  F2 ``not=`` ``m_cocacola_score_channel.clj:76``) and constants in
+  generator output position (F10, ``trgx.clj:199``) are ordinary
+  ``col == lit`` / ``col != lit`` ``where`` clauses placed right after the
+  scan — Catalyst pushes them into the source (the reference full-scanned
+  Postgres and filtered on the cluster, SURVEY §4.1).
 
 All helpers return/consume Column expressions — no Python UDFs.
 """

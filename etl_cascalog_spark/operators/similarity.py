@@ -56,6 +56,9 @@ def cosine_topk(
     vectors (self-match excluded). Output: (query_id, neighbor_id, rank,
     cos_sim). The corpus side is the big side — the query side is broadcast.
     """
+    from etl_cascalog_spark.io import ensure_min_parallelism
+
+    corpus = ensure_min_parallelism(corpus, id_col)
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
     c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
     scored = (
@@ -114,6 +117,9 @@ def lsh_cosine_topk(
     hyperplane bucket. Equi-join on bucket id replaces the cross join —
     the 100 TB shape (shuffle keyed on bucket; bucket skew bounded by
     plane count)."""
+    from etl_cascalog_spark.io import ensure_min_parallelism
+
+    corpus = ensure_min_parallelism(corpus, id_col)
     planes = hyperplanes(dim, n_planes, seed)
     q = queries.select(
         F.col(id_col).alias("query_id"),

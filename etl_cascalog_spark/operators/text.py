@@ -173,6 +173,9 @@ def winnow_fingerprint_rows(
     # ``size(grams)`` column would be re-evaluated per exploded ROW (the
     # whole shingle chain per gram — O(n²)/doc, measured 35s at sf0.1);
     # the gram count is recovered below as count() over the doc partition.
+    from etl_cascalog_spark.io import ensure_min_parallelism
+
+    df = ensure_min_parallelism(df, id_col)
     g = df.select(F.col(id_col).alias("doc"), F.posexplode(grams).alias("pos", "gram"))
     win = Window.partitionBy("doc").orderBy("pos").rowsBetween(0, w - 1)
     nwin = Window.partitionBy("doc")

@@ -62,3 +62,21 @@ def test_load_range_audit_row(spark):
     assert row.dw_start_dt == "1995-01-01"
     assert row.dw_ld_cnt == orders.count()
     assert row.dw_in_use == "1"
+
+
+def test_ddl_rendering():
+    from etl_cascalog_spark.io import (
+        render_create_table_if,
+        render_delete_range,
+        render_truncate,
+    )
+
+    assert (
+        render_create_table_if("ms.report", {"dw_dt": "CHAR(10)", "value": "NUMERIC(18,3)"})
+        == "CREATE TABLE IF NOT EXISTS ms.report (dw_dt CHAR(10), value NUMERIC(18,3))"
+    )
+    assert render_truncate("mlin.t") == "TRUNCATE TABLE mlin.t"
+    assert (
+        render_delete_range("ms.report", "dw_dt", "2017-01-01", "2017-03-31")
+        == "DELETE FROM ms.report WHERE dw_dt >= '2017-01-01' AND dw_dt <= '2017-03-31'"
+    )
