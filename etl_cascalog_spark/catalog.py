@@ -817,6 +817,120 @@ def report_ranking_buttons(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "mlvar_user_tree",
+    oracle="""
+    WITH base AS (
+      SELECT o_custkey AS custkey,
+             strftime(CAST(o_orderdate AS DATE), '%Y-%m') AS month,
+             CAST(o_orderkey AS VARCHAR) AS orderkey,
+             CAST(l_linenumber AS VARCHAR) AS lineno,
+             CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2))), 2) AS DECIMAL(18,2)) AS price,
+             CAST(round(sum(CAST(l_quantity AS DECIMAL(12,2))), 2) AS DECIMAL(18,2)) AS qty
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      WHERE o_custkey < 500
+      GROUP BY 1, 2, 3, 4
+    ), leafj AS (
+      SELECT custkey, month, orderkey, lineno,
+             '{"price":' || CAST(price AS VARCHAR)
+               || ',"qty":' || CAST(qty AS VARCHAR) || '}' AS j
+      FROM base
+    ), l3 AS (
+      SELECT custkey, month, orderkey,
+             '{' || string_agg('"' || lineno || '":' || j, ',' ORDER BY lineno) || '}' AS j
+      FROM leafj GROUP BY 1, 2, 3
+    ), l2 AS (
+      SELECT custkey, month,
+             '{' || string_agg('"' || orderkey || '":' || j, ',' ORDER BY orderkey) || '}' AS j
+      FROM l3 GROUP BY 1, 2
+    )
+    SELECT custkey,
+           '{' || string_agg('"' || month || '":' || j, ',' ORDER BY month) || '}' AS tree_json
+    FROM l2 GROUP BY 1
+    """,
+    doc="The mlvar flagship: the 5-stage per-user nested tree rollup "
+    "(user → month → order → order-item, mlvar/d_bolome_user_order.clj:"
+    "80-132) as nest_json staged folds over the long format — one grouped "
+    "pass per level, each keyed on a strict prefix of the previous "
+    "(partial aggregation stays effective); JSON replaces EDN-text travel.",
+)
+def mlvar_user_tree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_cascalog_spark.plans.trgx import metrics_json, nest_json
+
+    li = read_table(spark, sf_dir, "lineitem")
+    orders = read_table(spark, sf_dir, "orders").where(F.col("o_custkey") < 500)
+    # the synthetic lineitem has duplicate line numbers per order — the
+    # node key must be unique, so duplicates aggregate into one leaf
+    base = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy(
+            F.col("o_custkey").alias("custkey"),
+            F.date_format(F.col("o_orderdate").cast("date"), "yyyy-MM").alias("month"),
+            F.col("o_orderkey").cast("string").alias("orderkey"),
+            F.col("l_linenumber").cast("string").alias("lineno"),
+        )
+        .agg(
+            dround(F.sum(money(F.col("l_extendedprice")))).cast("decimal(18,2)").alias("price"),
+            dround(F.sum(money(F.col("l_quantity")))).cast("decimal(18,2)").alias("qty"),
+        )
+    )
+    leaf = metrics_json({"price": F.col("price"), "qty": F.col("qty")})
+    return nest_json(
+        base, group_cols=["custkey"], level_cols=["month", "orderkey", "lineno"],
+        leaf_json=leaf,
+    )
+
+
+@register(
+    "train_window_slices",
+    oracle="""
+    WITH cutoffs AS (
+      SELECT CAST(unnest(generate_series(DATE '2024-01-08', DATE '2024-01-29', INTERVAL 7 DAY)) AS DATE) AS cutoff
+    ), sliced AS (
+      SELECT user_id, cutoff,
+             count(*) FILTER (ts >= CAST(cutoff - INTERVAL 7 DAY AS TIMESTAMP) AND ts < CAST(cutoff AS TIMESTAMP)) AS n_train,
+             CAST(round(sum(CAST(value AS DECIMAL(12,2)))
+                        FILTER (ts >= CAST(cutoff - INTERVAL 7 DAY AS TIMESTAMP) AND ts < CAST(cutoff AS TIMESTAMP)), 2)
+                  AS DOUBLE) AS train_value,
+             count(*) FILTER (ts >= CAST(cutoff AS TIMESTAMP) AND ts < CAST(cutoff + INTERVAL 3 DAY AS TIMESTAMP)) AS n_test
+      FROM events CROSS JOIN cutoffs
+      WHERE (ts >= CAST(cutoff - INTERVAL 7 DAY AS TIMESTAMP) AND ts < CAST(cutoff AS TIMESTAMP))
+         OR (ts >= CAST(cutoff AS TIMESTAMP) AND ts < CAST(cutoff + INTERVAL 3 DAY AS TIMESTAMP))
+      GROUP BY 1, 2
+    )
+    SELECT user_id, CAST(cutoff AS VARCHAR) AS cutoff, n_train, train_value, n_test
+    FROM sliced
+    """,
+    doc="take-train-dts train/test window slicing (mlvar/d_bolome_user_"
+    "order_stat.clj:52-70): weekly cutoffs, 7-day train features + 3-day "
+    "test labels per (user, cutoff) in one grouped pass over a broadcast "
+    "cutoff spine.",
+)
+def train_window_slices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_cascalog_spark.operators.sessions import train_test_slices
+
+    events = read_table(spark, sf_dir, "events")
+    cutoffs = spark.sql(
+        "SELECT explode(sequence(DATE '2024-01-08', DATE '2024-01-29', INTERVAL 7 DAY)) AS cutoff"
+    )
+    out = train_test_slices(
+        events.withColumn("value", money(F.col("value"))),
+        cutoffs,
+        key_cols=["user_id"],
+        ts_col="ts",
+        value_col="value",
+        train_days=7,
+        test_days=3,
+    )
+    return out.select(
+        "user_id",
+        F.col("cutoff").cast("string").alias("cutoff"),
+        "n_train",
+        dround(F.col("train_value")).alias("train_value"),
+        "n_test",
+    )
+
+
+@register(
     "sliding_window_agg",
     oracle="""
     SELECT CAST(floor(epoch(time_bucket(INTERVAL 1 HOUR, ts) - off)) AS BIGINT)

@@ -99,3 +99,49 @@ def session_stats(
         F.max(ts_col).alias("session_end"),
         F.count("*").alias("n_events"),
     )
+
+
+def train_test_slices(
+    events: DataFrame,
+    cutoffs: DataFrame,
+    key_cols: Sequence[str],
+    ts_col: str = "ts",
+    value_col: str | None = None,
+    train_days: int = 7,
+    test_days: int = 3,
+) -> DataFrame:
+    """Per-(key, cutoff) train/test window slicing — the reference's
+    ``take-train-dts`` periodic train-window generation
+    (mlvar/d_bolome_user_order_stat.clj:52-70; REPL prototype
+    common/test.clj:21-39) as one declarative pass.
+
+    ``cutoffs`` is a one-column DataFrame of cutoff dates (a date spine —
+    X3). Each event joins the broadcast spine and lands in every window it
+    falls into (≤ (train+test)/spacing windows, the sliding-window
+    explosion factor); ONE grouped pass computes train features and test
+    labels per (key, cutoff). Keys with an empty train AND empty test
+    window for a cutoff are dropped.
+
+    Scale: spine is broadcast (tiny); the only shuffle is the grouped
+    aggregation on (keys, cutoff) — same shape as a sliding-window agg.
+    """
+    cutoff_col = cutoffs.columns[0]
+    e = events.crossJoin(F.broadcast(cutoffs.select(F.col(cutoff_col).alias("cutoff"))))
+    ts = F.col(ts_col)
+    c_ts = F.col("cutoff").cast("timestamp")
+    in_train = (ts >= F.date_sub(F.col("cutoff"), train_days).cast("timestamp")) & (ts < c_ts)
+    in_test = (ts >= c_ts) & (ts < F.date_add(F.col("cutoff"), test_days).cast("timestamp"))
+    aggs = [
+        F.count(F.when(in_train, 1)).alias("n_train"),
+        F.count(F.when(in_test, 1)).alias("n_test"),
+    ]
+    if value_col is not None:
+        aggs.insert(
+            1,
+            F.sum(F.when(in_train, F.col(value_col))).alias("train_value"),
+        )
+    return (
+        e.where(in_train | in_test)
+        .groupBy(*[F.col(k) for k in key_cols], F.col("cutoff"))
+        .agg(*aggs)
+    )
