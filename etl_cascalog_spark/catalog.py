@@ -776,44 +776,45 @@ def report_ranking_buttons(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, monthly, dims=["nation"], date_col="dw_dt", value_col="value",
         spine_start="1996-01-01", spine_end="1997-12-31",
     )
-    variants = []
-    for button, metric in [
-        ("vs Last Month", "pp_delta"),
-        ("vs Last Dec", "last_dec_delta"),
-        ("vs Last Year", "yoy_delta"),
-    ]:
-        scored = compared.where(F.col(metric).isNotNull()).select(
+    # ONE pass, not 6 union branches: a union-per-variant (the reference's
+    # three ?- appends × top/bottom) re-executes the whole upstream
+    # pipeline per branch (measured 72 Exchanges in the physical plan).
+    # stack() unpivots the three deltas map-side; one window pair ranks
+    # them; explode emits the top/bottom sides. 72 → ~8 Exchanges.
+    stacked = compared.select(
+        "dw_dt",
+        "nation",
+        F.expr(
+            "stack(3, 'vs Last Month', pp_delta, 'vs Last Dec', last_dec_delta,"
+            " 'vs Last Year', yoy_delta) AS (button, raw_score)"
+        ),
+    ).where(F.col("raw_score").isNotNull())
+    scored = stacked.select(
+        "dw_dt", "button", "nation", F.col("raw_score").cast("decimal(18,2)").alias("score")
+    )
+    w_top = Window.partitionBy("dw_dt", "button").orderBy(F.col("score").desc(), "nation")
+    w_bot = Window.partitionBy("dw_dt", "button").orderBy(F.col("score").asc(), "nation")
+    ranked = scored.select(
+        "*",
+        F.row_number().over(w_top).alias("r_top"),
+        F.row_number().over(w_bot).alias("r_bot"),
+    )
+    sides = F.array(
+        F.struct(F.lit("top").alias("side"), F.col("r_top").alias("rnk")),
+        F.struct(F.lit("bottom").alias("side"), F.col("r_bot").alias("rnk")),
+    )
+    return (
+        ranked.select("dw_dt", "button", "nation", "score", F.explode(sides).alias("s"))
+        .where(F.col("s.rnk") <= 5)
+        .select(
             "dw_dt",
-            F.lit(button).alias("button"),
+            "button",
             "nation",
-            F.col(metric).cast("decimal(18,2)").alias("score"),
+            F.col("score").cast("double").alias("score"),
+            F.col("s.rnk").cast("int").alias("rnk"),
+            F.col("s.side").alias("side"),
         )
-        w_top = Window.partitionBy("dw_dt", "button").orderBy(
-            F.col("score").desc(), "nation"
-        )
-        w_bot = Window.partitionBy("dw_dt", "button").orderBy(
-            F.col("score").asc(), "nation"
-        )
-        ranked = scored.select(
-            "*",
-            F.row_number().over(w_top).alias("r_top"),
-            F.row_number().over(w_bot).alias("r_bot"),
-        )
-        for side, rcol in [("top", "r_top"), ("bottom", "r_bot")]:
-            variants.append(
-                ranked.where(F.col(rcol) <= 5).select(
-                    "dw_dt",
-                    "button",
-                    "nation",
-                    F.col("score").cast("double").alias("score"),
-                    F.col(rcol).cast("int").alias("rnk"),
-                    F.lit(side).alias("side"),
-                )
-            )
-    out = variants[0]
-    for v in variants[1:]:
-        out = out.unionByName(v)
-    return out
+    )
 
 
 @register(
