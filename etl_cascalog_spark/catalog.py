@@ -1916,6 +1916,70 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_cosine_topk(queries, emb, k=5, n_planes=8, dim=64, seed=7)
 
 
+def _ivf_oracle_sql() -> str:
+    """DuckDB oracle for ann_ivf_topk: the centroids are seeded literals,
+    so the cell assignment (argmax cosine, ties → lower cell) reproduces
+    exactly; both engines fold the dot product left-to-right in double."""
+    from etl_cascalog_spark.operators.similarity import ivf_centroids
+
+    import math
+
+    cents = ivf_centroids(dim=64, n_cells=8, seed=11)
+    cos_terms = []
+    for cent in cents:
+        arr = "[" + ",".join(repr(x) for x in cent) + "]"
+        d = (
+            f"list_sum(list_transform(list_zip(embedding, {arr}), "
+            "p -> CAST(p[1] AS DOUBLE) * p[2]))"
+        )
+        # ||c|| precomputed as a literal; ||vec|| dropped (argmax-invariant)
+        # — must mirror similarity.ivf_cell exactly
+        nc = repr(math.sqrt(sum(x * x for x in cent)))
+        cos_terms.append(f"{d} / {nc}")
+    cs = "[" + ", ".join(cos_terms) + "]"
+    return f"""
+    WITH cells AS (
+      SELECT vec_id, embedding,
+             CAST(list_position({cs}, list_max({cs})) - 1 AS INT) AS cell
+      FROM embeddings
+    ), q AS (
+      SELECT vec_id AS query_id, embedding AS qv, cell FROM cells WHERE vec_id % 50 = 0
+    ), c AS (
+      SELECT vec_id AS neighbor_id, embedding AS cv, cell FROM cells
+    ), scored AS (
+      SELECT query_id, neighbor_id,
+             list_sum(list_transform(list_zip(qv, cv),
+                                     p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+             / (sqrt(list_sum(list_transform(qv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+              * sqrt(list_sum(list_transform(cv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS cos
+      FROM c JOIN q USING (cell)
+      WHERE query_id != neighbor_id
+    ), ranked AS (
+      SELECT query_id, neighbor_id, cos,
+             row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, round(cos, 4) AS cos_sim
+    FROM ranked WHERE rank <= 5
+    """
+
+
+@register(
+    "ann_ivf_topk",
+    oracle=_ivf_oracle_sql(),
+    doc="IVF (inverted-file) cosine top-k — the second ANN scale path: "
+    "corpus assigned to nearest-centroid cells map-side, query scans only "
+    "its cell (equi-join on cell id). Centroids are seeded literals here; "
+    "production swaps in k-means centroids with an identical plan shape.",
+)
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_cascalog_spark.operators.similarity import ivf_cosine_topk
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") % 50 == 0)
+    return ivf_cosine_topk(queries, emb, k=5, n_cells=8, dim=64, seed=11)
+
+
 def _neardup_oracle_sql() -> str:
     """DuckDB oracle for embedding_neardup: planted scaled duplicates
     (×2.0 is exact in binary fp, cosine-invariant) + the same literal

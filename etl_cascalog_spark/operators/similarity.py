@@ -142,3 +142,98 @@ def lsh_cosine_topk(
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", F.round(F.col("cos"), 4).alias("cos_sim"))
     )
+
+
+def ivf_centroids(dim: int, n_cells: int = 8, seed: int = 11) -> list[list[float]]:
+    """Fixed seeded centroids (plain literals — portable). In production
+    these come from a k-means pass over a corpus sample; frozen literals
+    keep the assignment oracle-reproducible, and the query shape is
+    IDENTICAL either way (the centroid list is always a broadcast-sized
+    plan constant)."""
+    rng = random.Random(seed)
+    return [
+        [round(rng.gauss(0.0, 1.0), 6) for _ in range(dim)] for _ in range(n_cells)
+    ]
+
+
+def ivf_cell(vec: Column, centroids: list[list[float]]) -> Column:
+    """Inverted-file cell id: argmax of cosine against the centroid list
+    (ties → lower cell id). Pure column expression, map-side.
+
+    Built as ONE array_max over (score, -cell) structs, so every centroid
+    cosine is evaluated exactly once per row. Two rejected formulations,
+    kept as regression knowledge: a chained when(best)/otherwise fold
+    references the previous best twice per step → every earlier cosine
+    duplicates exponentially (39.8s at sf0.1); array_position(arr,
+    array_max(arr)) references the scores array twice → 2× (8.2s). The
+    struct-max form evaluates each score once. Struct comparison is
+    lexicographic, so ties on score pick the highest -cell = LOWEST cell
+    id — same as the oracle's argmax convention.
+
+    The score is ``dot(vec, c) / ||c||`` — NOT full cosine: ``||vec||`` is
+    a positive constant across the argmax (dropping it removes a 64-fold
+    per centroid per row), and ``||c||`` is centroid data, precomputed in
+    Python and inlined as a double literal (another fold saved). 8 folds
+    per row instead of 24."""
+    import math
+
+    arr = F.array(
+        *[
+            F.struct(
+                (
+                    dot(vec, F.array(*[F.lit(x) for x in c]))
+                    / F.lit(math.sqrt(sum(x * x for x in c)))
+                ).alias("s"),
+                F.lit(-cid).alias("nc"),
+            )
+            for cid, c in enumerate(centroids)
+        ]
+    )
+    return (-F.array_max(arr)["nc"]).cast("int")
+
+
+def ivf_cosine_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_cells: int = 8,
+    dim: int = 64,
+    seed: int = 11,
+) -> DataFrame:
+    """IVF (inverted-file) cosine top-k — the second ANN scale path next to
+    :func:`lsh_cosine_topk`: corpus vectors are assigned to their nearest
+    centroid cell once (map-side); each query scans only its own cell.
+
+    The cell equi-join replaces the cross join — shuffle keyed on cell id,
+    candidate volume Σ|cell|·|queries in cell|. Recall is tuned by
+    ``n_cells`` (fewer, larger cells → higher recall & cost) and, in
+    production, an nprobe > 1 (probe the q nearest cells: explode the
+    query row per probed cell — same join, ×nprobe candidates).
+    """
+    from etl_cascalog_spark.io import ensure_min_parallelism
+
+    corpus = ensure_min_parallelism(corpus, id_col)
+    cents = ivf_centroids(dim, n_cells, seed)
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        ivf_cell(F.col(vec_col), cents).alias("cell"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cv"),
+        ivf_cell(F.col(vec_col), cents).alias("cell"),
+    )
+    scored = (
+        c.join(F.broadcast(q), on="cell")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", cosine(F.col("qv"), F.col("cv")).alias("cos"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", F.round(F.col("cos"), 4).alias("cos_sim"))
+    )
