@@ -170,3 +170,39 @@ def test_assign_sparse_ids_unique(spark):
     ids = [r.dw_id for r in assign_sparse_ids(df, start_at=500).collect()]
     assert len(ids) == len(set(ids))
     assert min(ids) >= 500
+
+
+def test_winnowing_guarantee(spark):
+    """Winnowing (k=3, w=4): two docs sharing a >= k+w-1 = 6-token run must
+    share at least one fingerprint; disjoint docs share none."""
+    from etl_cascalog_spark.io import from_rows
+    from etl_cascalog_spark.operators.text import winnow_fingerprint_rows
+
+    shared = "alpha beta gamma delta epsilon zeta"
+    docs = from_rows(
+        spark,
+        [
+            (1, f"intro words here {shared} trailing stuff one"),
+            (2, f"{shared} completely different ending tokens two"),
+            (3, "nothing in common with the others at all whatsoever"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = winnow_fingerprint_rows(docs, "doc_id", "text").collect()
+    fps = {}
+    for r in rows:
+        fps.setdefault(r.doc, set()).add(r.fp)
+    assert fps[1] & fps[2], "docs sharing a 6-token run must share a fingerprint"
+    assert not (fps[1] & fps[3])
+    assert not (fps[2] & fps[3])
+
+
+def test_frame_sample_plan_offsets(spark):
+    from etl_cascalog_spark.io import from_rows
+    from etl_cascalog_spark.operators.multimodal import frame_sample_plan, with_payload_meta
+
+    df = from_rows(spark, [(1, bytearray(b"x" * 100))], "id long, payload binary")
+    with_meta = with_payload_meta(df, "payload", mime="video/mp4")
+    plan = frame_sample_plan(with_meta, "payload_meta", every_n_bytes=30)
+    offsets = sorted(r.frame_offset for r in plan.collect())
+    assert offsets == [0, 30, 60, 90]
