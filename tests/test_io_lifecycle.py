@@ -80,3 +80,34 @@ def test_ddl_rendering():
         render_delete_range("ms.report", "dw_dt", "2017-01-01", "2017-03-31")
         == "DELETE FROM ms.report WHERE dw_dt >= '2017-01-01' AND dw_dt <= '2017-03-31'"
     )
+
+
+def test_report_watermark_end_to_end(spark):
+    """E1 lifecycle: report → sink → watermark probe → incremental append →
+    full re-run is a no-op duplicate guard (the 38-report production loop,
+    m_cocacola_score_overall.clj:82-86)."""
+    from etl_cascalog_spark.catalog import QUERIES
+    from etl_cascalog_spark.incremental import next_load_range
+    from etl_cascalog_spark.io import write_parquet
+
+    report = QUERIES["report_pipeline"].build(spark, "/root/testdata/sf0.001")
+    with tempfile.TemporaryDirectory() as tmp:
+        sink = os.path.join(tmp, "ms_report")
+
+        # initial load: everything up to a cut date
+        first = report.where(F.col("dw_dt") < "1997-06-30")
+        write_parquet(first, sink, partition_by=["dw_dt"])
+        n_first = spark.read.parquet(sink).count()
+
+        # watermark probe on the sink, then append only newer rows
+        start, _end = next_load_range(spark.read.parquet(sink), "dw_dt")
+        delta = report.where(F.col("dw_dt") >= start)
+        write_parquet(delta, sink, mode="append", partition_by=["dw_dt"])
+
+        total = spark.read.parquet(sink).count()
+        assert total == report.count(), "incremental load must reconstruct the full report"
+        assert total > n_first
+
+        # re-probing after the load finds nothing new
+        start2, _ = next_load_range(spark.read.parquet(sink), "dw_dt")
+        assert report.where(F.col("dw_dt") >= start2).count() == 0

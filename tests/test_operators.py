@@ -206,3 +206,21 @@ def test_frame_sample_plan_offsets(spark):
     plan = frame_sample_plan(with_meta, "payload_meta", every_n_bytes=30)
     offsets = sorted(r.frame_offset for r in plan.collect())
     assert offsets == [0, 30, 60, 90]
+
+
+def test_salted_join_equals_plain_join(spark):
+    """The skew-salted join must be result-identical to the plain join."""
+    from etl_cascalog_spark.io import from_rows
+    from etl_cascalog_spark.operators.joins import salted_join
+
+    big = from_rows(
+        spark,
+        [(i, "hot" if i % 10 else "cold") for i in range(1000)],
+        "id long, k string",
+    )
+    dim = from_rows(spark, [("hot", 1), ("cold", 2)], "k string, v long")
+    got = sorted(
+        (r.id, r.k, r.v) for r in salted_join(big, dim, on="k", salt=8).collect()
+    )
+    want = sorted((r.id, r.k, r.v) for r in big.join(dim, on="k").collect())
+    assert got == want and len(got) == 1000
