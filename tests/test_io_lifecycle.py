@@ -9,6 +9,8 @@ import tempfile
 
 from pyspark.sql import functions as F
 
+from tests.conftest import SF_SMOKE
+
 
 def test_publish_atomic_swap(spark):
     from etl_cascalog_spark.io import publish_atomic
@@ -111,3 +113,34 @@ def test_report_watermark_end_to_end(spark):
         # re-probing after the load finds nothing new
         start2, _ = next_load_range(spark.read.parquet(sink), "dw_dt")
         assert report.where(F.col("dw_dt") >= start2).count() == 0
+
+
+def test_bucketed_join_has_no_exchange(spark):
+    """Co-located bucketed join (SURVEY E2 scale lever): same-bucketed
+    tables join with zero Exchange — the shuffle was paid at write time."""
+    import contextlib
+    import io as _io
+
+    from etl_cascalog_spark.io import read_table, write_bucketed
+
+    orders = read_table(spark, SF_SMOKE, "orders").select("o_orderkey", "o_totalprice")
+    li = read_table(spark, SF_SMOKE, "lineitem").select("l_orderkey", "l_quantity")
+    try:
+        write_bucketed(orders, "t_orders_b", ["o_orderkey"], n_buckets=4)
+        write_bucketed(li, "t_lineitem_b", ["l_orderkey"], n_buckets=4)
+        # force SortMergeJoin (else the small side just broadcasts and the
+        # bucketing is moot) — with matching buckets, SMJ reads both sides
+        # pre-partitioned and pre-sorted: no Exchange, no Sort
+        a = spark.table("t_orders_b").hint("merge")
+        b = spark.table("t_lineitem_b")
+        joined = a.join(b, a.o_orderkey == b.l_orderkey)
+        buf = _io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            joined.explain("formatted")
+        plan = buf.getvalue()
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan, f"bucketed join should not shuffle:\n{plan}"
+        assert joined.count() == li.count()
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_orders_b")
+        spark.sql("DROP TABLE IF EXISTS t_lineitem_b")

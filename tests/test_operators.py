@@ -224,3 +224,54 @@ def test_salted_join_equals_plain_join(spark):
     )
     want = sorted((r.id, r.k, r.v) for r in big.join(dim, on="k").collect())
     assert got == want and len(got) == 1000
+
+
+def test_score_overall_report_golden_cjk(spark):
+    """Golden test of the flagship report shape (m_cocacola_score_overall
+    .clj:60-74) on a FIXTURES.md §1-shaped CJK micro-fixture: channel
+    equality (F1), code IS NULL (F3), bottler regex exclusion (F5/F6,
+    CJK), empty payload dims, calendar pp-delta (W1), deterministic JSON."""
+    from etl_cascalog_spark.io import from_rows
+    from etl_cascalog_spark.operators.filters import regex_drop
+    from etl_cascalog_spark.plans.report import ReportSpec, build_report
+
+    rows = [
+        ("2017-01-31", "SBL", "SBL 辽宁", "Total / 所有渠道", None, 50.0),
+        ("2017-02-28", "SBL", "SBL 辽宁", "Total / 所有渠道", None, 60.0),
+        # excluded: total-rollup bottler (regex), non-Total channel, coded row
+        ("2017-02-28", "SBL", "China Total / 全国总体", "Total / 所有渠道", None, 70.0),
+        ("2017-02-28", "SBL", "SBL 辽宁", "HMKT / 大卖场", None, 80.0),
+        ("2017-02-28", "SBL", "SBL 辽宁", "Total / 所有渠道", "G22", 90.0),
+    ]
+    df = from_rows(
+        spark,
+        rows,
+        "dw_dt string, bg string, bottler string, channel string, code string, value double",
+    )
+    src = (
+        df.where(F.col("channel") == "Total / 所有渠道")
+        .where(F.col("code").isNull())
+        .where(regex_drop(F.col("bottler"), "全国总体|Tier"))
+    )
+    monthly = src.select(F.col("dw_dt").cast("date").alias("dw_dt"), "bg", "bottler", "value")
+    spec = ReportSpec(
+        report="m_score_overall",
+        project="cocacola",
+        category="score",
+        source="score",
+        date_col="dw_dt",
+        value_col="value",
+        selector_dims=["bg", "bottler"],
+        payload_dims=[],
+        spine_start="2017-01-01",
+        spine_end="2017-02-28",
+        metrics=["value", "pp_delta"],
+    )
+    out = build_report(spark, monthly, spec).collect()
+    by_dt = {str(r.dw_dt): r for r in out}
+    assert set(by_dt) == {"2017-01-31", "2017-02-28"}
+    jan, feb = by_dt["2017-01-31"], by_dt["2017-02-28"]
+    assert feb.selector == '{"bg":"SBL","bottler":"SBL 辽宁"}'
+    assert feb.report == "m_score_overall" and feb.selector_desc == "SBL-SBL 辽宁"
+    assert jan.dimension_metrics == '{"value":50.00,"pp_delta":null}'
+    assert feb.dimension_metrics == '{"value":60.00,"pp_delta":10.00}'
