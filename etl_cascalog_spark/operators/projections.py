@@ -59,3 +59,18 @@ def broadcast_config_map(
     for r in rows:
         entries.extend([F.lit(r[key_col]), F.lit(r[value_col])])
     return F.create_map(*entries)
+
+
+def apply_each(fn, *cols: Column) -> list[Column]:
+    """§2.10 ``c/each`` (48 uses in the reference, e.g.
+    m_cocacola_score_channel.clj:83): apply one scalar fn to N columns →
+    N result columns. In Python this is a comprehension; the helper exists
+    for discoverability/parity."""
+    return [fn(c) for c in cols]
+
+
+def apply_juxt(col: Column, *fns) -> list[Column]:
+    """§2.10 ``c/juxt`` (31 uses, e.g. the three lag keys at
+    m_cocacola_score_channel.clj:54): apply N fns to one column → N
+    result columns."""
+    return [fn(col) for fn in fns]

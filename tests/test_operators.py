@@ -275,3 +275,25 @@ def test_score_overall_report_golden_cjk(spark):
     assert feb.report == "m_score_overall" and feb.selector_desc == "SBL-SBL 辽宁"
     assert jan.dimension_metrics == '{"value":50.00,"pp_delta":null}'
     assert feb.dimension_metrics == '{"value":60.00,"pp_delta":10.00}'
+
+
+def test_each_juxt_combinators(spark):
+    from etl_cascalog_spark.functions.dates import prev_last_day, prev_same_month
+    from etl_cascalog_spark.io import from_rows
+    from etl_cascalog_spark.operators.projections import apply_each, apply_juxt
+
+    df = from_rows(spark, [("2017-03-31", "2017-04-30")], "a string, b string")
+    upper_both = df.select(
+        *[c.alias(f"u{i}") for i, c in enumerate(apply_each(F.upper, F.col("a"), F.col("b")))]
+    ).collect()[0]
+    assert (upper_both.u0, upper_both.u1) == ("2017-03-31", "2017-04-30")
+
+    lags = df.select(
+        *[
+            c.cast("string").alias(f"l{i}")
+            for i, c in enumerate(
+                apply_juxt(F.col("a").cast("date"), prev_last_day, prev_same_month)
+            )
+        ]
+    ).collect()[0]
+    assert (lags.l0, lags.l1) == ("2017-02-28", "2016-03-31")
