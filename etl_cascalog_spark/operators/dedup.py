@@ -334,24 +334,29 @@ def embedding_neardup_pairs(
     Output: (id_a, id_b, cos_sim) with id_a < id_b, cos_sim ≥ threshold.
     """
     from etl_cascalog_spark.io import ensure_min_parallelism
-    from etl_cascalog_spark.operators.similarity import cosine, hyperplanes, lsh_bucket
+    from etl_cascalog_spark.operators.similarity import dot, hyperplanes, lsh_bucket, norm
 
     df = ensure_min_parallelism(df, id_col)
     planes = hyperplanes(dim, n_planes, seed)
+    # per-row norms computed once per side, not per candidate pair (values
+    # bit-identical to the per-pair cosine the oracle states)
     sides = df.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("v"),
+        norm(F.col(vec_col)).alias("n"),
         lsh_bucket(F.col(vec_col), planes).alias("bucket"),
-    )
-    a = sides.select(F.col("id").alias("id_a"), F.col("v").alias("va"), "bucket")
-    b = sides.select(F.col("id").alias("id_b"), F.col("v").alias("vb"), "bucket")
+    ).cache()  # feeds both sides of the bucket self-join
+    a = sides.select(F.col("id").alias("id_a"), F.col("v").alias("va"), F.col("n").alias("na"), "bucket")
+    b = sides.select(F.col("id").alias("id_b"), F.col("v").alias("vb"), F.col("n").alias("nb"), "bucket")
     return (
         a.join(b, on="bucket")
         .where(F.col("id_a") < F.col("id_b"))
         .select(
             "id_a",
             "id_b",
-            F.round(cosine(F.col("va"), F.col("vb")), 4).alias("cos_sim"),
+            F.round(
+                dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 4
+            ).alias("cos_sim"),
         )
         .where(F.col("cos_sim") >= threshold)
     )

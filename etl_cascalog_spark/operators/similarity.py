@@ -59,15 +59,29 @@ def cosine_topk(
     from etl_cascalog_spark.io import ensure_min_parallelism
 
     corpus = ensure_min_parallelism(corpus, id_col)
-    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    # norms are per-ROW facts — computed once per side, not per pair (the
+    # inlined cosine() form re-folds both norms for every candidate pair;
+    # measured 2.65s -> 1.8s at sf0.1). Values are bit-identical, so the
+    # oracle (which states cosine per pair) still hash-matches. The corpus
+    # side streams through the broadcast cross join, so its projection
+    # would collapse into the per-pair select — cache materializes it.
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        norm(F.col(vec_col)).alias("nq"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cv"),
+        norm(F.col(vec_col)).alias("ncv"),
+    ).cache()
     scored = (
         c.crossJoin(F.broadcast(q))
         .where(F.col("query_id") != F.col("neighbor_id"))
         .select(
             "query_id",
             "neighbor_id",
-            cosine(F.col("qv"), F.col("cv")).alias("cos"),
+            (dot(F.col("qv"), F.col("cv")) / (F.col("nq") * F.col("ncv"))).alias("cos"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
@@ -124,17 +138,23 @@ def lsh_cosine_topk(
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qv"),
+        norm(F.col(vec_col)).alias("nq"),
         lsh_bucket(F.col(vec_col), planes).alias("bucket"),
     )
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cv"),
+        norm(F.col(vec_col)).alias("ncv"),
         lsh_bucket(F.col(vec_col), planes).alias("bucket"),
-    )
+    ).cache()  # per-row norms: once per side, not per candidate pair
     scored = (
         c.join(F.broadcast(q), on="bucket")
         .where(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "neighbor_id", cosine(F.col("qv"), F.col("cv")).alias("cos"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            (dot(F.col("qv"), F.col("cv")) / (F.col("nq") * F.col("ncv"))).alias("cos"),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
     return (
@@ -219,17 +239,23 @@ def ivf_cosine_topk(
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qv"),
+        norm(F.col(vec_col)).alias("nq"),
         ivf_cell(F.col(vec_col), cents).alias("cell"),
     )
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cv"),
+        norm(F.col(vec_col)).alias("ncv"),
         ivf_cell(F.col(vec_col), cents).alias("cell"),
-    )
+    ).cache()  # per-row norms: once per side, not per candidate pair
     scored = (
         c.join(F.broadcast(q), on="cell")
         .where(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "neighbor_id", cosine(F.col("qv"), F.col("cv")).alias("cos"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            (dot(F.col("qv"), F.col("cv")) / (F.col("nq") * F.col("ncv"))).alias("cos"),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
     return (
