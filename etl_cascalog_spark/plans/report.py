@@ -29,7 +29,7 @@ Spark shares the scans.
 
 from __future__ import annotations
 
-from collections.abc import Sequence
+from collections.abc import Mapping, Sequence
 from dataclasses import dataclass, field
 
 from pyspark.sql import Column, DataFrame, SparkSession
@@ -65,8 +65,11 @@ class ReportSpec:
     spine_start: str
     spine_end: str
     filters: Sequence[Column] = field(default_factory=list)
-    #: which period-comparison metrics go into the payload leaf
-    metrics: Sequence[str] = ("value", "pp_delta", "yoy_delta")
+    #: which period-comparison metrics go into the payload leaf — either a
+    #: sequence of column names (JSON key = column name) or a mapping
+    #: {json_key: column_name} for reference-faithful metric labels
+    #: (score/pp_score/… , m_cocacola_score_channel.clj:82)
+    metrics: Sequence[str] | Mapping[str, str] = ("value", "pp_delta", "yoy_delta")
     refresh: str = "wm"  # "wm" (I1 watermark) | "full" (I5)
 
 
@@ -89,9 +92,11 @@ def build_report(spark: SparkSession, source_df: DataFrame, spec: ReportSpec) ->
         spine_end=spec.spine_end,
     )
 
-    leaf = metrics_json(
-        {m: F.col(m).cast("decimal(18,2)") for m in spec.metrics}
-    )
+    if isinstance(spec.metrics, Mapping):
+        metric_cols = {k: F.col(v) for k, v in spec.metrics.items()}
+    else:
+        metric_cols = {m: F.col(m) for m in spec.metrics}
+    leaf = metrics_json({k: c.cast("decimal(18,2)") for k, c in metric_cols.items()})
     if spec.payload_dims:
         nested = nest_json(
             compared,

@@ -297,3 +297,61 @@ def test_each_juxt_combinators(spark):
         ]
     ).collect()[0]
     assert (lags.l0, lags.l1) == ("2017-02-28", "2016-03-31")
+
+
+def test_reference_report_registry(spark):
+    """Registry shapes over a FIXTURES.md §1/§2 CJK micro-fixture: each
+    distinct Appendix-A report shape builds and produces the reference's
+    sink rows with the 7 score-metric JSON keys."""
+    from etl_cascalog_spark.io import from_rows
+    from etl_cascalog_spark.plans.reports_registry import REPORTS, build_reference_report
+
+    score_rows = []
+    for dt, val in [("2017-01-31", 40.0), ("2017-02-28", 44.0)]:
+        for channel in ["Total / 所有渠道", "HMKT / 大卖场"]:
+            for item, code in [("全体-x", None), ("产品铺货率-x", None), ("全体-x", "G22")]:
+                score_rows.append((dt, "SBL", "SBL bottlerA", channel, code, item, val))
+        score_rows.append((dt, "SBL", "SBL 辽宁", "Total / 所有渠道", None, "全体-x", 99.0))
+    score = from_rows(
+        spark,
+        score_rows,
+        "dw_dt string, bg string, bottler string, channel string, code string, item string, value double",
+    )
+    sku_rows = [
+        ("2017-01-31", "SBL", "Total", "GT / 传统食杂", "6 SKU", 10.0),
+        ("2017-02-28", "SBL", "Total", "GT / 传统食杂", "6 SKU", 12.0),
+        ("2017-02-28", "SBL", "Total", "GT / 传统食杂", "20 SKU", 77.0),
+        ("2017-02-28", "SBL", "BottlerB", "GT / 传统食杂", "6 SKU", 88.0),
+    ]
+    sku = from_rows(
+        spark,
+        sku_rows,
+        "dw_dt string, bg string, bottler string, channel string, sku_type string, value double",
+    )
+    spine = ("2017-01-01", "2017-02-28")
+
+    overall = build_reference_report(spark, "score_overall", score, spine).collect()
+    assert {str(r.dw_dt) for r in overall} == {"2017-01-31", "2017-02-28"}
+    feb = next(r for r in overall if str(r.dw_dt) == "2017-02-28")
+    assert '"score":44.00' in feb.dimension_metrics
+    assert '"vs_pp_score":4.00' in feb.dimension_metrics
+    assert '"last_year_same_month_score":null' in feb.dimension_metrics
+    assert feb.selector == '{"bg":"SBL","bottler":"SBL bottlerA"}'  # 辽宁 excluded
+
+    channel = build_reference_report(spark, "score_channel", score, spine).collect()
+    febc = next(r for r in channel if str(r.dw_dt) == "2017-02-28")
+    assert febc.dimension_metrics.startswith('{"HMKT / 大卖场":{"score":44.00')
+
+    kpi = build_reference_report(spark, "score_kpi", score, spine).collect()
+    febk = next(r for r in kpi if str(r.dw_dt) == "2017-02-28")
+    assert febk.dimension_metrics.startswith('{"产品铺货":{"score":44.00')
+
+    sku6 = build_reference_report(spark, "sku6_bg", sku, spine).collect()
+    febs = next(r for r in sku6 if str(r.dw_dt) == "2017-02-28")
+    assert febs.selector == '{"channel":"GT / 传统食杂"}'
+    assert febs.dimension_metrics == (
+        '{"SBL":{"score":12.00,"pp_score":10.00,"vs_pp_score":2.00,'
+        '"last_dec_score":null,"vs_last_dec_score":null,'
+        '"last_year_same_month_score":null,"vs_last_year_same_month_score":null}}'
+    )
+    assert len(REPORTS) == 4
