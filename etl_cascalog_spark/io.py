@@ -284,3 +284,32 @@ def write_bucketed(
         .format("parquet")
         .saveAsTable(table)
     )
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    schema=None,
+    header: bool = True,
+    delimiter: str = ",",
+) -> DataFrame:
+    """S7 ``hfs-delimited`` (imported-but-stub in the reference,
+    hadoop/bolome/d_bolome_order.clj:4-5): delimited file source with an
+    explicit schema (no inference job at scale — pass the schema)."""
+    reader = (
+        spark.read.option("header", str(header).lower())
+        .option("delimiter", delimiter)
+    )
+    if schema is not None:
+        reader = reader.schema(schema)
+    else:
+        reader = reader.option("inferSchema", "true")
+    return reader.csv(path)
+
+
+def read_jsonl(spark: SparkSession, path: str, schema=None) -> DataFrame:
+    """S7 JSON-lines source — with schema for one-pass reads."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.json(path)

@@ -144,3 +144,14 @@ def test_bucketed_join_has_no_exchange(spark):
     finally:
         spark.sql("DROP TABLE IF EXISTS t_orders_b")
         spark.sql("DROP TABLE IF EXISTS t_lineitem_b")
+
+
+def test_csv_roundtrip(spark):
+    from etl_cascalog_spark.io import read_csv
+
+    with tempfile.TemporaryDirectory() as tmp:
+        path = os.path.join(tmp, "t.csv")
+        df = spark.createDataFrame([(1, "a"), (2, "b")], ["id", "name"])
+        df.write.option("header", "true").csv(path)
+        back = read_csv(spark, path, schema="id int, name string")
+        assert sorted((r.id, r.name) for r in back.collect()) == [(1, "a"), (2, "b")]

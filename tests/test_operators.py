@@ -355,3 +355,18 @@ def test_reference_report_registry(spark):
         '"last_year_same_month_score":null,"vs_last_year_same_month_score":null}}'
     )
     assert len(REPORTS) == 4
+
+
+def test_grouped_agg_pandas_udaf(spark):
+    """§2.10: the GROUPED_AGG pandas UDAF path works (Arrow-batched)."""
+    import math
+
+    from etl_cascalog_spark.operators.aggregates import grouped_agg_pandas_example
+
+    trimmed_mean = grouped_agg_pandas_example()
+    df = spark.createDataFrame(
+        [("a", float(v)) for v in range(1, 11)] + [("a", 1000.0)], ["k", "v"]
+    )
+    row = df.groupBy("k").agg(trimmed_mean("v").alias("tm")).collect()[0]
+    # 1..10 + outlier 1000; 10%/90% quantiles drop the extremes
+    assert not math.isnan(row.tm) and 2.0 <= row.tm <= 10.0
