@@ -118,3 +118,54 @@ def test_sliding_stream_matches_batch(spark):
     )
     want = {(r.window_start, r.event_type): r.n for r in batch.collect()}
     assert got == want
+
+
+def test_stateful_state_carries_across_microbatches(spark, tmp_path):
+    """applyInPandasWithState across REAL micro-batches: events split into
+    3 files, maxFilesPerTrigger=1 → 3 batches; per-user counts must
+    accumulate monotonically and end at the batch total."""
+    import pyspark.sql.functions as SF
+
+    from etl_cascalog_spark.io import read_table
+    from etl_cascalog_spark.streaming.stateful import running_user_totals
+
+    events = read_table(spark, SF_SMOKE, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    src = str(tmp_path / "events_split")
+    events.repartition(3).write.parquet(src)
+
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = (
+        running_user_totals(stream)
+        .writeStream.format("memory")
+        .queryName("t_stateful_mb")
+        .outputMode("update")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = spark.sql("SELECT * FROM t_stateful_mb").collect()
+    # more than one emission per user proves multiple micro-batches ran
+    from collections import defaultdict
+
+    per_user = defaultdict(list)
+    for r in rows:
+        per_user[r.user_id].append(r.n_events)
+    assert any(len(v) > 1 for v in per_user.values())
+    for u, counts in per_user.items():
+        # emissions are cumulative, so they are pairwise-distinct and the
+        # set must form an increasing chain regardless of sink row order
+        assert len(set(counts)) == len(counts), f"user {u} repeated state: {counts}"
+    want = {
+        r.user_id: r.n
+        for r in events.groupBy("user_id").agg(SF.count("*").alias("n")).collect()
+    }
+    got_final = {u: max(v) for u, v in per_user.items()}
+    assert got_final == want
