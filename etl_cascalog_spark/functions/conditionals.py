@@ -12,6 +12,10 @@ Reference sites (``/root/reference/src``):
 - ``mark*``               — mlin:49  (equality flag per candidate value)
 - ``convert-null``        — trgx.clj:20 ("null"/"NULL" string → real NULL)
 - null-safe delta         — cocacola/rpt/m_cocacola_score_channel.clj:58-60
+
+X4 string functions (substring/concat/split/regexp_replace/lower,
+m_cocacola_score_overall.clj:64-65 etc.) are native Column methods —
+exercised in the scalar_kitchen_sink catalog query.
 """
 
 from __future__ import annotations

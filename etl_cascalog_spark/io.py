@@ -12,7 +12,7 @@ ranged DELETE, TRUNCATE, rename-swap publish — trgx.clj:118-127,188-193).
 We model the same lifecycle over parquet directories (tests / lakehouse
 layout) and JDBC (production), with atomic publish via write-temp+rename.
 
-Execution taps (S4-S6): Cascalog's ``stdout`` tap / ``??-`` collect /
+Execution taps (S4/S5/S6): Cascalog's ``stdout`` tap / ``??-`` collect /
 ``?-`` sink-execute are Spark's native ``df.show()`` / ``df.collect()`` /
 ``df.write...`` — queries here ARE DataFrames, so these come free
 (SURVEY §3 E3).

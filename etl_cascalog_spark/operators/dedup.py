@@ -1,6 +1,6 @@
 """Deduplication operators for LLM training-data pipelines.
 
-Beyond-reference surface (BASELINE.json north star). Four tiers, all
+Beyond-reference surface (BASELINE.json north star). Five tiers, all
 DataFrame-native (no Python in the distributed path):
 
 - **exact**      — md5(normalized text) hash-groupBy; one shuffle on digest.
@@ -15,6 +15,8 @@ DataFrame-native (no Python in the distributed path):
   (P[candidate] = 1-(1-j^r)^b).
 - **SimHash**    — 64-bit sign-sum sketch over shingle hashes; candidates
   from matching 16-bit bands, verified by Hamming distance.
+- **embedding cosine** — semantic near-dups at cosine ≥ t via
+  hyperplane-LSH bucket join (``embedding_neardup_pairs``).
 
 At 100 TB: the shingle explode is map-side; the signature pass is one
 shuffle on doc_id (combiner-friendly mins); the LSH bucket join shuffles
