@@ -97,6 +97,27 @@ def _prep_sku6_bg(df: DataFrame) -> DataFrame:
     return df.where(F.col("bottler") == "Total").where(F.col("sku_type") == "6 SKU")
 
 
+def _prep_sovi_brand(df: DataFrame) -> DataFrame:
+    """m_cocacola_sovi_brand.clj:42-91: market not Tier, brand≠TOTAL, plus
+    the synthetic Others row per group: Others = 100 − Σ(brand shares)
+    (the collect-kv → assoc-in "Others" → explode idiom at :45-48, here a
+    grouped remainder union — map-side + one extra grouped pass, no pivot
+    round-trip)."""
+    base = (
+        df.where(regex_guard(F.col("market"), r"Tier\d").isNotNull())
+        .where(F.col("brand") != "TOTAL")
+    )
+    dims = ["dw_dt", "bg", "bottler", "channel", "juice_type", "sovi_type"]
+    others = (
+        base.groupBy(*[F.col(c) for c in dims])
+        .agg((F.lit(100.0) - F.sum("value")).alias("value"))
+        .withColumn("brand", F.lit("Others"))
+    )
+    return base.select(*dims, "brand", "value").unionByName(
+        others.select(*dims, "brand", "value")
+    )
+
+
 @dataclass(frozen=True)
 class ReferenceReport:
     """One reference job: prepare() + the declarative spec skeleton."""
@@ -125,6 +146,12 @@ REPORTS: dict[str, ReferenceReport] = {
     "sku6_bg": ReferenceReport(
         _prep_sku6_bg, ["channel"], ["bg"],
         "model.d_cocacola_sku", "m_cocacola_sku6_bg.clj:60-69",
+    ),
+    "sovi_brand": ReferenceReport(
+        _prep_sovi_brand, ["bg", "bottler", "channel"],
+        ["brand", "juice_type", "sovi_type"],
+        "model.d_cocacola_sovi", "m_cocacola_sovi_brand.clj:42-91",
+        category="sovi",
     ),
 }
 

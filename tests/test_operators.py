@@ -354,7 +354,26 @@ def test_reference_report_registry(spark):
         '"last_dec_score":null,"vs_last_dec_score":null,'
         '"last_year_same_month_score":null,"vs_last_year_same_month_score":null}}'
     )
-    assert len(REPORTS) == 4
+    sovi_rows = [
+        ("2017-01-31", "SBL", "BottlerA", "GT", "CityX", "KO", "juice", "Total", 55.0),
+        ("2017-02-28", "SBL", "BottlerA", "GT", "CityX", "KO", "juice", "Total", 60.0),
+        ("2017-02-28", "SBL", "BottlerA", "GT", "CityX", "PEPSI", "juice", "Total", 25.0),
+        ("2017-02-28", "SBL", "BottlerA", "GT", "Tier1", "KO", "juice", "Total", 99.0),
+        ("2017-02-28", "SBL", "BottlerA", "GT", "CityX", "TOTAL", "juice", "Total", 100.0),
+    ]
+    sovi = from_rows(
+        spark,
+        sovi_rows,
+        "dw_dt string, bg string, bottler string, channel string, market string,"
+        " brand string, juice_type string, sovi_type string, value double",
+    )
+    sb = build_reference_report(spark, "sovi_brand", sovi, spine).collect()
+    febv = next(r for r in sb if str(r.dw_dt) == "2017-02-28")
+    # KO 60 + PEPSI 25 → Others 15; Tier market and TOTAL brand excluded
+    assert '"KO":' in febv.dimension_metrics and '"Others":' in febv.dimension_metrics
+    assert '"score":15.00' in febv.dimension_metrics.split('"Others"')[1]
+
+    assert len(REPORTS) == 5
 
 
 def test_grouped_agg_pandas_udaf(spark):
