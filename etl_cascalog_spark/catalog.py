@@ -932,6 +932,62 @@ def train_window_slices(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "static_report",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderpriority AS priority, o_orderstatus AS status,
+             CAST(EXTRACT(year FROM CAST(o_orderdate AS DATE)) AS VARCHAR) AS yr,
+             CAST(round(sum(CAST(o_totalprice AS DECIMAL(12,2))), 2) AS DECIMAL(18,2)) AS revenue,
+             count(*) AS n
+      FROM orders GROUP BY 1, 2, 3
+    ), leafj AS (
+      SELECT priority, status, yr,
+             '{"revenue":' || CAST(revenue AS VARCHAR)
+               || ',"n":' || CAST(CAST(n AS DECIMAL(18,2)) AS VARCHAR) || '}' AS j
+      FROM base
+    ), l2 AS (
+      SELECT priority, status,
+             '{' || string_agg('"' || yr || '":' || j, ',' ORDER BY yr) || '}' AS j
+      FROM leafj GROUP BY 1, 2
+    )
+    SELECT CAST('9999-12-31' AS DATE) AS dw_dt, 'tpch' AS project,
+           'demo' AS category, 'm_static_orders' AS report,
+           '{"priority":"' || priority || '"}' AS selector,
+           priority AS selector_desc,
+           '{' || string_agg('"' || status || '":' || j, ',' ORDER BY status) || '}'
+             AS dimension_metrics
+    FROM l2 GROUP BY priority
+    """,
+    doc="The static full-refresh report shape (achievement_rate/"
+    "anal_rep_kpis/core_sku family, m_cocacola_score_achievement_rate.clj"
+    ":43-49): snapshot dw_dt key, 2-level payload of RAW metrics — no "
+    "sliding pipeline; one grouped pass per payload level.",
+)
+def static_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_cascalog_spark.plans.report import StaticReportSpec, build_static_report
+
+    orders = read_table(spark, sf_dir, "orders")
+    base = orders.groupBy(
+        F.col("o_orderpriority").alias("priority"),
+        F.col("o_orderstatus").alias("status"),
+        F.year(F.col("o_orderdate").cast("date")).cast("string").alias("yr"),
+    ).agg(
+        dround(F.sum(money(F.col("o_totalprice")))).cast("decimal(18,2)").alias("revenue"),
+        F.count("*").cast("decimal(18,2)").alias("n"),
+    )
+    spec = StaticReportSpec(
+        report="m_static_orders",
+        project="tpch",
+        category="demo",
+        source="orders",
+        selector_dims=["priority"],
+        payload_dims=["status", "yr"],
+        metrics=["revenue", "n"],
+    )
+    return build_static_report(spark, base, spec)
+
+
+@register(
     "sliding_window_agg",
     oracle="""
     SELECT CAST(floor(epoch(time_bucket(INTERVAL 1 HOUR, ts) - off)) AS BIGINT)

@@ -119,3 +119,50 @@ def build_report(spark: SparkSession, source_df: DataFrame, spec: ReportSpec) ->
         F.concat_ws("-", *[F.col(d) for d in spec.selector_dims]).alias("selector_desc"),
         F.col("tree_json").alias("dimension_metrics"),
     )
+
+
+@dataclass
+class StaticReportSpec:
+    """Full-refresh (I5) report WITHOUT period comparisons: raw metric
+    columns nested under payload dims, dw_dt pinned to the snapshot key —
+    the m_cocacola_score_achievement_rate / anal_rep_kpis / core_sku shape
+    (achievement_rate.clj:43-49: dw-dt = "9999-12-31", payload
+    [bottler, period] → [c_total_score, c_weight, value])."""
+
+    report: str
+    project: str
+    category: str
+    source: str
+    selector_dims: Sequence[str]
+    payload_dims: Sequence[str]
+    metrics: Sequence[str] | Mapping[str, str]
+    snapshot_dt: str = "9999-12-31"
+
+
+def build_static_report(
+    spark: SparkSession, source_df: DataFrame, spec: StaticReportSpec
+) -> DataFrame:
+    """Compose a static (no-sliding) report: nested payload JSON per
+    selector group, one row per selector combination at the snapshot key.
+    One grouped pass per payload level — no pivot, no spine."""
+    if isinstance(spec.metrics, Mapping):
+        metric_cols = {k: F.col(v) for k, v in spec.metrics.items()}
+    else:
+        metric_cols = {m: F.col(m) for m in spec.metrics}
+    leaf = metrics_json({k: c.cast("decimal(18,2)") for k, c in metric_cols.items()})
+    nested = nest_json(
+        source_df,
+        group_cols=list(spec.selector_dims),
+        level_cols=list(spec.payload_dims),
+        leaf_json=leaf,
+    )
+    selector = json_object({d: F.col(d) for d in spec.selector_dims})
+    return nested.select(
+        F.lit(spec.snapshot_dt).cast("date").alias("dw_dt"),
+        F.lit(spec.project).alias("project"),
+        F.lit(spec.category).alias("category"),
+        F.lit(spec.report).alias("report"),
+        selector.alias("selector"),
+        F.concat_ws("-", *[F.col(d) for d in spec.selector_dims]).alias("selector_desc"),
+        F.col("tree_json").alias("dimension_metrics"),
+    )

@@ -183,3 +183,30 @@ def build_reference_report(
         metrics=SCORE_METRICS,
     )
     return build_report(spark, prepared, spec)
+
+
+def build_achievement_rate(
+    spark: SparkSession, source_df: DataFrame, bg_all: bool = False
+) -> DataFrame:
+    """m_cocacola_score_achievement_rate.clj:43-83 — the static FR shape:
+    dw_dt pinned to the 9999-12-31 snapshot key, selector (bg, channel,
+    kpi), payload [bottler, period] → raw (c_total_score, c_weight,
+    value); the ``bg_all`` variant filters bottlers to the BG set and
+    rebadges the bg selector (the reference ran it as a second query
+    unioned into the sink — O3)."""
+    from etl_cascalog_spark.plans.report import StaticReportSpec, build_static_report
+
+    df = source_df
+    if bg_all:
+        df = df.where(F.col("bottler").isin(["SBL", "CBL", "BIG", "Zhuhai"]))
+        df = df.withColumn("bg", F.lit("0.2_BGs"))
+    spec = StaticReportSpec(
+        report="achievement_rate",
+        project="cocacola",
+        category="score",
+        source="model.d_cocacola_achievement_rate",
+        selector_dims=["bg", "channel", "kpi"],
+        payload_dims=["bottler", "period"],
+        metrics=["c_total_score", "c_weight", "value"],
+    )
+    return build_static_report(spark, df, spec)

@@ -376,6 +376,36 @@ def test_reference_report_registry(spark):
     assert len(REPORTS) == 5
 
 
+def test_achievement_rate_static_report(spark):
+    """Static FR report shape (no sliding): snapshot dw_dt, 2-level payload
+    of raw metrics, bg-all variant unioned (O3)."""
+    from etl_cascalog_spark.io import from_rows
+    from etl_cascalog_spark.plans.reports_registry import build_achievement_rate
+
+    rows = [
+        ("2017-01-31", "SBL", "SBL", "GT", "kpiA", 80.0, 0.5, 40.0),
+        ("2017-02-28", "SBL", "SBL", "GT", "kpiA", 90.0, 0.5, 45.0),
+        ("2017-02-28", "SBL", "BottlerX", "GT", "kpiA", 70.0, 0.5, 35.0),
+    ]
+    df = from_rows(
+        spark,
+        rows,
+        "period string, bg string, bottler string, channel string, kpi string,"
+        " c_total_score double, c_weight double, value double",
+    )
+    out = build_achievement_rate(spark, df).unionByName(
+        build_achievement_rate(spark, df, bg_all=True)
+    ).collect()
+    assert all(str(r.dw_dt) == "9999-12-31" for r in out)
+    plain = [r for r in out if r.selector == '{"bg":"SBL","channel":"GT","kpi":"kpiA"}']
+    assert len(plain) == 1
+    tree = plain[0].dimension_metrics
+    assert tree.startswith('{"BottlerX":{"2017-02-28":{"c_total_score":70.00')
+    assert '"SBL":{"2017-01-31":{"c_total_score":80.00' in tree
+    bg_all = [r for r in out if '"bg":"0.2_BGs"' in r.selector]
+    assert len(bg_all) == 1 and '"BottlerX"' not in bg_all[0].dimension_metrics
+
+
 def test_grouped_agg_pandas_udaf(spark):
     """§2.10: the GROUPED_AGG pandas UDAF path works (Arrow-batched)."""
     import math
