@@ -1718,7 +1718,9 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents")
     rows = winnow_fingerprint_rows(docs, "doc_id", "text", k=3, w=4)
     return rows.select(F.col("doc").alias("doc_id"), "fp")
-_SHINGLE_CTE = f"""
+#: tokenize + distinct 3-gram shingles — the shared base of every
+#: shingle-family oracle (jaccard, minhash verification, simhash sketch)
+_SHINGLE_BASE_CTE = f"""
     tok AS (
       SELECT doc_id, string_split({_NORM_SQL}, ' ') AS w FROM documents
     ), sh AS (
@@ -1726,7 +1728,12 @@ _SHINGLE_CTE = f"""
              unnest(list_transform(range(1, greatest(len(w) - 1, 1)),
                                    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
       FROM tok
-    ), sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+    )
+"""
+
+_SHINGLE_CTE = f"""
+    {_SHINGLE_BASE_CTE},
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
     common AS (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
       FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
@@ -1867,12 +1874,43 @@ def minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _simhash_oracle_sql() -> str:
+    """DuckDB oracle for simhash_dedup: the sketch hash is md5 (shared by
+    both engines, bit-identical lowercase hex), so the 64 sign-sums are
+    plain conditional aggregates; candidates need no banding here — the
+    band pigeonhole gives EXACT recall at Hamming ≤ bands-1, so all-pairs
+    Hamming ≤ 3 is the same set the banded Spark plan emits."""
+    digits = ", ".join(
+        f"strpos('0123456789abcdef', substr(hx, {i + 1}, 1)) - 1 AS d{i}"
+        for i in range(16)
+    )
+    votes = ", ".join(
+        f"SUM(CASE WHEN ((d{b // 4} >> {3 - (b % 4)}) & 1) = 1 THEN 1 ELSE -1 END) AS v{b}"
+        for b in range(64)
+    )
+    bits = ", ".join(f"CASE WHEN v{b} > 0 THEN 1 ELSE 0 END" for b in range(64))
+    return f"""
+    WITH {_SHINGLE_BASE_CTE},
+    hx AS (SELECT doc_id, md5(s) AS hx FROM sh),
+    dig AS (SELECT doc_id, {digits} FROM hx),
+    votes AS (SELECT doc_id, {votes} FROM dig GROUP BY doc_id),
+    bits AS (SELECT doc_id, [{bits}] AS bits FROM votes),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(list_sum(list_transform(range(1, 65),
+                  i -> CASE WHEN a.bits[i] != b.bits[i] THEN 1 ELSE 0 END)) AS INTEGER) AS hamming
+      FROM bits a JOIN bits b ON a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b, hamming FROM pairs WHERE hamming <= 3
+    """
+
+
 @register(
     "simhash_dedup",
-    oracle=None,  # engine-specific 64-bit hash — not SQL-expressible in DuckDB
+    oracle=_simhash_oracle_sql(),
     doc="SimHash(64-bit) near-dup pairs, Hamming ≤ 3 (exact recall by the "
-    "band pigeonhole), candidates from 16-bit bands. Rows-only check: "
-    "the sketch depends on xxhash64, which DuckDB lacks.",
+    "band pigeonhole), candidates from 16-bit bands. The sketch hashes "
+    "shingles with md5 so the DuckDB oracle reproduces it exactly.",
 )
 def simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_cascalog_spark.operators.dedup import simhash_pairs

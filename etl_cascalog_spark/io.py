@@ -61,7 +61,9 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         from pyspark.sql import functions as F
 
         if dict(df.dtypes).get("ts") == "bigint":
-            df = df.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+            # integer division: `/` promotes to double, and epoch-nanos
+            # (~1.7e18) exceed double's 2^53 exact range → off-by-±1µs
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
         return df
     return spark.read.parquet(path)
 
@@ -219,29 +221,64 @@ def write_parquet(df: DataFrame, path: str, mode: str = "overwrite", partition_b
     writer.parquet(path)
 
 
+def recover_publish(final_path: str) -> bool:
+    """Heal a crashed :func:`publish_atomic`: if the live path is missing
+    but a ``.old`` backup (or an orphaned version dir) exists, restore the
+    newest complete copy. Returns True if a repair was made. Idempotent —
+    safe to call on every reader/writer startup (the reference's 3-way
+    ``ALTER TABLE`` swap had the same window inside a DB transaction;
+    plain dirs need this explicit recovery step instead)."""
+    final_path = os.path.abspath(final_path)
+    if os.path.lexists(final_path):
+        if os.path.islink(final_path) and not os.path.exists(final_path):
+            os.unlink(final_path)  # broken symlink: fall through to restore
+        else:
+            return False
+    backup = final_path + ".old"
+    if os.path.lexists(backup):
+        os.rename(backup, final_path)
+        return True
+    return False
+
+
 def publish_atomic(df: DataFrame, final_path: str) -> None:
-    """S11/S12 atomic publish: write to temp dir, swap into place.
+    """S11/S12 publish: write a fresh version dir, flip a symlink.
 
     Reference: ``replace-into-ods`` / ``switch-tab`` 3-way ``ALTER TABLE
     RENAME`` shuffle (trgx.clj:188-193; model/d_bolome_order_show_debut.clj:55-58).
     On a lakehouse you would use Delta/Iceberg ``REPLACE TABLE``; over plain
-    dirs we stage to a sibling temp dir then rename — readers see either the
-    old or the new table, never a partial write.
+    dirs we stage to a sibling version dir and publish via ``os.replace`` of
+    a symlink — the flip is a single atomic rename, so readers see either
+    the old or the new table at every instant, including across a crash.
+
+    One caveat: if ``final_path`` already exists as a REAL directory (a
+    pre-symlink layout), the first call converts it: real dir → ``.old``,
+    then symlink creation. A crash between those two steps leaves no live
+    path but an intact ``.old`` — :func:`recover_publish` (called here on
+    entry, and safe on reader startup) restores it. After conversion the
+    window is gone for good.
     """
-    parent = os.path.dirname(os.path.abspath(final_path))
+    final_path = os.path.abspath(final_path)
+    parent = os.path.dirname(final_path)
     os.makedirs(parent, exist_ok=True)
-    tmp = tempfile.mkdtemp(prefix=".staging_", dir=parent)
-    staged = os.path.join(tmp, "data")
+    recover_publish(final_path)
+    staged = tempfile.mkdtemp(prefix=os.path.basename(final_path) + ".v", dir=parent)
     df.write.mode("overwrite").parquet(staged)
-    backup = final_path + ".old"
-    if os.path.exists(backup):
-        shutil.rmtree(backup)
-    if os.path.exists(final_path):
-        os.rename(final_path, backup)
-    os.rename(staged, final_path)
-    if os.path.exists(backup):
-        shutil.rmtree(backup)
-    shutil.rmtree(tmp, ignore_errors=True)
+    old_target = None
+    backup = None
+    if os.path.islink(final_path):
+        old_target = os.path.realpath(final_path)
+    elif os.path.exists(final_path):
+        backup = final_path + ".old"
+        if os.path.lexists(backup):
+            shutil.rmtree(backup)
+        os.rename(final_path, backup)  # crash after this → recover_publish
+    tmp_link = tempfile.mktemp(prefix=".link_", dir=parent)
+    os.symlink(os.path.basename(staged), tmp_link)
+    os.replace(tmp_link, final_path)  # the atomic flip
+    for stale in (old_target, backup):
+        if stale and os.path.lexists(stale):
+            shutil.rmtree(stale)
 
 
 def overwrite_logical_partition(

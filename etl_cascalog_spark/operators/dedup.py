@@ -84,14 +84,57 @@ def jaccard_pairs(
     text_col: str,
     n: int = 3,
     threshold: float = 0.7,
+    max_df: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity pairs ≥ threshold, via the inverted
     shingle index (no N² cross join): pairs sharing ≥1 shingle get a common
     count; |A∪B| = |A|+|B|-common.
 
+    ``max_df`` is the survivability cap for the exact path: shingles whose
+    document frequency exceeds it are dropped from the *pair-generation*
+    join only; the surviving candidate pairs are then re-verified against
+    the FULL shingle sets (``array_intersect``), so every emitted Jaccard
+    value is exact — a pair is missed only if ALL its shared shingles are
+    ultra-common. This mirrors ``max_bucket`` in :func:`minhash_lsh_pairs`:
+    candidate volume is O(Σ_{df≤cap} df²) instead of detonating on one
+    boilerplate shingle. ``None`` (default, the oracle baseline) joins
+    every shingle and skips the verification pass.
+
     Output: (doc_a, doc_b, jaccard) with doc_a < doc_b.
     """
     sh = shingle_sets(df, id_col, text_col, n).cache()
+    if max_df is not None:
+        from pyspark.sql import Window
+
+        # one count-over-window on shingle; the equi-join below reuses the
+        # same hash partitioning, so the cap costs no extra exchange
+        capped = (
+            sh.withColumn("__df", F.count("*").over(Window.partitionBy("shingle")))
+            .where(F.col("__df") <= max_df)
+            .drop("__df")
+        )
+        a = capped.toDF("doc_a", "shingle")
+        b = capped.toDF("doc_b", "shingle")
+        candidates = (
+            a.join(b, on="shingle")
+            .where(F.col("doc_a") < F.col("doc_b"))
+            .select("doc_a", "doc_b")
+            .distinct()
+        )
+        # exact verification on the full sets — identical shape to
+        # minhash_lsh_pairs' verification stage (broadcast candidates)
+        sets = shingle_arrays(df, id_col, text_col, n).cache()
+        sa = sets.toDF("doc_a", "sh_a")
+        sb = sets.toDF("doc_b", "sh_b")
+        common = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+        union = F.size(F.col("sh_a")) + F.size(F.col("sh_b")) - common
+        jx = common.cast("double") / union.cast("double")
+        return (
+            sa.join(F.broadcast(candidates), "doc_a")
+            .join(sb, "doc_b")
+            .where(jx >= threshold)
+            .select("doc_a", "doc_b", F.round(jx, 4).alias("jaccard"))
+        )
     sizes = sh.groupBy("doc").agg(F.count("*").alias("n_sh"))
     a = sh.toDF("doc_a", "shingle")
     b = sh.toDF("doc_b", "shingle")
@@ -227,25 +270,42 @@ def minhash_lsh_pairs(
 
 def simhash_sketch(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
     """64-bit SimHash as a bits array: bit b = sign of Σ_shingles ±1 by the
-    b-th bit of xxhash64(shingle).
+    b-th bit of the shingle's 64-bit hash.
+
+    The hash is the first 16 hex digits of ``md5(shingle)`` — md5 (not
+    xxhash64) specifically so the DuckDB oracle can reproduce the sketch
+    bit-for-bit (both engines emit identical lowercase-hex md5; bit b is
+    bit ``3-(b%4)`` of hex digit ``b//4``). Uniformity is equivalent.
 
     Shape chosen for whole-stage codegen: explode shingle hashes to rows,
-    then ONE groupBy(doc) with 64 conditional-sum aggregates (partial
-    aggregation combines map-side — the shuffle carries 64 longs per doc).
-    An earlier higher-order-fold formulation (64 ``F.aggregate`` lambdas
-    over the per-doc hash array) was ~20× slower: array lambdas are
-    interpreted, column sums are codegen'd.
+    materialize the 16 digit values ONCE per row (an inline md5 would be
+    re-evaluated inside each of the 64 aggregate expressions), then ONE
+    groupBy(doc) with 64 conditional-sum aggregates (partial aggregation
+    combines map-side — the shuffle carries 64 longs per doc). An earlier
+    higher-order-fold formulation (64 ``F.aggregate`` lambdas over the
+    per-doc hash array) was ~20× slower: array lambdas are interpreted,
+    column sums are codegen'd.
     """
-    # materialize the hash once per shingle row — an inline xxhash64 would
-    # be re-evaluated inside each of the 64 aggregate expressions
     sh = shingle_sets(df, id_col, text_col, n).select(
-        "doc", F.xxhash64(F.col("shingle")).alias("h")
+        "doc", F.md5(F.col("shingle")).alias("hx")
     )
-    h = F.col("h")
-    votes = sh.groupBy("doc").agg(
+    digits = sh.select(
+        "doc",
+        *[
+            F.conv(F.substring(F.col("hx"), i + 1, 1), 16, 10)
+            .cast("int")
+            .alias(f"d{i}")
+            for i in range(16)
+        ],
+    )
+    votes = digits.groupBy("doc").agg(
         *[
             F.sum(
-                F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+                F.when(
+                    F.shiftright(F.col(f"d{b // 4}"), 3 - (b % 4)).bitwiseAND(F.lit(1))
+                    == 1,
+                    1,
+                ).otherwise(-1)
             ).alias(f"v{b}")
             for b in range(64)
         ]

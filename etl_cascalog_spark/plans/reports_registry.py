@@ -98,23 +98,29 @@ def _prep_sku6_bg(df: DataFrame) -> DataFrame:
 
 
 def _prep_sovi_brand(df: DataFrame) -> DataFrame:
-    """m_cocacola_sovi_brand.clj:42-91: market not Tier, brand≠TOTAL, plus
-    the synthetic Others row per group: Others = 100 − Σ(brand shares)
-    (the collect-kv → assoc-in "Others" → explode idiom at :45-48, here a
-    grouped remainder union — map-side + one extra grouped pass, no pivot
-    round-trip)."""
-    base = (
-        df.where(regex_guard(F.col("market"), r"Tier\d").isNotNull())
-        .where(F.col("brand") != "TOTAL")
-    )
-    dims = ["dw_dt", "bg", "bottler", "channel", "juice_type", "sovi_type"]
+    """m_cocacola_sovi_brand.clj:42-91: the synthetic Others row per group,
+    then market/brand exclusions — IN THE REFERENCE'S ORDER. The
+    collect-kv at :45-46 groups by every var including ?market, and the
+    ``(- 100 (reduce + …))`` runs over the whole per-market brand map
+    (TOTAL included, if present); only afterwards (:72,:75) does the report
+    drop Tier markets and the TOTAL brand. So Others is per-market and its
+    sum INCLUDES a TOTAL row's value — strict parity with the job, even
+    though that double-count is arguably a reference bug (filtering first
+    would give Others = 100 − Σ real brands). Here: grouped remainder
+    union (map-side + one grouped pass, no pivot round-trip), filters
+    last."""
+    dims = ["dw_dt", "bg", "bottler", "channel", "market", "juice_type", "sovi_type"]
     others = (
-        base.groupBy(*[F.col(c) for c in dims])
+        df.groupBy(*[F.col(c) for c in dims])
         .agg((F.lit(100.0) - F.sum("value")).alias("value"))
         .withColumn("brand", F.lit("Others"))
     )
-    return base.select(*dims, "brand", "value").unionByName(
+    unioned = df.select(*dims, "brand", "value").unionByName(
         others.select(*dims, "brand", "value")
+    )
+    return (
+        unioned.where(regex_guard(F.col("market"), r"Tier\d").isNotNull())
+        .where(F.col("brand") != "TOTAL")
     )
 
 

@@ -26,8 +26,42 @@ def test_publish_atomic_swap(spark):
         got = spark.read.parquet(target)
         assert got.count() == 25
         assert got.select("v").distinct().collect()[0].v == "two"
-        # no leftover staging/backup dirs
-        assert sorted(d for d in os.listdir(tmp)) == ["ods_table"]
+        # symlink layout: the live link + exactly ONE version dir — no
+        # leftover staging/backup dirs or stale versions
+        entries = sorted(os.listdir(tmp))
+        assert entries[0] == "ods_table" and os.path.islink(target)
+        assert len(entries) == 2 and entries[1].startswith("ods_table.v")
+
+
+def test_publish_crash_recovery(spark):
+    """The documented mid-swap crash window (real-dir → symlink conversion):
+    a crash after ``final → .old`` leaves no live path; recover_publish
+    restores it, and the next publish converges to the symlink layout with
+    no further window."""
+    from etl_cascalog_spark.io import publish_atomic, recover_publish
+
+    with tempfile.TemporaryDirectory() as tmp:
+        target = os.path.join(tmp, "ods_table")
+        # legacy layout: table exists as a REAL directory
+        spark.range(10).withColumn("v", F.lit("one")).write.parquet(target)
+
+        # simulate the crash: final renamed to .old, new version never linked
+        os.rename(target, target + ".old")
+        assert not os.path.lexists(target)
+        assert recover_publish(target) is True
+        assert spark.read.parquet(target).count() == 10
+        assert recover_publish(target) is False  # idempotent no-op when live
+
+        # a real publish over the recovered dir converts to symlink layout
+        publish_atomic(spark.range(25).withColumn("v", F.lit("two")), target)
+        assert os.path.islink(target)
+        assert spark.read.parquet(target).count() == 25
+        # post-conversion: the flip is a single os.replace — crash-atomic;
+        # a second publish leaves exactly one live version + the link
+        publish_atomic(spark.range(7).withColumn("v", F.lit("three")), target)
+        assert spark.read.parquet(target).count() == 7
+        versions = [d for d in os.listdir(tmp) if d.startswith("ods_table.v")]
+        assert len(versions) == 1
 
 
 def test_overwrite_logical_partition_idempotent(spark):

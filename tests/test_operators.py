@@ -80,6 +80,39 @@ def test_pad_array(spark):
     assert out == [1, 2, 0, 0, 0]
 
 
+def test_jaccard_max_df_cap(spark):
+    """Exact-path survivability cap: an ultra-common boilerplate shingle is
+    excluded from pair GENERATION, but surviving pairs keep their exact
+    Jaccard (verified against the uncapped baseline)."""
+    from etl_cascalog_spark.operators.dedup import jaccard_pairs
+
+    boiler = "copyright acme corp all rights reserved"
+    bodies = [
+        " ".join(f"alpha{i} beta{i} gamma{i}" for i in range(30)),
+        " ".join(f"alpha{i} beta{i} gamma{i}" for i in range(30)) + " tail token",
+        " ".join(f"zeta{i} eta{i} theta{i}" for i in range(30)),
+    ]
+    docs = spark.createDataFrame(
+        [(i, f"{boiler} {b}") for i, b in enumerate(bodies)], ["doc_id", "text"]
+    )
+    exact = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in jaccard_pairs(docs, "doc_id", "text", threshold=0.5).collect()
+    }
+    # cap at df<=2: the boilerplate shingles (df=3) are dropped from the
+    # join; the near-dup pair (0,1) still shares body shingles → survives,
+    # with the SAME exact jaccard as the uncapped run
+    capped = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in jaccard_pairs(
+            docs, "doc_id", "text", threshold=0.5, max_df=2
+        ).collect()
+    }
+    assert (0, 1) in exact and capped[(0, 1)] == exact[(0, 1)]
+    # doc 2 relates to 0/1 ONLY via boilerplate — below threshold either way
+    assert all(2 not in p for p in capped)
+
+
 def test_simhash_finds_near_dups(spark):
     """SimHash recall guarantee: pairs within the banded Hamming bound are
     always found. Micro-dataset with controlled edits (1 word changed →
@@ -369,9 +402,13 @@ def test_reference_report_registry(spark):
     )
     sb = build_reference_report(spark, "sovi_brand", sovi, spine).collect()
     febv = next(r for r in sb if str(r.dw_dt) == "2017-02-28")
-    # KO 60 + PEPSI 25 → Others 15; Tier market and TOTAL brand excluded
+    # reference order (sovi_brand.clj:45-46 then :72,:75): Others computed
+    # per-market over the FULL brand map first — KO 60 + PEPSI 25 + TOTAL
+    # 100 → Others = 100-185 = -85 — and only then are the Tier1 market
+    # and the TOTAL brand dropped
     assert '"KO":' in febv.dimension_metrics and '"Others":' in febv.dimension_metrics
-    assert '"score":15.00' in febv.dimension_metrics.split('"Others"')[1]
+    assert '"score":-85.00' in febv.dimension_metrics.split('"Others"')[1]
+    assert "Tier1" not in febv.dimension_metrics and '"TOTAL"' not in febv.dimension_metrics
 
     assert len(REPORTS) == 5
 
