@@ -1258,6 +1258,112 @@ def trgx_nested_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     return nest_json(base, group_cols=["r_name"], level_cols=["n_name"], leaf_json=leaf)
 
 
+#: plan-time config skeleton for trgx_config_attach — the shape of
+#: conf.trgx_cocacola (trgx.clj:198-201): labels carry "[ID]描述" node ids,
+#: config DATA holds per-node weights, and the root's BRANCH groups are
+#: merged into CHILDREN by latest-trgx-merge (trgx.clj:203-210).
+_TRGX_SKELETON = {
+    "[KPI]score": {
+        "DATA": {"c_total_score": 100.0},
+        "BRANCH": {
+            "main": {
+                "GROUP-A": {
+                    "CHILDREN": {
+                        "[BUILDING]建材": {"DATA": {"c_weight": 0.30}},
+                        "[AUTOMOBILE]汽车": {"DATA": {"c_weight": 0.20}},
+                    }
+                },
+                "GROUP-B": {
+                    "CHILDREN": {
+                        "[MACHINERY]机械": {"DATA": {"c_weight": 0.25}},
+                    }
+                },
+            },
+            "extra": {
+                "GROUP-C": {
+                    "CHILDREN": {
+                        "[FURNITURE]家具": {"DATA": {"c_weight": 0.15}},
+                        "[HOUSEHOLD]家庭": {"DATA": {"c_weight": 0.10}},
+                    }
+                },
+            },
+        },
+    }
+}
+
+#: the path filter the query applies: exactly 3 levels, group label within
+#: the inclusive string range GROUP-A..GROUP-B, any leaf — subtree's
+#: ``[:range]`` + ``"*"`` algebra (d_bolome_user_order_stat_new2017-03-10.clj:73-96)
+_TRGX_ATTACH_PATTERN = ("[KPI]score", ("range", "GROUP-A", "GROUP-B"), "*")
+
+
+def _trgx_attach_oracle_sql() -> str:
+    """Oracle derived from the SAME skeleton literal the Spark query
+    broadcasts (so the two can't drift): flatten to (node_id, path, weight)
+    rows, apply the range/wildcard pattern in Python (the skeleton is
+    plan-time config), and join in SQL."""
+    from etl_cascalog_spark.plans.trgx import node_id, merge_branches, skeleton_paths
+
+    skel = merge_branches(_TRGX_SKELETON, "[KPI]score")
+    root, grp_rng, _ = _TRGX_ATTACH_PATTERN
+    rows = [
+        (node_id(p[-1]), "/".join(p), d["c_weight"])
+        for p, d in skeleton_paths(skel)
+        if len(p) == 3 and p[0] == root and grp_rng[1] <= p[1] <= grp_rng[2]
+    ]
+    values = ", ".join(
+        f"('{nid}', '{pth}', CAST({w} AS DECIMAL(4,2)))" for nid, pth, w in rows
+    )
+    return f"""
+    WITH skel(node_id, path_str, c_weight) AS (VALUES {values}),
+    agg AS (
+      SELECT c_nationkey AS nationkey, c_mktsegment AS segment,
+             CAST(round(sum(CAST(c_acctbal AS DECIMAL(12,2))), 2) AS DECIMAL(18,2)) AS value
+      FROM customer GROUP BY 1, 2
+    )
+    SELECT nationkey, path_str, CAST(c_weight AS DOUBLE) AS c_weight,
+           CAST(value AS DOUBLE) AS value,
+           CAST(round(value * c_weight, 2) AS DOUBLE) AS weighted
+    FROM agg JOIN skel ON segment = node_id
+    """
+
+
+@register(
+    "trgx_config_attach",
+    oracle=_trgx_attach_oracle_sql(),
+    doc="kv->trgx config-skeleton attach (trgx.clj:51-55,198-210): grouped "
+    "(id, value) rows grafted onto a broadcast plan-time skeleton by "
+    "pattern-matched node id, after latest-trgx-merge BRANCH flattening; "
+    "the attached paths then filtered with the subtree [:range lo hi]/'*' "
+    "algebra and scored by the node's config weight. The skeleton is "
+    "config-sized → broadcast; the data side never shuffles for the graft.",
+)
+def trgx_config_attach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_cascalog_spark.plans.trgx import (
+        attach_kv,
+        match_path,
+        merge_branches,
+        skeleton_df,
+    )
+
+    skel = skeleton_df(spark, merge_branches(_TRGX_SKELETON, "[KPI]score"))
+    cust = read_table(spark, sf_dir, "customer")
+    data = cust.groupBy(
+        F.col("c_nationkey").alias("nationkey"),
+        F.col("c_mktsegment").alias("segment"),
+    ).agg(dround(F.sum(money(F.col("c_acctbal")))).cast("decimal(18,2)").alias("value"))
+    attached = attach_kv(data, skel, "segment")
+    matched = attached.where(match_path(F.col("path"), list(_TRGX_ATTACH_PATTERN)))
+    w = F.element_at(F.col("conf"), "c_weight").cast("decimal(4,2)")
+    return matched.select(
+        "nationkey",
+        F.array_join(F.col("path"), "/").alias("path_str"),
+        w.cast("double").alias("c_weight"),
+        F.col("value").cast("double").alias("value"),
+        dround(F.col("value") * w).alias("weighted"),
+    )
+
+
 @register(
     "top_k_limit",
     oracle="""

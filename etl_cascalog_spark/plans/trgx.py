@@ -32,9 +32,10 @@ Reference op → long-format mapping:
 
 from __future__ import annotations
 
+import re
 from collections.abc import Sequence
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
@@ -73,15 +74,118 @@ def split_at_depth(df: DataFrame, n: int, path: str = "path") -> DataFrame:
     )
 
 
-def match_path(path: Column, pattern: Sequence[str]) -> Column:
-    """Wildcard path predicate (mlvar/d_bolome_user_order.clj:73-95):
-    pattern elements are literals or ``"*"`` (match any); the path must be
-    exactly as deep as the pattern."""
+def match_path(path: Column, pattern: Sequence) -> Column:
+    """Wildcard/range path predicate (the ``subtree``/``tree-nodes`` filter
+    algebra, mlvar/d_bolome_user_order_stat_new2017-03-10.clj:73-96):
+    pattern elements are literals, ``"*"`` (match any), or
+    ``("range", lo, hi)`` (inclusive string-order bounds — the reference's
+    ``[:range lo hi]`` via ``sort?``); the path must be exactly as deep as
+    the pattern."""
     cond = F.size(path) == len(pattern)
     for i, pat in enumerate(pattern):
-        if pat != "*":
-            cond = cond & (F.element_at(path, i + 1) == pat)
+        e = F.element_at(path, i + 1)
+        if pat == "*":
+            continue
+        if isinstance(pat, (tuple, list)) and pat and pat[0] == "range":
+            cond = cond & (e >= pat[1]) & (e <= pat[2])
+        else:
+            cond = cond & (e == pat)
     return cond
+
+
+# ---------------------------------------------------------------------------
+# Config-skeleton attach (kv->trgx): grafting grouped metric rows onto a
+# plan-time config tree.
+# ---------------------------------------------------------------------------
+
+_NODE_ID_RE = re.compile(r"\[(\S+)\]")
+
+
+def node_id(label: str) -> str:
+    """``node->id`` (trgx.clj:49): a node label ``"[CODE]描述"`` keys by its
+    bracketed CODE; a label without a ``[id]`` prefix keys by itself (after
+    stripping a leading empty ``[]``)."""
+    m = _NODE_ID_RE.search(label)
+    if m:
+        return m.group(1)
+    return re.sub(r"^\[\]", "", label)
+
+
+def merge_branches(skeleton: dict, label: str) -> dict:
+    """``latest-trgx-merge`` (trgx.clj:203-210): replace node ``label``'s
+    ``BRANCH`` (named groups of alternative child maps) with the merge of
+    all branch values as its ``CHILDREN``. Non-mutating — returns a new
+    skeleton; driver-side config preprocessing (the skeleton is plan-time
+    config, like ``broadcast_config_map``)."""
+    out = dict(skeleton)
+    node = dict(out[label])
+    merged: dict = {}
+    for branch in node.get("BRANCH", {}).values():
+        merged.update(branch)
+    node["CHILDREN"] = merged
+    node.pop("BRANCH", None)
+    out[label] = node
+    return out
+
+
+def skeleton_paths(skeleton: dict, _prefix: tuple = ()) -> list[tuple[list[str], dict]]:
+    """Flatten a config skeleton ``{label: {"DATA": {...}, "CHILDREN":
+    {...}}}`` into (path, data) rows — the long format of the config tree."""
+    rows: list[tuple[list[str], dict]] = []
+    for label, node in skeleton.items():
+        path = (*_prefix, label)
+        rows.append((list(path), dict(node.get("DATA", {}))))
+        rows.extend(skeleton_paths(node.get("CHILDREN", {}), path))
+    return rows
+
+
+def skeleton_df(spark: SparkSession, skeleton: dict) -> DataFrame:
+    """The skeleton as a (node_id, path, conf) frame — conf is the node's
+    config ``DATA`` (numeric map). Bounded plan-time structure → always the
+    broadcast side of :func:`attach_kv`."""
+    rows = [
+        (node_id(path[-1]), path, {k: float(v) for k, v in data.items()})
+        for path, data in skeleton_paths(skeleton)
+    ]
+    return spark.createDataFrame(
+        rows, "node_id string, path array<string>, conf map<string,double>"
+    )
+
+
+def attach_kv(
+    data: DataFrame,
+    skeleton_frame: DataFrame,
+    id_col: str,
+    group_cols: Sequence[str] | None = None,
+) -> DataFrame:
+    """``kv->trgx`` (trgx.clj:51-55): graft metric rows onto the config
+    skeleton by pattern-matched node id. The reference postwalks the tree
+    per collected KV map; in the long format the graft IS a broadcast
+    equi-join: ``data.id_col`` ↔ ``skeleton.node_id``, yielding one row per
+    matched node carrying (path, conf, data metrics).
+
+    With ``group_cols``, emits the COMPLETE skeleton per group (unmatched
+    nodes keep NULL metrics) — the reference's tree always contains every
+    config node whether or not :DATA attached; without, only matched nodes
+    (the report pipelines drop data-less nodes immediately anyway via the
+    ``?var`` non-null filter).
+
+    100 TB posture: skeleton is config-sized (broadcast — no shuffle of the
+    data side); the per-group complete variant crosses DISTINCT groups with
+    the skeleton, never the raw rows.
+    """
+    skel = F.broadcast(skeleton_frame)
+    if group_cols is None:
+        return data.join(skel, data[id_col] == skeleton_frame["node_id"]).drop(
+            "node_id"
+        )
+    groups = data.select(*[F.col(c) for c in group_cols]).distinct()
+    keyed = data.withColumnRenamed(id_col, "node_id")
+    return (
+        groups.crossJoin(skel)
+        .join(keyed, on=[*group_cols, "node_id"], how="left")
+        .withColumnRenamed("node_id", id_col)
+    )
 
 
 def metrics_json(metrics: dict[str, Column]) -> Column:

@@ -80,6 +80,54 @@ def test_pad_array(spark):
     assert out == [1, 2, 0, 0, 0]
 
 
+def test_kv_trgx_skeleton_attach(spark):
+    """kv->trgx (trgx.clj:51-55): node-id extraction, latest-trgx-merge
+    BRANCH flattening (trgx.clj:203-210), and the per-group COMPLETE
+    attach — unmatched skeleton nodes survive with NULL metrics, exactly
+    like the reference tree keeps data-less config nodes."""
+    from etl_cascalog_spark.plans.trgx import (
+        attach_kv,
+        merge_branches,
+        node_id,
+        skeleton_df,
+        skeleton_paths,
+    )
+
+    assert node_id("[C101]产品铺货") == "C101"
+    assert node_id("GROUP-A") == "GROUP-A"
+    assert node_id("[]root") == "root"
+
+    skel = {
+        "[R]root": {
+            "DATA": {"c_total_score": 100.0},
+            "BRANCH": {
+                "b1": {"[A]alpha": {"DATA": {"c_weight": 0.6}}},
+                "b2": {"[B]beta": {"DATA": {"c_weight": 0.4}}},
+            },
+        }
+    }
+    merged = merge_branches(skel, "[R]root")
+    assert "BRANCH" not in merged["[R]root"]
+    assert set(merged["[R]root"]["CHILDREN"]) == {"[A]alpha", "[B]beta"}
+    assert skel["[R]root"].get("BRANCH")  # non-mutating
+    paths = dict((tuple(p), d) for p, d in skeleton_paths(merged))
+    assert paths[("[R]root", "[A]alpha")] == {"c_weight": 0.6}
+
+    sf = skeleton_df(spark, merged)
+    data = spark.createDataFrame(
+        [("g1", "A", 10.0), ("g2", "B", 20.0)], ["grp", "code", "value"]
+    )
+    out = {
+        (r.grp, tuple(r.path)): r.value
+        for r in attach_kv(data, sf, "code", group_cols=["grp"]).collect()
+    }
+    # complete skeleton per group: 3 nodes × 2 groups
+    assert len(out) == 6
+    assert out[("g1", ("[R]root", "[A]alpha"))] == 10.0
+    assert out[("g1", ("[R]root", "[B]beta"))] is None  # unmatched → NULL
+    assert out[("g2", ("[R]root", "[B]beta"))] == 20.0
+
+
 def test_jaccard_max_df_cap(spark):
     """Exact-path survivability cap: an ultra-common boilerplate shingle is
     excluded from pair GENERATION, but surviving pairs keep their exact
