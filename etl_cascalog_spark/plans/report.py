@@ -46,7 +46,11 @@ def json_object(pairs: dict[str, Column]) -> Column:
     parts: list[Column] = []
     for i, (name, col) in enumerate(pairs.items()):
         prefix = ("," if i else "") + f'"{name}":"'
-        parts.append(F.concat(F.lit(prefix), col.cast("string"), F.lit('"')))
+        parts.append(
+            F.concat(
+                F.lit(prefix), F.coalesce(col.cast("string"), F.lit("")), F.lit('"')
+            )
+        )
     return F.concat(F.lit("{"), *parts, F.lit("}"))
 
 
@@ -70,7 +74,42 @@ class ReportSpec:
     #: {json_key: column_name} for reference-faithful metric labels
     #: (score/pp_score/… , m_cocacola_score_channel.clj:82)
     metrics: Sequence[str] | Mapping[str, str] = ("value", "pp_delta", "yoy_delta")
+    #: metric json keys emitted as quoted JSON strings, not decimals — the
+    #: reference ships sort keys/labels inside the leaf (``:abbr``
+    #: m_cocacola_skus.clj:67, ``:bg`` m_cocacola_availability_period_trend.clj:68)
+    string_metrics: Sequence[str] = ()
+    #: metric json keys whose column is ALREADY a JSON document — embedded
+    #: raw (``:period_value`` m_cocacola_anal_rep_kpis.clj:48)
+    raw_json_metrics: Sequence[str] = ()
+    #: extra grouping dims that feed string metrics (``abbr`` sort keys) but
+    #: are neither selector nor payload levels
+    carry_dims: Sequence[str] = ()
+    #: FR jobs that pin the report row key (``(identity "9999-12-31" :>
+    #: ?dw-dt)``, m_cocacola_sovi_period_trend.clj:71): the sliding pipeline
+    #: still runs, periods move into the payload, dw_dt is the snapshot
+    snapshot_dt: str | None = None
     refresh: str = "wm"  # "wm" (I1 watermark) | "full" (I5)
+
+
+def metric_leaf(
+    metrics: Sequence[str] | Mapping[str, str],
+    string_metrics: Sequence[str] = (),
+    raw_json_metrics: Sequence[str] = (),
+) -> Column:
+    """Leaf JSON from a metrics declaration: decimal(18,2) numbers by
+    default, quoted strings for ``string_metrics``, raw embedding for
+    ``raw_json_metrics``."""
+    mapping = metrics if isinstance(metrics, Mapping) else {m: m for m in metrics}
+    cols: dict[str, Column] = {}
+    for key, name in mapping.items():
+        c = name if isinstance(name, Column) else F.col(name)
+        if key in raw_json_metrics:
+            cols[key] = c
+        elif key in string_metrics:
+            cols[key] = F.concat(F.lit('"'), c.cast("string"), F.lit('"'))
+        else:
+            cols[key] = c.cast("decimal(18,2)")
+    return metrics_json(cols)
 
 
 def build_report(spark: SparkSession, source_df: DataFrame, spec: ReportSpec) -> DataFrame:
@@ -81,7 +120,13 @@ def build_report(spark: SparkSession, source_df: DataFrame, spec: ReportSpec) ->
     for f in spec.filters:
         df = df.where(f)
 
-    dims = list(spec.selector_dims) + list(spec.payload_dims)
+    dims = [
+        d
+        for d in dict.fromkeys(
+            [*spec.selector_dims, *spec.payload_dims, *spec.carry_dims]
+        )
+        if d != "period"
+    ]
     compared = with_period_comparisons(
         spark,
         df,
@@ -90,28 +135,29 @@ def build_report(spark: SparkSession, source_df: DataFrame, spec: ReportSpec) ->
         value_col=spec.value_col,
         spine_start=spec.spine_start,
         spine_end=spec.spine_end,
-    )
+    ).withColumn("period", F.col("dw_dt").cast("string"))
 
-    if isinstance(spec.metrics, Mapping):
-        metric_cols = {k: F.col(v) for k, v in spec.metrics.items()}
-    else:
-        metric_cols = {m: F.col(m) for m in spec.metrics}
-    leaf = metrics_json({k: c.cast("decimal(18,2)") for k, c in metric_cols.items()})
+    snapshot = spec.snapshot_dt is not None
+    group_cols = ([] if snapshot else ["dw_dt"]) + list(spec.selector_dims)
+    leaf = metric_leaf(spec.metrics, spec.string_metrics, spec.raw_json_metrics)
     if spec.payload_dims:
         nested = nest_json(
             compared,
-            group_cols=["dw_dt", *spec.selector_dims],
+            group_cols=group_cols,
             level_cols=list(spec.payload_dims),
             leaf_json=leaf,
         )
     else:
         nested = compared.withColumn("tree_json", leaf).select(
-            "dw_dt", *spec.selector_dims, "tree_json"
+            *group_cols, "tree_json"
         )
 
     selector = json_object({d: F.col(d) for d in spec.selector_dims})
+    dw = (
+        F.lit(spec.snapshot_dt).cast("date") if snapshot else F.col("dw_dt")
+    )
     return nested.select(
-        F.col("dw_dt"),
+        dw.alias("dw_dt"),
         F.lit(spec.project).alias("project"),
         F.lit(spec.category).alias("category"),
         F.lit(spec.report).alias("report"),
@@ -136,6 +182,8 @@ class StaticReportSpec:
     selector_dims: Sequence[str]
     payload_dims: Sequence[str]
     metrics: Sequence[str] | Mapping[str, str]
+    string_metrics: Sequence[str] = ()
+    raw_json_metrics: Sequence[str] = ()
     snapshot_dt: str = "9999-12-31"
 
 
@@ -145,11 +193,7 @@ def build_static_report(
     """Compose a static (no-sliding) report: nested payload JSON per
     selector group, one row per selector combination at the snapshot key.
     One grouped pass per payload level — no pivot, no spine."""
-    if isinstance(spec.metrics, Mapping):
-        metric_cols = {k: F.col(v) for k, v in spec.metrics.items()}
-    else:
-        metric_cols = {m: F.col(m) for m in spec.metrics}
-    leaf = metrics_json({k: c.cast("decimal(18,2)") for k, c in metric_cols.items()})
+    leaf = metric_leaf(spec.metrics, spec.string_metrics, spec.raw_json_metrics)
     nested = nest_json(
         source_df,
         group_cols=list(spec.selector_dims),

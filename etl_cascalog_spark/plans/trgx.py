@@ -111,6 +111,26 @@ def node_id(label: str) -> str:
     return re.sub(r"^\[\]", "", label)
 
 
+def node_id_col(label: Column) -> Column:
+    """Column twin of :func:`node_id` — extract the node key from a
+    ``"[CODE]描述"`` label built row-side (``(str "[" !code "]" ?item)``,
+    m_cocacola_score_period.clj:66; a NULL code yields ``"[]item"`` whose
+    id is the bare item)."""
+    ext = F.regexp_extract(label, r"\[(\S+)\]", 1)
+    return F.when(ext != "", ext).otherwise(F.regexp_replace(label, r"^\[\]", ""))
+
+
+def code_item_col(code: Column, item: Column) -> Column:
+    """``(str "[" !code "]" ?item)`` with Clojure's nil→"" str semantics."""
+    return F.concat(F.lit("["), F.coalesce(code, F.lit("")), F.lit("]"), item)
+
+
+def branch_subtree(skeleton: dict, label: str, branch: str = "CODE") -> dict:
+    """``latest-trgx-kpi`` (trgx.clj:211-212): the ``branch`` child-map of
+    node ``label``'s BRANCH — the KPI subtree the trgx reports attach to."""
+    return skeleton[label]["BRANCH"][branch]
+
+
 def merge_branches(skeleton: dict, label: str) -> dict:
     """``latest-trgx-merge`` (trgx.clj:203-210): replace node ``label``'s
     ``BRANCH`` (named groups of alternative child maps) with the merge of
@@ -140,15 +160,21 @@ def skeleton_paths(skeleton: dict, _prefix: tuple = ()) -> list[tuple[list[str],
 
 
 def skeleton_df(spark: SparkSession, skeleton: dict) -> DataFrame:
-    """The skeleton as a (node_id, path, conf) frame — conf is the node's
-    config ``DATA`` (numeric map). Bounded plan-time structure → always the
-    broadcast side of :func:`attach_kv`."""
-    rows = [
-        (node_id(path[-1]), path, {k: float(v) for k, v in data.items()})
-        for path, data in skeleton_paths(skeleton)
-    ]
+    """The skeleton as a (node_id, path, conf, is_leaf) frame — conf is the
+    node's config ``DATA`` (numeric map; non-numeric config values travel
+    in ``conf_str``). Bounded plan-time structure → always the broadcast
+    side of :func:`attach_kv`."""
+    paths = skeleton_paths(skeleton)
+    prefixes = {tuple(p[:-1]) for p, _ in paths if len(p) > 1}
+    rows = []
+    for path, data in paths:
+        num = {k: float(v) for k, v in data.items() if isinstance(v, (int, float))}
+        txt = {k: str(v) for k, v in data.items() if not isinstance(v, (int, float))}
+        rows.append((node_id(path[-1]), path, num, txt, tuple(path) not in prefixes))
     return spark.createDataFrame(
-        rows, "node_id string, path array<string>, conf map<string,double>"
+        rows,
+        "node_id string, path array<string>, conf map<string,double>, "
+        "conf_str map<string,string>, is_leaf boolean",
     )
 
 
@@ -221,19 +247,110 @@ def nest_json(
         entries = F.array_sort(
             F.collect_list(F.struct(F.col(level).alias("k"), F.col("__json").alias("v")))
         )
-        body = F.aggregate(
-            entries,
-            F.lit("").cast("string"),
-            lambda acc, e: F.concat(
-                acc,
-                F.when(acc == "", F.lit("")).otherwise(F.lit(",")),
-                F.lit('"'),
-                e["k"],
-                F.lit('":'),
-                e["v"],
-            ),
-        )
         out = out.groupBy(*[F.col(k) for k in keys]).agg(
-            F.concat(F.lit("{"), body, F.lit("}")).alias("__json")
+            F.concat(F.lit("{"), _fold_entries(entries), F.lit("}")).alias("__json")
         )
     return out.withColumnRenamed("__json", "tree_json")
+
+
+def _fold_entries(entries: Column) -> Column:
+    """Fold a sorted array<struct<k,v>> into ``"k1":v1,"k2":v2`` (v already
+    JSON)."""
+    return F.aggregate(
+        entries,
+        F.lit("").cast("string"),
+        lambda acc, e: F.concat(
+            acc,
+            F.when(acc == "", F.lit("")).otherwise(F.lit(",")),
+            F.lit('"'),
+            e["k"],
+            F.lit('":'),
+            e["v"],
+        ),
+    )
+
+
+def conf_json(conf: Column, conf_str: Column) -> Column:
+    """Deterministic JSON body (no braces) of a skeleton node's config DATA:
+    numeric entries then string entries, each key-sorted."""
+    num = F.array_sort(
+        F.transform(
+            F.map_entries(conf),
+            lambda e: F.struct(e["key"].alias("k"), e["value"].cast("string").alias("v")),
+        )
+    )
+    txt = F.array_sort(
+        F.transform(
+            F.map_entries(conf_str),
+            lambda e: F.struct(
+                e["key"].alias("k"), F.concat(F.lit('"'), e["value"], F.lit('"')).alias("v")
+            ),
+        )
+    )
+    return _fold_entries(F.concat(num, txt))
+
+
+def nest_trgx_json(
+    rows: DataFrame,
+    group_cols: Sequence[str],
+    max_depth: int,
+    path_col: str = "path",
+    data_json_col: str = "data_json",
+) -> DataFrame:
+    """Fold per-node (group, path, data_json) rows into ONE reference-shaped
+    trgx JSON per group: ``{label: {"DATA": {...}, "CHILDREN": {label:
+    ...}}}`` — the ``{node {:DATA … :CHILDREN …}}`` EDN the reference ships
+    between jobs (mlvar/d_bolome_user_order.clj:80-132, ziptkv
+    [:DATA :CHILDREN]), emitted as JSON.
+
+    Unlike :func:`nest_json` (fixed-depth leaves), this accepts RAGGED
+    trees: any node at any depth may carry data; children fold under their
+    parent via one grouped pass + broadcast-sized join per level
+    (``max_depth`` is config-bounded, so the loop is short; every shuffle
+    key is (group, path-prefix) — partial aggregation applies)."""
+    g = list(group_cols)
+    p = F.col(path_col)
+    cur = None  # (group..., __path, __json) at depth+1
+    for depth in range(max_depth, 0, -1):
+        nodes = rows.where(F.size(p) == depth).select(
+            *[F.col(c) for c in g],
+            p.alias("__path"),
+            F.coalesce(F.col(data_json_col), F.lit("{}")).alias("__data"),
+        )
+        if cur is not None:
+            entries = F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.element_at(F.col("__path"), -1).alias("k"),
+                        F.col("__json").alias("v"),
+                    )
+                )
+            )
+            children = (
+                cur.withColumn("__parent", F.slice(F.col("__path"), 1, depth))
+                .groupBy(*[F.col(c) for c in g], F.col("__parent"))
+                .agg(F.concat(F.lit("{"), _fold_entries(entries), F.lit("}")).alias("__ch"))
+                .withColumnRenamed("__parent", "__path")
+            )
+            nodes = nodes.join(children, on=[*g, "__path"], how="left")
+        else:
+            nodes = nodes.withColumn("__ch", F.lit(None).cast("string"))
+        cur = nodes.select(
+            *[F.col(c) for c in g],
+            "__path",
+            F.concat(
+                F.lit('{"DATA":'),
+                F.col("__data"),
+                F.lit(',"CHILDREN":'),
+                F.coalesce(F.col("__ch"), F.lit("{}")),
+                F.lit("}"),
+            ).alias("__json"),
+        )
+    roots = F.array_sort(
+        F.collect_list(
+            F.struct(F.element_at(F.col("__path"), 1).alias("k"), F.col("__json").alias("v"))
+        )
+    )
+    return cur.groupBy(*[F.col(c) for c in g]).agg(
+        F.concat(F.lit("{"), _fold_entries(roots), F.lit("}")).alias("tree_json")
+    )
