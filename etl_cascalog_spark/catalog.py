@@ -931,6 +931,105 @@ def train_window_slices(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _shift_cut_windows() -> dict:
+    """Shared plan-time window spec for shift_cut_trgx_features — generated
+    once by take_train_dts so the Spark query and the DuckDB oracle can't
+    drift (mirrors the reference fetching its dm/dw ranges at plan time,
+    mlvar/d_bolome_user_order_stat.clj:52-70)."""
+    from etl_cascalog_spark.operators.sessions import take_train_dts
+
+    return take_train_dts(
+        n=3,
+        back_step=7,
+        dm_range=("1998-06-01", "1998-06-30"),
+        dw_range=("1992-01-01", "1998-08-02"),
+        intervals=[30, 90],
+    )
+
+
+def _shift_cut_oracle_sql() -> str:
+    wins = _shift_cut_windows()
+    rows = []
+    for kind in ("train", "test"):
+        for w_idx, spec in enumerate(wins[kind]):
+            y_s, y_e = spec["y"]
+            for itv, (x_s, x_e) in spec["xs"].items():
+                rows.append(
+                    f"('{kind}', {w_idx}, '{y_s}', '{y_e}', {int(itv)}, '{x_s}', '{x_e}')"
+                )
+    values = ", ".join(rows)
+    return f"""
+    WITH wins(kind, window_idx, y_start, y_end, x_interval, x_start, x_end)
+      AS (VALUES {values}),
+    items AS (
+      SELECT o_custkey AS user_id, CAST(o_orderdate AS VARCHAR) AS dt,
+             l_partkey AS product, o_orderkey AS ord,
+             CAST(l_extendedprice AS DECIMAL(12,2)) AS revenue,
+             CAST(l_quantity AS DECIMAL(12,2)) AS quantity
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      WHERE o_custkey < 300
+    ), j AS (
+      SELECT * FROM items CROSS JOIN wins
+      WHERE (dt BETWEEN x_start AND x_end) OR (dt BETWEEN y_start AND y_end)
+    )
+    SELECT user_id, kind, CAST(window_idx AS INT) AS window_idx,
+           CAST(x_interval AS INT) AS x_interval,
+           max(CASE WHEN dt BETWEEN y_start AND y_end THEN 1 ELSE 0 END) AS y_flag,
+           count(DISTINCT CASE WHEN dt BETWEEN x_start AND x_end
+                 THEN dt || '|' || product || '|' || ord END) AS order_cnt,
+           CAST(round(sum(CASE WHEN dt BETWEEN x_start AND x_end THEN revenue END), 2) AS DOUBLE) AS revenue,
+           CAST(round(sum(CASE WHEN dt BETWEEN x_start AND x_end THEN quantity END), 2) AS DOUBLE) AS quantity,
+           CAST(round(sum(CASE WHEN dt BETWEEN x_start AND x_end AND product = 1 THEN revenue END), 2) AS DOUBLE) AS revenue_p1,
+           CAST(round(sum(CASE WHEN dt BETWEEN x_start AND x_end AND product = 1 THEN quantity END), 2) AS DOUBLE) AS quantity_p1,
+           CAST(round(sum(CASE WHEN dt BETWEEN x_start AND x_end AND product = 2 THEN revenue END), 2) AS DOUBLE) AS revenue_p2,
+           CAST(round(sum(CASE WHEN dt BETWEEN x_start AND x_end AND product = 2 THEN quantity END), 2) AS DOUBLE) AS quantity_p2
+    FROM j GROUP BY 1, 2, 3, 4
+    """
+
+
+@register(
+    "shift_cut_trgx_features",
+    oracle=_shift_cut_oracle_sql(),
+    doc="shift-cut-trgx tree-window aggregation (mlvar/d_bolome_user_order_"
+    "stat_new2017-03-10.clj:97-135) composed with take-train-dts (:52-70): "
+    "per-user order trees shifted/truncated per train/test window — label "
+    "flag over the y range, distinct-order counts and per-metric/"
+    "per-product sums over each x lookback, in ONE grouped pass over a "
+    "broadcast window spec (the reference walked each user's nested EDN "
+    "per window on one thread).",
+)
+def shift_cut_trgx_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_cascalog_spark.operators.sessions import shift_cut_features
+
+    li = read_table(spark, sf_dir, "lineitem")
+    orders = read_table(spark, sf_dir, "orders").where(F.col("o_custkey") < 300)
+    items = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
+        F.col("o_custkey").alias("user_id"),
+        F.col("o_orderdate").alias("dt"),
+        F.col("l_partkey").alias("product"),
+        F.col("o_orderkey").alias("ord"),
+        money(F.col("l_extendedprice")).alias("revenue"),
+        money(F.col("l_quantity")).alias("quantity"),
+    )
+    out = shift_cut_features(
+        items,
+        _shift_cut_windows(),
+        user_col="user_id",
+        dt_col="dt",
+        product_col="product",
+        order_col="ord",
+        metric_cols=["revenue", "quantity"],
+        product_ids=(1, 2),
+    )
+    metric_out = [
+        "revenue", "quantity", "revenue_p1", "quantity_p1", "revenue_p2", "quantity_p2",
+    ]
+    return out.select(
+        "user_id", "kind", "window_idx", "x_interval", "y_flag", "order_cnt",
+        *[dround(F.col(m)).alias(m) for m in metric_out],
+    )
+
+
 @register(
     "static_report",
     oracle="""

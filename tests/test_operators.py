@@ -80,6 +80,60 @@ def test_pad_array(spark):
     assert out == [1, 2, 0, 0, 0]
 
 
+def test_take_train_dts_and_shift_cut(spark):
+    """take-train-dts window generation (mlvar/d_bolome_user_order_stat.clj
+    :52-70) + shift-cut-trgx aggregation (:97-135): shifted y/x windows,
+    bool-string metric coercion, per-product splits."""
+    from etl_cascalog_spark.operators.sessions import (
+        shift_cut_features,
+        take_train_dts,
+    )
+
+    wins = take_train_dts(
+        n=2, back_step=7,
+        dm_range=("2024-02-01", "2024-02-10"),
+        dw_range=("2023-11-01", "2024-03-01"),
+        intervals=[10, 30],
+    )
+    # his_max = 2024-01-31 (dm_start − 1); dm span 9 days; x gap 10 days
+    assert len(wins["train"]) == 2 and len(wins["test"]) == 1
+    t0 = wins["train"][0]
+    assert t0["y"] == ("2024-01-22", "2024-01-31")
+    assert t0["xs"][10] == ("2024-01-11", "2024-01-21")
+    assert t0["xs"][30] == ("2023-12-22", "2024-01-21")
+    assert wins["train"][1]["y"][1] == "2024-01-24"  # back_step 7
+    assert wins["test"][0]["y"] == ("2024-02-01", "2024-02-10")
+
+    items = spark.createDataFrame(
+        [
+            # (user, dt, product, order, revenue, debut_flag)
+            ("u1", "2024-01-15", 1125, "o1", 10.0, "true"),
+            ("u1", "2024-01-15", 1125, "o1", 5.0, "false"),
+            ("u1", "2024-01-20", 9, "o2", 7.0, "false"),
+            ("u1", "2024-01-30", 9, "o3", 99.0, "true"),  # in y of t0, not x
+            ("u2", "2023-12-25", 1125, "o4", 3.0, "true"),
+        ],
+        "user string, dt string, product int, ord string, revenue double,"
+        " debut string",
+    )
+    out = {
+        (r.user, r.kind, r.window_idx, r.x_interval): r
+        for r in shift_cut_features(
+            items, wins, "user", "dt", "product", "ord",
+            ["revenue", "debut"], product_ids=(1125,),
+        ).collect()
+    }
+    r = out[("u1", "train", 0, 10)]
+    # two orders in x10; debut strings coerce true→1 false→0 (Σ=1);
+    # per-product split keeps only the 1125 rows; y window hit by o3
+    assert r.order_cnt == 2 and float(r.revenue) == 22.0
+    assert float(r.debut) == 1.0 and float(r.debut_p1125) == 1.0
+    assert float(r.revenue_p1125) == 15.0 and r.y_flag == 1
+    # u2's December row only reaches the 30-day lookback
+    assert ("u2", "train", 0, 10) not in out
+    assert float(out[("u2", "train", 0, 30)].revenue) == 3.0
+
+
 def test_kv_trgx_skeleton_attach(spark):
     """kv->trgx (trgx.clj:51-55): node-id extraction, latest-trgx-merge
     BRANCH flattening (trgx.clj:203-210), and the per-group COMPLETE
