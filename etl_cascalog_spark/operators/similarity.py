@@ -92,6 +92,79 @@ def cosine_topk(
     )
 
 
+def cosine_topk_blas(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+) -> DataFrame:
+    """Vectorized exact cosine top-k — the PRODUCTION scorer (closes the
+    interpreted-fold floor of :func:`cosine_topk`, which stays as the
+    bit-portable oracle baseline).
+
+    Shape: the bounded query set (an eval/re-rank set by contract — the
+    same side :func:`cosine_topk` broadcasts) is collected into one
+    float64 numpy matrix; the corpus streams through ``mapInPandas`` in
+    Arrow batches, each batch scored with ONE BLAS matmul
+    (``C_normed @ Q_normedᵀ``) and reduced map-side to its per-query
+    top-k via ``argpartition`` — so the shuffle carries only
+    batches × |Q| × k candidate rows, never the full score matrix; a
+    final window merge picks the global top-k. ~10-100× the fold's
+    throughput (Arrow batch + BLAS vs per-element Catalyst interpretation).
+
+    Determinism note: float64 matmul sums in a different order than the
+    sequential fold, so scores can differ by ~1e-15 — ranks only flip on
+    exact near-ties, which is why the catalog checks this operator on
+    (query_id, neighbor_id, rank) with the exact-SQL oracle.
+
+    Output: (query_id, neighbor_id, rank, cos_sim).
+    """
+    import numpy as np
+    import pandas as pd
+
+    from etl_cascalog_spark.io import ensure_min_parallelism
+
+    corpus = ensure_min_parallelism(corpus, id_col)
+    q_rows = queries.select(F.col(id_col), F.col(vec_col)).collect()
+    qids = [r[0] for r in q_rows]
+    Q = np.asarray([r[1] for r in q_rows], dtype=np.float64)
+    Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+    qid_arr = np.asarray(qids)
+
+    id_dtype = dict(corpus.dtypes)[id_col]
+    out_schema = f"query_id {id_dtype}, neighbor_id {id_dtype}, cos double"
+
+    def score(batches):
+        for pdf in batches:
+            ids = pdf[id_col].to_numpy()
+            C = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+            S = Cn @ Qn.T  # (batch, |Q|) — one BLAS call
+            # self-match mask, then per-query partial top-k inside the batch
+            kk = min(k, S.shape[0])
+            out_q, out_n, out_s = [], [], []
+            for qi in range(S.shape[1]):
+                col = S[:, qi].copy()
+                col[ids == qid_arr[qi]] = -np.inf
+                idx = np.argpartition(-col, kk - 1)[:kk]
+                keep = idx[np.isfinite(col[idx])]
+                out_q.extend([qid_arr[qi]] * len(keep))
+                out_n.extend(ids[keep])
+                out_s.extend(col[keep])
+            yield pd.DataFrame(
+                {"query_id": out_q, "neighbor_id": out_n, "cos": out_s}
+            )
+
+    candidates = corpus.mapInPandas(score, out_schema)
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
+    return (
+        candidates.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", F.round(F.col("cos"), 4).alias("cos_sim"))
+    )
+
+
 def hyperplanes(dim: int, n_planes: int = 8, seed: int = 7) -> list[list[float]]:
     """Fixed seeded Gaussian hyperplanes (plain literals — portable)."""
     rng = random.Random(seed)

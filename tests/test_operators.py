@@ -80,6 +80,31 @@ def test_pad_array(spark):
     assert out == [1, 2, 0, 0, 0]
 
 
+def test_blas_topk_matches_fold(spark):
+    """The vectorized BLAS scorer returns the same neighbors/ranks as the
+    bit-portable fold baseline, with scores equal to ~1e-12 (summation
+    order is the only difference)."""
+    from etl_cascalog_spark.io import read_table
+    from etl_cascalog_spark.operators.similarity import cosine_topk, cosine_topk_blas
+    from tests.conftest import SF_SMOKE
+
+    emb = read_table(spark, SF_SMOKE, "embeddings")
+    queries = emb.where(F.col("vec_id") % 100 == 0)
+    exact = {
+        (r.query_id, r.rank): (r.neighbor_id, r.cos_sim)
+        for r in cosine_topk(queries, emb, k=5).collect()
+    }
+    blas = {
+        (r.query_id, r.rank): (r.neighbor_id, r.cos_sim)
+        for r in cosine_topk_blas(queries, emb, k=5).collect()
+    }
+    assert set(exact) == set(blas)
+    for key, (nid, cos) in exact.items():
+        bnid, bcos = blas[key]
+        assert bnid == nid, key
+        assert abs(bcos - cos) <= 1e-4  # rounded to 4dp; raw delta ~1e-15
+
+
 def test_take_train_dts_and_shift_cut(spark):
     """take-train-dts window generation (mlvar/d_bolome_user_order_stat.clj
     :52-70) + shift-cut-trgx aggregation (:97-135): shifted y/x windows,
