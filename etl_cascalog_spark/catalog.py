@@ -1270,6 +1270,188 @@ def report_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return build_report(spark, monthly, spec)
 
 
+#: plan-time skeleton for the trgx_report_period query — the reference's
+#: conf.trgx_cocacola shape (root → channel labels → kpi labels → metric
+#: nodes), ids dashless so the kpi '-'-split rename stays clean
+_TRGX_REPORT_SKELETON = {
+    "全体-Total / 所有渠道": {
+        "DATA": {},
+        "BRANCH": {
+            "CHANNELS": {
+                "全体-Total / 所有渠道": {
+                    "DATA": {"c_total_score": 100.0, "c_weight": 1.0},
+                    "CHILDREN": {
+                        "[P1]加急-Total / 所有渠道": {
+                            "DATA": {"c_total_score": 20.0, "c_weight": 0.2}
+                        },
+                        "[P2]高优-Total / 所有渠道": {
+                            "DATA": {"c_total_score": 30.0, "c_weight": 0.3}
+                        },
+                    },
+                },
+                "HMKT / 大卖场": {
+                    "DATA": {"c_total_score": 50.0, "c_weight": 0.5},
+                    "CHILDREN": {
+                        "[P3]中优-HMKT / 大卖场": {
+                            "DATA": {"c_total_score": 25.0, "c_weight": 0.25}
+                        },
+                    },
+                },
+            }
+        },
+    }
+}
+
+
+def _trgx_report_oracle_sql() -> str:
+    """Replicates the whole score_period pipeline in SQL: monthly pivot →
+    spine lags + group max → skeleton attach (paths pre-padded to
+    (channel, kpi, metrics) in Python from the SAME literal) → kpi rename →
+    nested {bottler: {period: {7 metrics}}} JSON at the snapshot key."""
+    from etl_cascalog_spark.plans.trgx import merge_branches, node_id, skeleton_paths
+
+    skel = merge_branches(_TRGX_REPORT_SKELETON, "全体-Total / 所有渠道")
+    vals = []
+    for path, data in skeleton_paths(skel):
+        padded = list(path) + ["TOTAL"] * (4 - len(path))
+        _, channel, kpi, metrics = padded[:4]
+        if channel == "TOTAL" or not data:
+            continue
+        vals.append(
+            f"('{node_id(path[-1])}', '{channel}', '{kpi}', '{metrics}', "
+            f"CAST({data['c_total_score']} AS DECIMAL(18,2)), "
+            f"CAST({data['c_weight']} AS DECIMAL(18,2)))"
+        )
+    values = ", ".join(vals)
+    m7 = [
+        ("c_total_score", "sk.c_total_score"),
+        ("c_weight", "sk.c_weight"),
+        ("value", "CAST(cmp.value AS DECIMAL(18,2))"),
+        ("max_value", "CAST(cmp.max_value AS DECIMAL(18,2))"),
+        ("pp_value", "CAST(cmp.pp_value AS DECIMAL(18,2))"),
+        ("last_dec_value", "CAST(cmp.last_dec_value AS DECIMAL(18,2))"),
+        ("last_year_same_month_score", "CAST(cmp.yoy_value AS DECIMAL(18,2))"),
+    ]
+    leaf = " || ',' || ".join(
+        f"'\"{k}\":' || coalesce(CAST({v} AS VARCHAR), 'null')" for k, v in m7
+    )
+    return f"""
+    WITH pr AS (
+      SELECT 'P' || substr(o_orderpriority, 1, 1) AS code,
+             n.n_name AS bottler, r.r_name AS bg,
+             last_day(CAST(o.o_orderdate AS DATE)) AS dw_dt,
+             CAST(o.o_totalprice AS DECIMAL(12,2)) AS v
+      FROM orders o
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      JOIN region r ON n.n_regionkey = r.r_regionkey
+    ), monthly AS (
+      SELECT code AS id, bottler, bg, dw_dt,
+             CAST(round(sum(v), 2) AS DOUBLE) AS value
+      FROM pr GROUP BY 1, 2, 3, 4
+      UNION ALL
+      SELECT '全体-Total / 所有渠道' AS id, bottler, bg, dw_dt,
+             CAST(round(sum(v), 2) AS DOUBLE) AS value
+      FROM pr GROUP BY 2, 3, 4
+    ), spine AS (
+      SELECT last_day(CAST(d AS DATE)) AS dw_dt
+      FROM (SELECT unnest(generate_series(DATE '1996-01-01', DATE '1997-12-01', INTERVAL 1 MONTH)) AS d)
+    ), dims AS (SELECT DISTINCT id, bottler, bg FROM monthly),
+    cmp AS (
+      SELECT d.id, d.bottler, d.bg, s.dw_dt, b.value,
+             pp.value  AS pp_value,
+             ld.value  AS last_dec_value,
+             yoy.value AS yoy_value,
+             max(b.value) OVER (PARTITION BY d.id, d.bottler, d.bg) AS max_value
+      FROM dims d CROSS JOIN spine s
+      LEFT JOIN monthly b   ON b.id = d.id AND b.bottler = d.bottler AND b.bg = d.bg AND b.dw_dt = s.dw_dt
+      LEFT JOIN monthly pp  ON pp.id = d.id AND pp.bottler = d.bottler AND pp.bg = d.bg AND pp.dw_dt = last_day(s.dw_dt - INTERVAL 1 MONTH)
+      LEFT JOIN monthly ld  ON ld.id = d.id AND ld.bottler = d.bottler AND ld.bg = d.bg AND ld.dw_dt = CAST(date_trunc('year', s.dw_dt) AS DATE) - 1
+      LEFT JOIN monthly yoy ON yoy.id = d.id AND yoy.bottler = d.bottler AND yoy.bg = d.bg AND yoy.dw_dt = last_day(s.dw_dt - INTERVAL 12 MONTH)
+      WHERE b.value IS NOT NULL
+    ), skel(node_id, channel, kpi_raw, metrics, c_total_score, c_weight)
+      AS (VALUES {values}),
+    att AS (
+      SELECT cmp.bottler, CAST(cmp.dw_dt AS VARCHAR) AS period,
+             sk.channel,
+             CASE WHEN sk.channel = '全体-Total / 所有渠道'
+                  THEN string_split(sk.kpi_raw, '-')[1] ELSE sk.kpi_raw END AS kpi,
+             sk.metrics,
+             '{{' || {leaf} || '}}' AS j
+      FROM cmp JOIN skel sk ON cmp.id = sk.node_id
+    ), l2 AS (
+      SELECT channel, kpi, metrics, bottler,
+             '{{' || string_agg('"' || period || '":' || j, ',' ORDER BY period) || '}}' AS j
+      FROM att GROUP BY 1, 2, 3, 4
+    )
+    SELECT CAST('9999-12-31' AS DATE) AS dw_dt, 'cocacola' AS project,
+           'score' AS category, 'period' AS report,
+           '{{"channel":"' || channel || '","kpi":"' || kpi
+             || '","metrics":"' || metrics || '","bottler":"' || bottler || '"}}' AS selector,
+           '' AS selector_desc,
+           '{{' || string_agg('"' || bottler || '":' || j, ',' ORDER BY bottler) || '}}' AS dimension_metrics
+    FROM l2 GROUP BY channel, kpi, metrics, bottler
+    """
+
+
+@register(
+    "trgx_report_period",
+    oracle=_trgx_report_oracle_sql(),
+    doc="The trgx-payload report family end-to-end (m_cocacola_score_period"
+    ".clj:59-101 via the registry's score_period spec): sliding "
+    "comparisons + group max → kv->trgx skeleton attach → take-last/"
+    "split/pad path algebra → Total-channel kpi rename → snapshot FR rows "
+    "with config+sliding metrics nested per (bottler, period). Even the "
+    "nested JSON hash-matches the SQL oracle.",
+)
+def trgx_report_period(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_cascalog_spark.plans.reports_registry import build_reference_report
+
+    orders = read_table(spark, sf_dir, "orders")
+    customer = read_table(spark, sf_dir, "customer")
+    nation = read_table(spark, sf_dir, "nation")
+    region = read_table(spark, sf_dir, "region")
+    pr = (
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .select(
+            F.concat(F.lit("P"), F.substring(F.col("o_orderpriority"), 1, 1)).alias("code"),
+            F.col("n_name").alias("bottler"),
+            F.col("r_name").alias("bg"),
+            F.last_day(F.col("o_orderdate").cast("date")).alias("dw_dt"),
+            money(F.col("o_totalprice")).alias("v"),
+        )
+    )
+    monthly = pr.groupBy("code", "bottler", "bg", "dw_dt").agg(
+        dround(F.sum(F.col("v"))).alias("value")
+    )
+    channel_rows = (
+        pr.groupBy("bottler", "bg", "dw_dt")
+        .agg(dround(F.sum(F.col("v"))).alias("value"))
+        .select(
+            F.lit(None).cast("string").alias("code"),
+            F.lit("全体-Total / 所有渠道").alias("item"),
+            "bottler", "bg", "dw_dt", "value",
+        )
+    )
+    frame = (
+        monthly.select(
+            "code", F.col("code").alias("item"), "bottler", "bg", "dw_dt", "value"
+        )
+        .unionByName(channel_rows)
+        .withColumn("channel", F.lit("Total / 所有渠道"))
+        .withColumn("fact", F.lit("score"))
+        .withColumn("bottler_sort", F.col("bottler"))
+        .withColumn("bg_sort", F.col("bg"))
+        .withColumn("channel_sort", F.lit("00_T"))
+    )
+    return build_reference_report(
+        spark, "score_period", frame, ("1996-01-01", "1997-12-31"),
+        skeleton=_TRGX_REPORT_SKELETON,
+    )
+
+
 @register(
     "trgx_path_ops",
     oracle="""
