@@ -2503,6 +2503,76 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_cosine_topk(queries, emb, k=5, n_cells=8, dim=64, seed=11)
 
 
+def _ivf_nprobe_oracle_sql(nprobe: int = 2) -> str:
+    """DuckDB oracle for ann_ivf_nprobe_topk: corpus cells by argmax as in
+    _ivf_oracle_sql; the query side probes its ``nprobe`` best cells
+    (score DESC, ties → lower cell — the same order ivf_cells_topn's
+    struct sort produces)."""
+    import math
+
+    from etl_cascalog_spark.operators.similarity import ivf_centroids
+
+    cents = ivf_centroids(dim=64, n_cells=8, seed=11)
+    cos_terms = []
+    for cent in cents:
+        arr = "[" + ",".join(repr(x) for x in cent) + "]"
+        d = (
+            f"list_sum(list_transform(list_zip(embedding, {arr}), "
+            "p -> CAST(p[1] AS DOUBLE) * p[2]))"
+        )
+        nc = repr(math.sqrt(sum(x * x for x in cent)))
+        cos_terms.append(f"{d} / {nc}")
+    cs = "[" + ", ".join(cos_terms) + "]"
+    return f"""
+    WITH cells AS (
+      SELECT vec_id, embedding, {cs} AS scores FROM embeddings
+    ), c AS (
+      SELECT vec_id AS neighbor_id, embedding AS cv,
+             CAST(list_position(scores, list_max(scores)) - 1 AS INT) AS cell
+      FROM cells
+    ), qs AS (
+      SELECT vec_id AS query_id, embedding AS qv, scores FROM cells WHERE vec_id % 50 = 0
+    ), qc AS (
+      SELECT query_id, qv, cell FROM (
+        SELECT query_id, qv, CAST(g.cell AS INT) AS cell,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY scores[g.cell + 1] DESC, g.cell) AS rn
+        FROM qs CROSS JOIN (SELECT unnest(range(8)) AS cell) g
+      ) WHERE rn <= {nprobe}
+    ), scored AS (
+      SELECT query_id, neighbor_id,
+             list_sum(list_transform(list_zip(qv, cv),
+                                     p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+             / (sqrt(list_sum(list_transform(qv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+              * sqrt(list_sum(list_transform(cv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS cos
+      FROM c JOIN qc USING (cell)
+      WHERE query_id != neighbor_id
+    ), ranked AS (
+      SELECT query_id, neighbor_id, cos,
+             row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, round(cos, 4) AS cos_sim
+    FROM ranked WHERE rank <= 5
+    """
+
+
+@register(
+    "ann_ivf_nprobe_topk",
+    oracle=_ivf_nprobe_oracle_sql(2),
+    doc="IVF cosine top-k with nprobe=2 — the recall dial of the IVF scale "
+    "path: each query row explodes to its 2 best cells (one sorted "
+    "scored-struct array, each centroid score evaluated once), same cell "
+    "equi-join, ×nprobe candidates; recall → exact as nprobe → n_cells.",
+)
+def ann_ivf_nprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_cascalog_spark.operators.similarity import ivf_cosine_topk
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") % 50 == 0)
+    return ivf_cosine_topk(queries, emb, k=5, n_cells=8, dim=64, seed=11, nprobe=2)
+
+
 def _neardup_oracle_sql() -> str:
     """DuckDB oracle for embedding_neardup: planted scaled duplicates
     (×2.0 is exact in binary fp, cosine-invariant) + the same literal

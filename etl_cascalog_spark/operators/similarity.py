@@ -285,6 +285,29 @@ def ivf_cell(vec: Column, centroids: list[list[float]]) -> Column:
     return (-F.array_max(arr)["nc"]).cast("int")
 
 
+def ivf_cells_topn(vec: Column, centroids: list[list[float]], nprobe: int) -> Column:
+    """The query's ``nprobe`` nearest cells (by the same ``dot/||c||``
+    score as :func:`ivf_cell`), as an array of cell ids — descending
+    score, ties → lower cell id (consistent with ivf_cell's argmax).
+    One scored-struct array, sorted once; each score evaluated once."""
+    import math
+
+    arr = F.array(
+        *[
+            F.struct(
+                (
+                    dot(vec, F.array(*[F.lit(x) for x in c]))
+                    / F.lit(math.sqrt(sum(x * x for x in c)))
+                ).alias("s"),
+                F.lit(-cid).alias("nc"),
+            )
+            for cid, c in enumerate(centroids)
+        ]
+    )
+    top = F.slice(F.reverse(F.array_sort(arr)), 1, nprobe)
+    return F.transform(top, lambda e: (-e["nc"]).cast("int"))
+
+
 def ivf_cosine_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -294,27 +317,37 @@ def ivf_cosine_topk(
     n_cells: int = 8,
     dim: int = 64,
     seed: int = 11,
+    nprobe: int = 1,
 ) -> DataFrame:
     """IVF (inverted-file) cosine top-k — the second ANN scale path next to
     :func:`lsh_cosine_topk`: corpus vectors are assigned to their nearest
-    centroid cell once (map-side); each query scans only its own cell.
+    centroid cell once (map-side); each query scans only its probed cells.
 
     The cell equi-join replaces the cross join — shuffle keyed on cell id,
-    candidate volume Σ|cell|·|queries in cell|. Recall is tuned by
-    ``n_cells`` (fewer, larger cells → higher recall & cost) and, in
-    production, an nprobe > 1 (probe the q nearest cells: explode the
-    query row per probed cell — same join, ×nprobe candidates).
+    candidate volume Σ|cell|·|queries probing it|. Recall is tuned by
+    ``n_cells`` (fewer, larger cells → higher recall & cost) and
+    ``nprobe`` (probe the q nearest cells: the query row explodes per
+    probed cell — same join, ×nprobe candidates, recall → exact as nprobe
+    → n_cells).
     """
     from etl_cascalog_spark.io import ensure_min_parallelism
 
     corpus = ensure_min_parallelism(corpus, id_col)
     cents = ivf_centroids(dim, n_cells, seed)
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("qv"),
-        norm(F.col(vec_col)).alias("nq"),
-        ivf_cell(F.col(vec_col), cents).alias("cell"),
-    )
+    if nprobe <= 1:
+        q = queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("qv"),
+            norm(F.col(vec_col)).alias("nq"),
+            ivf_cell(F.col(vec_col), cents).alias("cell"),
+        )
+    else:
+        q = queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("qv"),
+            norm(F.col(vec_col)).alias("nq"),
+            F.explode(ivf_cells_topn(F.col(vec_col), cents, nprobe)).alias("cell"),
+        )
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cv"),
