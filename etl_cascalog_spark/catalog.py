@@ -2383,6 +2383,102 @@ def ann_blas_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _curation_oracle_sql() -> str:
+    """Composes the already-verified per-stage oracles: quality + lang
+    filters → exact dedup on the normalized-text digest → near-dup losers
+    from the survivor-restricted Jaccard pairs."""
+    return f"""
+    WITH s AS (
+      SELECT doc_id, text,
+             CAST(len(regexp_extract_all(lower(text), '\\b(the|and|of|to|is)\\b')) AS BIGINT) AS s_en,
+             CAST(len(regexp_extract_all(lower(text), '\\b(el|la|los|que|de)\\b')) AS BIGINT) AS s_es,
+             CAST(len(regexp_extract_all(lower(text), '\\b(der|die|das|und|ist)\\b')) AS BIGINT) AS s_de,
+             CAST(len(regexp_extract_all(lower(text), '\\b(le|les|des|est|une)\\b')) AS BIGINT) AS s_fr,
+             CAST(len(regexp_extract_all(lower(text), '[一-鿿]')) AS BIGINT) AS s_zh,
+             round(0.4 * least(length(text) / 500.0, 1.0)
+                 + 0.4 * (length(regexp_replace(text, '[^A-Za-z]', '', 'g')) * 1.0 / length(text))
+                 + 0.2 * least(len(regexp_extract_all(text, '\\b(the|a|of|and|to|in|is)\\b')) * 5.0
+                               / len(string_split({_NORM_SQL}, ' ')), 1.0), 6) AS quality
+      FROM documents
+    ), e AS (
+      SELECT doc_id, text, quality,
+             CASE WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr AND s_en >= s_zh AND s_en > 0 THEN 'en'
+                  WHEN s_es >= s_de AND s_es >= s_fr AND s_es >= s_zh AND s_es > 0 THEN 'es'
+                  WHEN s_de >= s_fr AND s_de >= s_zh AND s_de > 0 THEN 'de'
+                  WHEN s_fr >= s_zh AND s_fr > 0 THEN 'fr'
+                  WHEN s_zh > 0 THEN 'zh'
+                  ELSE 'und' END AS lang
+      FROM s
+    ), f AS (
+      SELECT * FROM e WHERE quality >= 0.5 AND lang = 'en'
+    ), d AS (
+      SELECT f.*, min(doc_id) OVER (PARTITION BY md5({_NORM_SQL})) AS keep FROM f
+    ), surv AS (
+      SELECT doc_id, text, lang, quality FROM d WHERE doc_id = keep
+    ), tok AS (
+      SELECT doc_id, string_split({_NORM_SQL}, ' ') AS w FROM surv
+    ), sh AS (
+      SELECT DISTINCT doc_id,
+             unnest(list_transform(range(1, greatest(len(w) - 1, 1)),
+                                   i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+      FROM tok
+    ), sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+    common AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ), losers AS (
+      SELECT DISTINCT doc_b FROM common
+      JOIN sizes sa ON sa.doc_id = doc_a
+      JOIN sizes sb ON sb.doc_id = doc_b
+      WHERE c * 1.0 / (sa.n_sh + sb.n_sh - c) >= 0.7
+    )
+    SELECT doc_id, lang, quality FROM surv
+    WHERE doc_id NOT IN (SELECT doc_b FROM losers)
+    """
+
+
+@register(
+    "corpus_curation_pipeline",
+    oracle=_curation_oracle_sql(),
+    doc="The end-to-end training-data curation pass (beyond-reference "
+    "flagship composition): quality-score + language-ID filters (map-side "
+    "Column exprs) → exact dedup on the normalized digest (window min per "
+    "fingerprint) → MinHash+LSH near-dup removal over the survivors "
+    "(losers = higher-id side of every verified pair ≥ 0.7). One corpus "
+    "scan feeds everything; the only shuffles are the digest window and "
+    "the LSH band join — the shape a 100 TB curation run wants.",
+)
+def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_cascalog_spark.operators.dedup import minhash_lsh_pairs
+    from etl_cascalog_spark.operators.text import (
+        fingerprint_md5,
+        lang_id,
+        quality_score,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    enriched = docs.select(
+        "doc_id",
+        "text",
+        lang_id(F.col("text")).alias("lang"),
+        quality_score(F.col("text")).alias("quality"),
+    )
+    filtered = enriched.where((F.col("quality") >= 0.5) & (F.col("lang") == "en"))
+    w = Window.partitionBy(fingerprint_md5(F.col("text")))
+    exact = (
+        filtered.withColumn("__keep", F.min("doc_id").over(w))
+        .where(F.col("doc_id") == F.col("__keep"))
+        .drop("__keep")
+        .cache()  # feeds pair generation AND the final anti join
+    )
+    pairs = minhash_lsh_pairs(exact, "doc_id", "text", n=3, threshold=0.7)
+    losers = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
+    return exact.join(losers, "doc_id", "left_anti").select(
+        "doc_id", "lang", "quality"
+    )
+
+
 def _lsh_oracle_sql() -> str:
     """DuckDB oracle for ann_lsh_topk: the hyperplanes are plain literals
     (seeded, fixed), so the exact bucketing is reproducible in SQL."""
