@@ -2473,8 +2473,10 @@ def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cache()  # feeds pair generation AND the final anti join
     )
     pairs = minhash_lsh_pairs(exact, "doc_id", "text", n=3, threshold=0.7)
+    # losers ≈ the near-dup fraction of the corpus id space — broadcast-able
+    # by construction (ids only), keeping the anti join shuffle-free
     losers = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
-    return exact.join(losers, "doc_id", "left_anti").select(
+    return exact.join(F.broadcast(losers), "doc_id", "left_anti").select(
         "doc_id", "lang", "quality"
     )
 
