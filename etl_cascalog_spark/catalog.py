@@ -2787,3 +2787,143 @@ def top_n_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") <= 3)
     )
+
+
+# ---------------------------------------------------------------------------
+# K. Time-series joins (beyond-reference: as-of / interval)
+# ---------------------------------------------------------------------------
+
+@register(
+    "asof_join_events",
+    oracle="""
+    WITH l AS (SELECT * FROM events WHERE event_type = 'purchase'),
+         r AS (SELECT * FROM events WHERE event_type = 'click'),
+         pairs AS (
+           SELECT l.event_id,
+                  r.value    AS last_click_value,
+                  r.event_id AS last_click_id,
+                  row_number() OVER (PARTITION BY l.event_id
+                                     ORDER BY r.ts DESC, r.event_id DESC) AS rn
+           FROM l JOIN r ON l.user_id = r.user_id AND r.ts <= l.ts
+         )
+    SELECT l.event_id AS purchase_id,
+           l.user_id,
+           strftime(l.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+           p.last_click_value,
+           p.last_click_id
+    FROM l LEFT JOIN (SELECT * FROM pairs WHERE rn = 1) p
+      ON l.event_id = p.event_id
+    """,
+    doc="Backward as-of join (beyond-reference; pandas merge_asof / DuckDB "
+    "ASOF JOIN semantics): each purchase gets the latest at-or-before click "
+    "of the same user. Union+window composition — ONE shuffle on user_id, "
+    "row-frame last(struct, ignorenulls) — vs the oracle's quadratic "
+    "theta-join + row_number formulation.",
+)
+def asof_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_cascalog_spark.operators.joins import asof_join
+
+    ev = read_table(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("purchase_ts"),
+        F.col("ts").alias("__pts"),
+    )
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("ts"),
+        F.col("value").alias("last_click_value"),
+        F.col("event_id").alias("last_click_id"),
+    )
+    return asof_join(
+        purchases,
+        clicks,
+        on=["user_id"],
+        left_ts="__pts",
+        right_ts="ts",
+        value_cols=["last_click_value", "last_click_id"],
+        tiebreak="last_click_id",
+    ).drop("__pts")
+
+
+@register(
+    "range_join_windows",
+    oracle="""
+    SELECT e.event_id AS error_id,
+           count(*) AS n_clicks,
+           CAST(round(sum(CAST(c.value AS DECIMAL(12,2))), 2) AS DOUBLE) AS click_value
+    FROM (SELECT event_id, ts, ts + INTERVAL 30 MINUTE AS w_end
+          FROM events WHERE event_type = 'error') e
+    JOIN (SELECT ts, value FROM events WHERE event_type = 'click') c
+      ON c.ts >= e.ts AND c.ts <= e.w_end
+    GROUP BY e.event_id
+    """,
+    doc="Interval/range join (beyond-reference; Flink interval-join / "
+    "TimescaleDB shape): clicks landing in the 30-minute window after each "
+    "error, aggregated per error. Scale path = interval→bucket explode + "
+    "hash equi-join on the bucket cell + BETWEEN residual; the naive "
+    "BNLJ evaluates |probe|x|intervals| predicates.",
+)
+def range_join_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_cascalog_spark.operators.joins import range_join
+
+    ev = read_table(spark, sf_dir, "events")
+    intervals = ev.where(F.col("event_type") == "error").select(
+        F.col("event_id").alias("error_id"),
+        F.col("ts").alias("w_start"),
+        F.expr("ts + INTERVAL 30 MINUTE").alias("w_end"),
+    )
+    clicks = ev.where(F.col("event_type") == "click").select("ts", "value")
+    joined = range_join(
+        clicks, "ts", intervals, "w_start", "w_end", bucket_seconds=1800
+    )
+    return joined.groupBy("error_id").agg(
+        F.count(F.lit(1)).alias("n_clicks"),
+        dround(F.sum(money(F.col("value")))).alias("click_value"),
+    )
+
+
+@register(
+    "hypertable_rollup",
+    oracle="""
+    SELECT 'hour' AS grain,
+           strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS bucket,
+           count(*) AS n_events,
+           CAST(round(sum(CAST(value AS DECIMAL(12,2))), 2) AS DOUBLE) AS total_value
+    FROM events GROUP BY date_trunc('hour', ts)
+    UNION ALL
+    SELECT 'day',
+           strftime(date_trunc('day', ts), '%Y-%m-%d %H:%M:%S'),
+           count(*),
+           CAST(round(sum(CAST(value AS DECIMAL(12,2))), 2) AS DOUBLE)
+    FROM events GROUP BY date_trunc('day', ts)
+    UNION ALL
+    SELECT 'month',
+           strftime(date_trunc('month', ts), '%Y-%m-%d %H:%M:%S'),
+           count(*),
+           CAST(round(sum(CAST(value AS DECIMAL(12,2))), 2) AS DOUBLE)
+    FROM events GROUP BY date_trunc('month', ts)
+    """,
+    doc="Hypertable continuous-aggregate cascade (beyond-reference; "
+    "TimescaleDB/Druid rollup): hour level from raw ONCE, day from hour "
+    "partials, month from day partials — raw scanned/shuffled exactly once "
+    "vs the oracle's three independent scans. Exact decimal partials keep "
+    "every level bit-identical to direct aggregation.",
+)
+def hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_cascalog_spark.operators.periods import cascade_rollup
+
+    ev = read_table(spark, sf_dir, "events")
+    rolled = cascade_rollup(
+        ev,
+        "ts",
+        measures={
+            "n_events": (F.count(F.lit(1)), lambda c: F.sum(c)),
+            "__sum_value": (F.sum(money(F.col("value"))), lambda c: F.sum(c)),
+        },
+    )
+    return rolled.select(
+        "grain", "bucket", "n_events",
+        dround(F.col("__sum_value")).alias("total_value"),
+    )

@@ -583,3 +583,118 @@ def test_grouped_agg_pandas_udaf(spark):
     row = df.groupBy("k").agg(trimmed_mean("v").alias("tm")).collect()[0]
     # 1..10 + outlier 1000; 10%/90% quantiles drop the extremes
     assert not math.isnan(row.tm) and 2.0 <= row.tm <= 10.0
+
+
+def test_asof_join_tolerance_strict_and_no_match(spark):
+    """asof_join edge paths: strict inequality, tolerance window, and a
+    left row with no prior right row (stays NULL, left-outer)."""
+    from datetime import datetime
+
+    from etl_cascalog_spark.operators.joins import asof_join
+
+    T = datetime
+    left = spark.createDataFrame(
+        [(1, T(2024, 1, 1, 10, 0, 0)),   # exact tie with right row
+         (1, T(2024, 1, 1, 12, 0, 0)),   # 2h after latest right
+         (2, T(2024, 1, 1, 9, 0, 0))],   # no right rows at all
+        "k long, lts timestamp",
+    )
+    right = spark.createDataFrame(
+        [(1, T(2024, 1, 1, 8, 0, 0), 10.0, 100),
+         (1, T(2024, 1, 1, 10, 0, 0), 20.0, 200)],
+        "k long, rts timestamp, v double, rid long",
+    )
+
+    def run(**kw):
+        rows = asof_join(
+            left, right, on=["k"], left_ts="lts", right_ts="rts",
+            value_cols=["v", "rid"], tiebreak="rid", **kw,
+        ).collect()
+        return {(r.k, r.lts.hour): (r.v, r.rid) for r in rows}
+
+    inclusive = run()
+    assert inclusive[(1, 10)] == (20.0, 200)   # ties match when allow_exact
+    assert inclusive[(1, 12)] == (20.0, 200)
+    assert inclusive[(2, 9)] == (None, None)   # left-outer on empty key
+
+    strict = run(allow_exact=False)
+    assert strict[(1, 10)] == (10.0, 100)      # tie excluded → earlier row
+
+    tol = run(tolerance_seconds=3600)          # 1h window
+    assert tol[(1, 10)] == (20.0, 200)         # 0s old: in window
+    assert tol[(1, 12)] == (None, None)        # 2h old: nulled out
+
+
+def test_asof_join_struct_atomicity(spark):
+    """Matched value columns must come from the SAME right row even when one
+    of them is NULL on the latest match (the independent-last() trap)."""
+    from datetime import datetime
+
+    from etl_cascalog_spark.operators.joins import asof_join
+
+    T = datetime
+    left = spark.createDataFrame([(1, T(2024, 1, 2))], "k long, lts timestamp")
+    right = spark.createDataFrame(
+        [(1, T(2024, 1, 1, 1), 1.0, 100),
+         (1, T(2024, 1, 1, 2), None, 200)],  # latest row has NULL v
+        "k long, rts timestamp, v double, rid long",
+    )
+    row = asof_join(
+        left, right, on=["k"], left_ts="lts", right_ts="rts",
+        value_cols=["v", "rid"], tiebreak="rid",
+    ).collect()[0]
+    assert (row.v, row.rid) == (None, 200)  # NOT (1.0, 200)
+
+
+def test_range_join_bucketed_equals_broadcast(spark):
+    """The bucket-exploded scale path returns exactly the pairs of the
+    naive broadcast theta-join, including intervals spanning many cells
+    and ties on the boundary."""
+    from datetime import datetime
+
+    from etl_cascalog_spark.operators.joins import range_join
+
+    T = datetime
+    probe = spark.createDataFrame(
+        [(i, T(2024, 1, 1, h, m)) for i, (h, m) in enumerate(
+            [(0, 0), (0, 30), (1, 0), (3, 59), (4, 0), (23, 59)]
+        )],
+        "pid long, ts timestamp",
+    )
+    intervals = spark.createDataFrame(
+        [(0, T(2024, 1, 1, 0, 0), T(2024, 1, 1, 0, 30)),    # boundary ties
+         (1, T(2024, 1, 1, 0, 45), T(2024, 1, 1, 4, 0)),    # spans 5 cells
+         (2, T(2024, 1, 1, 22, 0), T(2024, 1, 1, 23, 0))],  # empty
+        "iid long, s timestamp, e timestamp",
+    )
+
+    def pairs(**kw):
+        df = range_join(probe, "ts", intervals, "s", "e", **kw)
+        return sorted((r.pid, r.iid) for r in df.select("pid", "iid").collect())
+
+    bucketed = pairs(bucket_seconds=3600)
+    naive = pairs(broadcast_intervals=True)
+    assert bucketed == naive
+    assert bucketed == [(0, 0), (1, 0), (2, 1), (3, 1), (4, 1)]
+
+
+def test_range_join_extra_on_key(spark):
+    """extra_on equi keys compose with the range predicate (per-user
+    interval join)."""
+    from datetime import datetime
+
+    from etl_cascalog_spark.operators.joins import range_join
+
+    T = datetime
+    probe = spark.createDataFrame(
+        [(1, "u1", T(2024, 1, 1, 0, 10)), (2, "u2", T(2024, 1, 1, 0, 10))],
+        "pid long, user string, ts timestamp",
+    )
+    intervals = spark.createDataFrame(
+        [("u1", T(2024, 1, 1, 0, 0), T(2024, 1, 1, 1, 0))],
+        "user string, s timestamp, e timestamp",
+    )
+    got = range_join(
+        probe, "ts", intervals, "s", "e", extra_on=["user"], bucket_seconds=600
+    ).select("pid").collect()
+    assert [r.pid for r in got] == [1]  # u2's row matches time but not key
