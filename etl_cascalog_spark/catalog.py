@@ -2927,3 +2927,30 @@ def hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "grain", "bucket", "n_events",
         dround(F.col("__sum_value")).alias("total_value"),
     )
+
+
+@register(
+    "train_split_assignment",
+    oracle="""
+    SELECT doc_id,
+           CASE WHEN b < 8000 THEN 'train'
+                WHEN b < 9000 THEN 'val'
+                ELSE 'test' END AS split
+    FROM (SELECT doc_id,
+                 CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'v1'), 1, 8) AS BIGINT)
+                 % 10000 AS b
+          FROM documents)
+    """,
+    doc="Deterministic hash split (beyond-reference): stable, portable, "
+    "leakage-safe train/val/test assignment via md5 bucket thresholds — "
+    "pure map-side, no RNG, reproduced bit-exactly by the oracle. The "
+    "production recipe keys on the dedup cluster id so near-dups never "
+    "straddle the split.",
+)
+def train_split_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_cascalog_spark.operators.sessions import hash_split
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id")
+    return hash_split(
+        docs, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}, salt="v1"
+    )

@@ -300,3 +300,45 @@ def shift_cut_features(
         F.col("window_idx"),
         F.col("x_interval"),
     ).agg(*aggs)
+
+
+def hash_split(
+    df: DataFrame,
+    id_col: str,
+    weights: dict[str, float],
+    salt: str = "",
+    buckets: int = 10_000,
+) -> DataFrame:
+    """Deterministic train/val/test assignment by content hash (beyond-
+    reference; the standard leakage-safe split for training-data pipelines).
+
+    Adds a ``split`` column: bucket = first 8 hex chars of
+    ``md5(str(id) || salt)`` as an integer mod ``buckets``; labels are
+    assigned by cumulative weight thresholds in ``weights`` insertion
+    order. Properties that sampling-based splits lack:
+
+    - **stable**: a document keeps its split across reruns, engines, and
+      corpus growth (no RNG, no row ordering dependence);
+    - **portable**: plain md5 — any engine reproduces the exact
+      assignment (the DuckDB oracle does);
+    - **leakage-safe**: keying on a *content* id (or near-dup cluster id
+      from the dedup tiers) keeps duplicates on one side of the split;
+    - ``salt`` versions the split without touching the data.
+
+    100 TB posture: pure map-side expression, no shuffle, no RNG state.
+    """
+    total = sum(weights.values())
+    bucket = (
+        F.conv(F.substring(F.md5(F.concat(F.col(id_col).cast("string"), F.lit(salt))), 1, 8), 16, 10)
+        .cast("long")
+        % buckets
+    )
+    expr = None
+    acc = 0.0
+    *head, (last_name, _last_w) = list(weights.items())
+    for name, w in head:
+        acc += w / total * buckets
+        cond = bucket < F.lit(int(round(acc)))
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    expr = F.lit(last_name) if expr is None else expr.otherwise(last_name)
+    return df.withColumn("split", expr)

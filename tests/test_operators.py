@@ -698,3 +698,25 @@ def test_range_join_extra_on_key(spark):
         probe, "ts", intervals, "s", "e", extra_on=["user"], bucket_seconds=600
     ).select("pid").collect()
     assert [r.pid for r in got] == [1]  # u2's row matches time but not key
+
+
+def test_hash_split_stable_and_proportional(spark):
+    """hash_split: deterministic across reruns/ordering, ~weight-
+    proportional, and re-saltable."""
+    from etl_cascalog_spark.operators.sessions import hash_split
+
+    ids = spark.range(0, 5000).withColumnRenamed("id", "k")
+    w = {"train": 0.8, "val": 0.1, "test": 0.1}
+    a = {r.k: r.split for r in hash_split(ids, "k", w, salt="s1").collect()}
+    b = {r.k: r.split for r in
+         hash_split(ids.orderBy(F.col("k").desc()), "k", w, salt="s1").collect()}
+    assert a == b  # ordering-independent
+
+    from collections import Counter
+    frac = {s: n / 5000 for s, n in Counter(a.values()).items()}
+    assert abs(frac["train"] - 0.8) < 0.03
+    assert abs(frac["val"] - 0.1) < 0.02
+    assert abs(frac["test"] - 0.1) < 0.02
+
+    c = {r.k: r.split for r in hash_split(ids, "k", w, salt="s2").collect()}
+    assert a != c  # salt versions the split
