@@ -2954,3 +2954,77 @@ def train_split_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hash_split(
         docs, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}, salt="v1"
     )
+
+
+@register(
+    "corpus_token_profile",
+    oracle="""
+    WITH s AS (
+      SELECT doc_id,
+             CAST(len(regexp_extract_all(lower(text), '\\b(the|and|of|to|is)\\b')) AS BIGINT) AS s_en,
+             CAST(len(regexp_extract_all(lower(text), '\\b(el|la|los|que|de)\\b')) AS BIGINT) AS s_es,
+             CAST(len(regexp_extract_all(lower(text), '\\b(der|die|das|und|ist)\\b')) AS BIGINT) AS s_de,
+             CAST(len(regexp_extract_all(lower(text), '\\b(le|les|des|est|une)\\b')) AS BIGINT) AS s_fr,
+             CAST(len(regexp_extract_all(lower(text), '[一-鿿]')) AS BIGINT) AS s_zh,
+             CAST(len(string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) AS BIGINT) AS n_tokens
+      FROM documents WHERE length(text) > 0
+    ),
+    toks AS (
+      SELECT doc_id, n_tokens,
+           CASE WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr AND s_en >= s_zh AND s_en > 0 THEN 'en'
+                WHEN s_es >= s_de AND s_es >= s_fr AND s_es >= s_zh AND s_es > 0 THEN 'es'
+                WHEN s_de >= s_fr AND s_de >= s_zh AND s_de > 0 THEN 'de'
+                WHEN s_fr >= s_zh AND s_fr > 0 THEN 'fr'
+                WHEN s_zh > 0 THEN 'zh'
+                ELSE 'und' END AS lang
+      FROM s
+    ),
+    ranked AS (
+      SELECT lang, n_tokens,
+             row_number() OVER (PARTITION BY lang ORDER BY n_tokens, doc_id) AS rn,
+             count(*) OVER (PARTITION BY lang) AS n
+      FROM toks
+    )
+    SELECT lang,
+           max(n) AS n_docs,
+           CAST(round(avg(CAST(n_tokens AS DOUBLE)), 2) AS DOUBLE) AS avg_tokens,
+           max(CASE WHEN rn = CAST(ceil(0.5 * n) AS BIGINT) THEN n_tokens END) AS p50_tokens,
+           max(CASE WHEN rn = CAST(ceil(0.95 * n) AS BIGINT) THEN n_tokens END) AS p95_tokens,
+           max(n_tokens) AS max_tokens
+    FROM ranked
+    GROUP BY lang
+    """,
+    doc="Corpus token-count profile (beyond-reference): per-language doc "
+    "counts, mean, and EXACT discrete p50/p95 token counts via the "
+    "rank = ceil(p*n) rule — integer outputs, so bit-stable across engines "
+    "(interpolated percentiles would hash-diverge in the last ulp). One "
+    "shuffle on lang for the window, one for the final agg; the profiling "
+    "pass that sizes a curation run before it starts.",
+)
+def corpus_token_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_cascalog_spark.operators.text import lang_id, token_count_ws
+
+    docs = (
+        read_table(spark, sf_dir, "documents")
+        .where(F.length("text") > 0)
+        .select(
+            "doc_id",
+            lang_id(F.col("text")).alias("lang"),
+            token_count_ws(F.col("text")).alias("n_tokens"),
+        )
+    )
+    w = Window.partitionBy("lang").orderBy("n_tokens", "doc_id")
+    wc = Window.partitionBy("lang")
+    ranked = docs.withColumn("rn", F.row_number().over(w)).withColumn(
+        "n", F.count(F.lit(1)).over(wc)
+    )
+    pick = lambda p: F.max(  # noqa: E731
+        F.when(F.col("rn") == F.ceil(F.lit(p) * F.col("n")).cast("long"), F.col("n_tokens"))
+    )
+    return ranked.groupBy("lang").agg(
+        F.max("n").alias("n_docs"),
+        dround(F.avg(F.col("n_tokens").cast("double"))).alias("avg_tokens"),
+        pick(0.5).alias("p50_tokens"),
+        pick(0.95).alias("p95_tokens"),
+        F.max("n_tokens").alias("max_tokens"),
+    )

@@ -116,6 +116,55 @@ def dedup_within_watermark(events: DataFrame, watermark: str = "2 hours") -> Dat
     return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(["event_id"])
 
 
+def interval_join(
+    probe: DataFrame,
+    ts_col: str,
+    intervals: DataFrame,
+    start_col: str,
+    end_col: str,
+    watermark: str = "1 hour",
+    bucket_seconds: int = 3600,
+) -> DataFrame:
+    """Stream-stream interval join — the streaming twin of the batch
+    ``operators.joins.range_join``: probe rows land in ``[start, end]`` of
+    interval rows, both sides unbounded streams.
+
+    Spark refuses stream-stream joins with no equality predicate (state
+    would be a cross product), so this reuses the batch scale path's cell
+    trick verbatim: intervals explode (stateless, append-safe) to the
+    ``bucket_seconds``-grain cells they overlap, probes map to exactly one
+    cell, and the join is equi on ``__cell`` with the BETWEEN residual.
+    Watermarks on BOTH event-time columns then bound the join state: a
+    buffered row is evicted once the other side's watermark passes its
+    cell, so state stays O(watermark-window of data), not O(stream).
+    Inner join → append output; each match emits exactly once (the probe's
+    cell is unique, so no dedup pass).
+    """
+    step_us = int(bucket_seconds) * 1_000_000
+    p = probe.withWatermark(ts_col, watermark).withColumn(
+        "__cell", F.expr(f"unix_micros({ts_col}) div {step_us}")
+    )
+    i = (
+        intervals.withWatermark(start_col, watermark)
+        .withColumn(
+            "__cell",
+            F.explode(
+                F.sequence(
+                    F.expr(f"unix_micros({start_col}) div {step_us}"),
+                    F.expr(f"unix_micros({end_col}) div {step_us}"),
+                )
+            ),
+        )
+    )
+    return p.join(
+        i,
+        (p["__cell"] == i["__cell"])
+        & (p[ts_col] >= i[start_col])
+        & (p[ts_col] <= i[end_col]),
+        "inner",
+    ).drop("__cell")
+
+
 def run_to_memory(stream_df: DataFrame, name: str, output_mode: str = "complete") -> DataFrame:
     """Drive a streaming DataFrame to completion against the current files
     (memory sink + processAllAvailable) and return the materialized result.

@@ -169,3 +169,41 @@ def test_stateful_state_carries_across_microbatches(spark, tmp_path):
     }
     got_final = {u: max(v) for u, v in per_user.items()}
     assert got_final == want
+
+
+def test_stream_interval_join_matches_batch_range_join(spark):
+    """Stream-stream interval join (errors x clicks within 30 min) emits
+    exactly the pairs of the batch bucket-exploded range_join."""
+    from etl_cascalog_spark.io import read_table
+    from etl_cascalog_spark.operators.joins import range_join
+    from etl_cascalog_spark.streaming.windows import (
+        interval_join,
+        run_to_memory,
+        stream_events,
+    )
+
+    def split(ev):
+        intervals = ev.where(F.col("event_type") == "error").select(
+            F.col("event_id").alias("error_id"),
+            F.col("ts").alias("w_start"),
+            F.expr("ts + INTERVAL 30 MINUTE").alias("w_end"),
+        )
+        clicks = ev.where(F.col("event_type") == "click").select(
+            F.col("event_id").alias("click_id"), F.col("ts").alias("cts")
+        )
+        return intervals, clicks
+
+    s_intervals, s_clicks = split(stream_events(spark, SF_SMOKE))
+    stream = run_to_memory(
+        interval_join(s_clicks, "cts", s_intervals, "w_start", "w_end"),
+        "t_interval_join",
+        "append",
+    )
+    got = sorted((r.error_id, r.click_id) for r in stream.collect())
+
+    b_intervals, b_clicks = split(read_table(spark, SF_SMOKE, "events"))
+    batch = range_join(
+        b_clicks, "cts", b_intervals, "w_start", "w_end", bucket_seconds=1800
+    )
+    want = sorted((r.error_id, r.click_id) for r in batch.collect())
+    assert got == want and len(got) > 0

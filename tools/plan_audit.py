@@ -1,0 +1,65 @@
+"""Regenerate SCALE.md's full-catalog physical-plan audit table.
+
+Counts operator nodes in the *executed* (AQE-final) plan of every catalog
+query at the given SF dir. Caches and broadcast-reuse make naive substring
+counts lie: a plan string reprints an InMemoryRelation's cached subtree at
+every scan site, so the same Exchange can appear N times. Counting UNIQUE
+plan lines (stripped of tree-drawing prefixes) dedupes reprints — identical
+node → identical line (same expr ids) — while genuinely distinct nodes
+differ. ReusedExchange prints as its own node name, so reuse is never
+double-counted as a shuffle.
+
+Usage: python tools/plan_audit.py [sf_dir] > /tmp/audit.md
+"""
+
+from __future__ import annotations
+
+import re
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+PREFIX = re.compile(r"^[\s:+*()\-\d]*")
+
+
+def audit_plan(plan: str) -> dict[str, int | str]:
+    uniq = {PREFIX.sub("", ln).strip() for ln in plan.splitlines()}
+    uniq = {ln for ln in uniq if ln}
+
+    def n(pat: str) -> int:
+        rx = re.compile(pat)
+        return sum(1 for ln in uniq if rx.match(ln))
+
+    return {
+        "smj": n(r"SortMergeJoin"),
+        "bhj": n(r"BroadcastHashJoin"),
+        "bnlj": n(r"BroadcastNestedLoopJoin"),
+        "exch": n(r"Exchange (hash|range)partitioning|Exchange SinglePartition"),
+        "push": "yes"
+        if any(re.search(r"PushedFilters: \[[^\]]", ln) for ln in uniq)
+        else "-",
+    }
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    from etl_cascalog_spark.catalog import QUERIES
+    from etl_cascalog_spark.session import get_spark
+
+    spark = get_spark("plan_audit")
+    print("| query | SMJ | BHJ | BNLJ | Exch | Push |")
+    print("|---|---|---|---|---|---|")
+    for name in sorted(QUERIES):
+        df = QUERIES[name].build(spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        a = audit_plan(plan)
+        print(f"| {name} | {a['smj']} | {a['bhj']} | {a['bnlj']} | {a['exch']} | {a['push']} |")
+        sys.stdout.flush()
+        spark.catalog.clearCache()
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
