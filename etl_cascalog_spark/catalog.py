@@ -3028,3 +3028,77 @@ def corpus_token_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         pick(0.95).alias("p95_tokens"),
         F.max("n_tokens").alias("max_tokens"),
     )
+
+
+@register(
+    "doc_repetition_stats",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS t
+      FROM documents
+    ),
+    b AS (
+      SELECT doc_id, len(t) AS n, len(list_distinct(t)) AS nd,
+             unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS bg
+      FROM toks WHERE len(t) >= 2
+    ),
+    c AS (SELECT doc_id, n, nd, bg, count(*) AS c FROM b GROUP BY doc_id, n, nd, bg)
+    SELECT doc_id,
+           CAST(n AS BIGINT) AS n_tokens,
+           round(1.0 - nd * 1.0 / n, 6) AS dup_word_frac,
+           round(max(c) * 1.0 / sum(c), 6) AS top_bigram_frac
+    FROM c GROUP BY doc_id, n, nd
+    """,
+    doc="Gopher/MassiveText repetition quality rules (public: Rae et al. "
+    "2021 §A1.1): duplicate-word fraction and top-bigram fraction per doc "
+    "via explode → hash-agg → per-doc max (NOT a per-row array-mode fold — "
+    "the Catalyst inlining trap). Both shuffles keyed on doc_id: "
+    "skew-impossible, AQE-coalesced.",
+)
+def doc_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_cascalog_spark.operators.text import repetition_stats
+
+    return repetition_stats(read_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "pii_redaction",
+    oracle="""
+    SELECT doc_id,
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(
+                 regexp_replace(
+                   'contact user' || CAST(doc_id AS VARCHAR)
+                     || '@example.com or +1-555-867-5309 ssn 123-45-6789 at 10.0.0.'
+                     || CAST(doc_id % 256 AS VARCHAR),
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                 '\\+?[0-9]{1,2}-[0-9]{3}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g'),
+               '[0-9]{3}-[0-9]{2}-[0-9]{4}', '<SSN>', 'g'),
+             '[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}', '<IP>', 'g')
+           AS redacted,
+           4 AS n_spans
+    FROM documents
+    """,
+    doc="PII scrubbing (beyond-reference curation op): ordered chained "
+    "regexp_replace (email -> phone -> ssn -> ip; engine-portable pattern "
+    "subset, no lookaround) — map-side codegen, no UDF. Synthetic PII is "
+    "injected per doc_id since the corpus is clean; the oracle re-applies "
+    "the identical chain, proving cross-engine regex semantics.",
+)
+def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_cascalog_spark.operators.text import PII_PATTERNS, redact_pii
+
+    docs = read_table(spark, sf_dir, "documents")
+    injected = F.concat(
+        F.lit("contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or +1-555-867-5309 ssn 123-45-6789 at 10.0.0."),
+        (F.col("doc_id") % 256).cast("string"),
+    )
+    return docs.select(
+        "doc_id",
+        redact_pii(injected).alias("redacted"),
+        F.lit(len(PII_PATTERNS)).cast("int").alias("n_spans"),
+    )

@@ -230,3 +230,73 @@ def shingles(col: Column, n: int = 3) -> Column:
     real tables prefer the two-step tokenize-then-shingle (see
     :func:`shingles_from_tokens` warning)."""
     return shingles_from_tokens(whitespace_tokens(col), n)
+
+
+#: PII patterns — a deliberately simple, engine-portable subset (plain
+#: character classes, no lookaround) so Java regex (Spark) and RE2 (DuckDB)
+#: agree byte-for-byte. Production scrubbing layers stricter validators on
+#: top; the *plumbing* (ordered map-side replace chain) is what matters here.
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("phone", r"\+?[0-9]{1,2}-[0-9]{3}-[0-9]{3}-[0-9]{4}", "<PHONE>"),
+    ("ssn", r"[0-9]{3}-[0-9]{2}-[0-9]{4}", "<SSN>"),
+    ("ipv4", r"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}", "<IP>"),
+]
+
+
+def redact_pii(col: Column) -> Column:
+    """Scrub PII spans (email → phone → ssn → ip, in that fixed order —
+    order matters: phone must run before ssn since the patterns overlap).
+    Pure chained ``regexp_replace``: map-side, codegen'd, no UDF, no
+    shuffle — the 100 TB shape for corpus scrubbing."""
+    out = col
+    for _name, pat, token in PII_PATTERNS:
+        out = F.regexp_replace(out, pat, token)
+    return out
+
+
+def repetition_stats(docs, id_col: str = "doc_id", text_col: str = "text"):
+    """Gopher/MassiveText-style repetition quality signals (public rules:
+    Rae et al. 2021 §A1.1): per document,
+
+    - ``dup_word_frac``  = 1 − distinct/total words (excess word mass);
+    - ``top_bigram_frac`` = occurrences of the most frequent word bigram /
+      total bigrams (boilerplate/degenerate repetition detector).
+
+    Formulation is explode → count → window-max, NOT a per-row
+    higher-order fold: computing an array's mode inside one Column
+    expression would re-materialize the token array per lambda reference
+    (the Catalyst inlining trap); exploding keeps every step a cheap
+    hash-aggregate. Shuffles partition by (id, bigram) then id — both keyed
+    on the document id, so AQE coalesces them and skew is impossible
+    (a document's bigrams land in one partition).
+    Documents with < 2 tokens are dropped (no bigram is defined).
+    """
+    toks = docs.select(
+        F.col(id_col),
+        whitespace_tokens(F.col(text_col)).alias("__toks"),
+    ).where(F.size("__toks") >= 2)
+    base = toks.select(
+        id_col,
+        F.size("__toks").alias("__n"),
+        F.size(F.array_distinct("__toks")).alias("__nd"),
+        F.posexplode(F.slice("__toks", 1, F.size("__toks") - 1)).alias("__i", "__w"),
+        F.col("__toks"),
+    ).select(
+        id_col,
+        "__n",
+        "__nd",
+        F.concat_ws(" ", F.col("__w"), F.element_at("__toks", F.col("__i") + 2)).alias("__bg"),
+    )
+    counts = base.groupBy(id_col, "__n", "__nd", "__bg").agg(
+        F.count(F.lit(1)).alias("__c")
+    )
+    return counts.groupBy(id_col, "__n", "__nd").agg(
+        F.sum("__c").alias("__total"),
+        F.max("__c").alias("__top"),
+    ).select(
+        id_col,
+        F.col("__n").cast("long").alias("n_tokens"),
+        F.round(F.lit(1.0) - F.col("__nd") / F.col("__n"), 6).alias("dup_word_frac"),
+        F.round(F.col("__top") / F.col("__total"), 6).alias("top_bigram_frac"),
+    )
