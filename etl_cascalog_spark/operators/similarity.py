@@ -369,3 +369,39 @@ def ivf_cosine_topk(
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", F.round(F.col("cos"), 4).alias("cos_sim"))
     )
+
+
+def train_ivf_centroids(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    n_cells: int = 8,
+    seed: int = 11,
+    max_iter: int = 20,
+    sample_fraction: float | None = None,
+) -> list[list[float]]:
+    """Fit IVF coarse-quantizer centroids with distributed k-means
+    (Lloyd's over the cluster; k-means|| init) and return them as the
+    plain-literal centroid list that :func:`ivf_cell` /
+    :func:`ivf_cells_topn` consume — training is a separate offline step
+    exactly as in FAISS-style IVF; query plans never change shape.
+
+    100 TB posture: training runs on a SAMPLE (``sample_fraction``; k-means
+    needs ~10^3 points per cell, not the corpus), the model is
+    driver-resident by construction (n_cells × dim floats), and the output
+    feeds the same broadcast-literal cell assignment as the seeded
+    baseline. Import-gated on ``pyspark.ml`` (VectorAssembler-free: builds
+    ml vectors from the array column directly).
+    """
+    try:
+        from pyspark.ml.clustering import KMeans
+        from pyspark.ml.functions import array_to_vector
+    except ImportError as e:  # pragma: no cover - pyspark.ml ships with pyspark
+        raise NotImplementedError(
+            "train_ivf_centroids needs pyspark.ml; use ivf_centroids() literals"
+        ) from e
+
+    pts = df.select(array_to_vector(F.col(vec_col).cast("array<double>")).alias("features"))
+    if sample_fraction is not None:
+        pts = pts.sample(fraction=sample_fraction, seed=seed)
+    model = KMeans(k=n_cells, seed=seed, maxIter=max_iter).fit(pts)
+    return [[float(x) for x in c] for c in model.clusterCenters()]

@@ -720,3 +720,25 @@ def test_hash_split_stable_and_proportional(spark):
 
     c = {r.k: r.split for r in hash_split(ids, "k", w, salt="s2").collect()}
     assert a != c  # salt versions the split
+
+
+def test_train_ivf_centroids_feeds_cell_assignment(spark):
+    """Trained k-means centroids plug into the same literal-broadcast cell
+    assignment as the seeded baseline: every vector gets exactly one valid
+    cell, the partition is non-degenerate, and same seed → same centroids."""
+    from etl_cascalog_spark.io import read_table
+    from etl_cascalog_spark.operators.similarity import ivf_cell, train_ivf_centroids
+    from tests.conftest import SF_SMOKE
+
+    emb = read_table(spark, SF_SMOKE, "embeddings")
+    n = emb.count()
+    c1 = train_ivf_centroids(emb, n_cells=4, max_iter=5)
+    c2 = train_ivf_centroids(emb, n_cells=4, max_iter=5)
+    assert c1 == c2  # seeded determinism
+    assert len(c1) == 4 and len(c1[0]) == 64
+
+    cells = emb.select(ivf_cell(F.col("embedding"), c1).alias("cell"))
+    counts = {r.cell: r["count"] for r in cells.groupBy("cell").count().collect()}
+    assert sum(counts.values()) == n          # total preserved
+    assert set(counts) <= {0, 1, 2, 3}        # valid cell ids
+    assert len(counts) > 1                    # non-degenerate partition
