@@ -3102,3 +3102,44 @@ def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         redact_pii(injected).alias("redacted"),
         F.lit(len(PII_PATTERNS)).cast("int").alias("n_spans"),
     )
+
+
+@register(
+    "funnel_conversion",
+    oracle="""
+    WITH t1 AS (
+      SELECT user_id, min(ts) AS ts1 FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ),
+    t2 AS (
+      SELECT e.user_id, min(e.ts) AS ts2 FROM events e
+      JOIN t1 ON e.user_id = t1.user_id
+      WHERE e.event_type = 'click' AND e.ts > t1.ts1 GROUP BY e.user_id
+    ),
+    t3 AS (
+      SELECT e.user_id, min(e.ts) AS ts3 FROM events e
+      JOIN t2 ON e.user_id = t2.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > t2.ts2 GROUP BY e.user_id
+    ),
+    c AS (SELECT (SELECT count(*) FROM t1) AS c0,
+                 (SELECT count(*) FROM t2) AS c1,
+                 (SELECT count(*) FROM t3) AS c2)
+    SELECT 1 AS step, 'view' AS step_name, CAST(c0 AS BIGINT) AS users,
+           1.0 AS conv_rate FROM c
+    UNION ALL
+    SELECT 2, 'click', CAST(c1 AS BIGINT), round(c1 * 1.0 / c0, 6) FROM c
+    UNION ALL
+    SELECT 3, 'purchase', CAST(c2 AS BIGINT), round(c2 * 1.0 / c1, 6) FROM c
+    """,
+    doc="Ordered funnel conversion (beyond-reference events analytics): "
+    "first-touch view -> click -> purchase per user, strictly increasing "
+    "event times. Engine plan: ALL step times as min(when) windows over "
+    "one partitionBy(user) spec -> a single Exchange and one WindowExec "
+    "pass; the oracle's textbook formulation self-joins the event table "
+    "once per step (|steps| shuffles).",
+)
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_cascalog_spark.operators.sessions import funnel_conversion as funnel
+
+    ev = read_table(spark, sf_dir, "events")
+    return funnel(ev, "user_id", "ts", "event_type", ["view", "click", "purchase"])

@@ -342,3 +342,67 @@ def hash_split(
         expr = F.when(cond, name) if expr is None else expr.when(cond, name)
     expr = F.lit(last_name) if expr is None else expr.otherwise(last_name)
     return df.withColumn("split", expr)
+
+
+def funnel_conversion(
+    events: DataFrame,
+    user_col: str,
+    ts_col: str,
+    type_col: str,
+    steps: Sequence[str],
+) -> DataFrame:
+    """Ordered funnel: a user converts step *i* when an event of type
+    ``steps[i]`` occurs strictly AFTER their step *i−1* conversion time
+    (first-touch semantics: earliest qualifying event per step).
+
+    Output: one row per step — ``step`` (1-based), ``step_name``,
+    ``users`` converting through it, and ``conv_rate`` vs the previous
+    step (1.0 for the first).
+
+    100 TB posture — ONE shuffle of the event table: every per-step time
+    is an unbounded ``min(when(...))`` window over the same
+    ``partitionBy(user)`` spec, so Catalyst plans a single Exchange and
+    chains the (dependent) WindowExecs on that one partitioning with no
+    re-shuffle and no sort (unbounded frame). The naive SQL formulation
+    (one self-join per step, as the oracle does) shuffles the event table
+    |steps| times. The final |steps|-row presentation is an ``explode``
+    over ONE aggregate row — a per-step ``union`` would recompute the
+    whole window+agg subtree per branch (measured: 3 scans, 6 exchanges).
+    """
+    w = Window.partitionBy(user_col)
+    # only funnel-step events matter: the IN filter reaches the parquet scan
+    out = events.select(user_col, ts_col, type_col).where(
+        F.col(type_col).isin(list(steps))
+    )
+    prev: Column | None = None
+    tcols = []
+    for i, s in enumerate(steps):
+        cond = F.col(type_col) == s
+        if prev is not None:
+            cond = cond & (F.col(ts_col) > F.col(prev))
+        t = f"__t{i}"
+        out = out.withColumn(t, F.min(F.when(cond, F.col(ts_col))).over(w))
+        prev = t
+        tcols.append(t)
+    per_user = out.groupBy(user_col).agg(
+        *[F.max(t).alias(t) for t in tcols]
+    )
+    counts = per_user.agg(
+        *[F.count(t).alias(f"__c{i}") for i, t in enumerate(tcols)]
+    )
+    structs = []
+    for i, s in enumerate(steps):
+        users = F.col(f"__c{i}")
+        if i == 0:
+            rate = F.lit(1.0)
+        else:
+            rate = F.round(users / F.col(f"__c{i - 1}"), 6)
+        structs.append(
+            F.struct(
+                F.lit(i + 1).cast("int").alias("step"),
+                F.lit(s).alias("step_name"),
+                users.cast("long").alias("users"),
+                rate.cast("double").alias("conv_rate"),
+            )
+        )
+    return counts.select(F.explode(F.array(*structs)).alias("__r")).select("__r.*")
