@@ -742,3 +742,38 @@ def test_train_ivf_centroids_feeds_cell_assignment(spark):
     assert sum(counts.values()) == n          # total preserved
     assert set(counts) <= {0, 1, 2, 3}        # valid cell ids
     assert len(counts) > 1                    # non-degenerate partition
+
+
+def test_funnel_ordering_semantics(spark):
+    """Funnel counts only strictly-ordered progressions: a click BEFORE the
+    first view never converts step 2, and equal timestamps don't count
+    (strict >)."""
+    from datetime import datetime
+
+    from etl_cascalog_spark.operators.sessions import funnel_conversion
+
+    T = datetime
+    rows = [
+        # u1: full ordered funnel
+        (1, T(2024, 1, 1, 9), "view"), (1, T(2024, 1, 1, 10), "click"),
+        (1, T(2024, 1, 1, 11), "purchase"),
+        # u2: click precedes the only view -> stops at step 1
+        (2, T(2024, 1, 1, 9), "click"), (2, T(2024, 1, 1, 10), "view"),
+        # u3: click at the SAME instant as view -> strict > excludes it
+        (3, T(2024, 1, 1, 9), "view"), (3, T(2024, 1, 1, 9), "click"),
+        # u4: view+click ordered, purchase before click -> stops at step 2
+        (4, T(2024, 1, 1, 8), "purchase"), (4, T(2024, 1, 1, 9), "view"),
+        (4, T(2024, 1, 1, 10), "click"),
+        # u5: never viewed -> not even step 1
+        (5, T(2024, 1, 1, 9), "purchase"),
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, ts timestamp, event_type string")
+    got = {
+        r.step_name: (r.users, r.conv_rate)
+        for r in funnel_conversion(
+            ev, "user_id", "ts", "event_type", ["view", "click", "purchase"]
+        ).collect()
+    }
+    assert got["view"] == (4, 1.0)       # u1-u4
+    assert got["click"] == (2, 0.5)      # u1, u4
+    assert got["purchase"] == (1, 0.5)   # u1 only
