@@ -3143,3 +3143,72 @@ def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = read_table(spark, sf_dir, "events")
     return funnel(ev, "user_id", "ts", "event_type", ["view", "click", "purchase"])
+
+
+@register(
+    "scd2_point_in_time",
+    oracle="""
+    WITH dim AS (
+      SELECT c_custkey, TIMESTAMP '1995-01-01 00:00:00' AS valid_from,
+             CAST(CAST(c_acctbal AS DECIMAL(12,2)) - 100.00 AS DOUBLE) AS bal
+      FROM customer
+      UNION ALL
+      SELECT c_custkey, TIMESTAMP '1998-01-01 00:00:00',
+             CAST(CAST(c_acctbal AS DECIMAL(12,2)) AS DOUBLE)
+      FROM customer
+    )
+    SELECT o.o_orderkey, o.o_custkey,
+           strftime(o.o_orderdate, '%Y-%m-%d') AS order_dt,
+           d.bal AS bal_at_order
+    FROM orders o JOIN dim d
+      ON o.o_custkey = d.c_custkey AND d.valid_from <= o.o_orderdate
+    QUALIFY row_number() OVER (PARTITION BY o.o_orderkey
+                               ORDER BY d.valid_from DESC) = 1
+    """,
+    doc="SCD2 point-in-time dimension lookup (beyond-reference warehouse "
+    "op; the reference's ODS swaps keep only the latest version — "
+    "replace-into-ods, io.py:222): each order reads the dimension version "
+    "valid at its order date. Pure composition: synthesize two validity "
+    "versions per customer, then asof_join(orders, versions) on custkey — "
+    "ONE shuffle; the oracle's theta-join + QUALIFY re-derives it "
+    "independently. Demonstrates the as-of operator as the SCD2 engine.",
+)
+def scd2_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_cascalog_spark.operators.joins import asof_join
+
+    cust = read_table(spark, sf_dir, "customer")
+    bal = F.col("c_acctbal").cast("decimal(12,2)")
+    dim = cust.select(
+        "c_custkey",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("1995-01-01 00:00:00").cast("timestamp").alias("valid_from"),
+                    (bal - F.lit(100.00).cast("decimal(12,2)")).cast("double").alias("bal"),
+                ),
+                F.struct(
+                    F.lit("1998-01-01 00:00:00").cast("timestamp").alias("valid_from"),
+                    bal.cast("double").alias("bal"),
+                ),
+            )
+        ).alias("__v"),
+    ).select(
+        F.col("c_custkey").alias("o_custkey"),
+        F.col("__v.valid_from").alias("valid_from"),
+        F.col("__v.bal").alias("bal_at_order"),
+    )
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_dt"),
+        F.col("o_orderdate").alias("__odt"),
+    )
+    return asof_join(
+        orders,
+        dim,
+        on=["o_custkey"],
+        left_ts="__odt",
+        right_ts="valid_from",
+        value_cols=["bal_at_order"],
+        tiebreak="bal_at_order",
+    ).drop("__odt")
