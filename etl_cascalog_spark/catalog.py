@@ -3212,3 +3212,42 @@ def scd2_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
         value_cols=["bal_at_order"],
         tiebreak="bal_at_order",
     ).drop("__odt")
+
+
+@register(
+    "neardup_clusters",
+    oracle=f"""
+    WITH RECURSIVE {_SHINGLE_CTE},
+    e AS (
+      SELECT doc_a AS s, doc_b AS t FROM jpairs
+      UNION
+      SELECT doc_b, doc_a FROM jpairs
+    ),
+    reach(s, t) AS (
+      SELECT s, t FROM e
+      UNION
+      SELECT r.s, e2.t FROM reach r JOIN e e2 ON r.t = e2.s
+    )
+    SELECT s AS doc_id, least(s, min(t)) AS cluster_id
+    FROM reach GROUP BY s
+    """,
+    doc="Near-dup CLUSTERS from verified MinHash pairs via iterative "
+    "min-label propagation (connected components; localCheckpoint-bounded "
+    "lineage, converges in O(component diameter) rounds). The step "
+    "pairwise dedup gets wrong on chains: keep one doc per component, not "
+    "per pair. Oracle: recursive-CTE transitive closure over the exact-"
+    "Jaccard pair set.",
+)
+def neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_cascalog_spark.operators.dedup import (
+        connected_components,
+        minhash_lsh_pairs,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(
+        docs, "doc_id", "text", n=3, num_hashes=64, bands=16, threshold=0.7
+    )
+    return connected_components(pairs).select(
+        F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
+    )

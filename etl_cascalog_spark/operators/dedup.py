@@ -422,3 +422,67 @@ def embedding_neardup_pairs(
         )
         .where(F.col("cos_sim") >= threshold)
     )
+
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "doc_a",
+    id_b: str = "doc_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components over a near-dup pair graph → ``(node,
+    cluster_id)`` with ``cluster_id`` = the smallest doc id reachable.
+    This is the step that turns verified PAIRS into dedup CLUSTERS: keep
+    ``node == cluster_id``, drop the rest — without it, pairwise "drop the
+    larger id" over-deletes on chains (a-b, b-c drops both b and c even
+    when a-c are not near-dups).
+
+    Min-label propagation: every node starts labeled with itself; each
+    round sends labels across (bidirectional) edges and keeps the min;
+    fixpoint in O(component diameter) rounds — near-dup components are
+    shallow (chains of near-identical docs), so single-digit rounds in
+    practice, ``max_iter`` bounds the worst case.
+
+    100 TB posture: each round is one equi-join + one groupBy (both keyed
+    on node id), and ``localCheckpoint`` truncates the lineage so the DAG
+    does not grow with iterations (at cluster scale: ``checkpoint`` to
+    reliable storage instead). The convergence probe is a count on the
+    already-checkpointed frame (no recompute). For graphs with huge
+    components/heavy skew, the published large-star/small-star algorithm
+    (Kiveris et al., "Connected Components in MapReduce") halves rounds —
+    unnecessary for near-dup graphs, noted for parity.
+    """
+    edges = pairs.select(F.col(id_a).alias("s"), F.col(id_b).alias("t"))
+    edges = (
+        edges.unionByName(edges.select(F.col("t").alias("s"), F.col("s").alias("t")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        edges.select(F.col("s").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        msgs = edges.join(
+            labels.withColumnRenamed("node", "s"), on="s"
+        ).select(F.col("t").alias("node"), "label")
+        new_labels = (
+            labels.unionByName(msgs)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.join(
+                labels.withColumnRenamed("label", "__old"), on="node"
+            )
+            .where(F.col("label") != F.col("__old"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels

@@ -777,3 +777,24 @@ def test_funnel_ordering_semantics(spark):
     assert got["view"] == (4, 1.0)       # u1-u4
     assert got["click"] == (2, 0.5)      # u1, u4
     assert got["purchase"] == (1, 0.5)   # u1 only
+
+
+def test_connected_components_chains_and_islands(spark):
+    """Chains merge transitively into one component (the case pairwise
+    drop-the-larger over-deletes); disjoint islands stay separate; a long
+    path needs multiple propagation rounds."""
+    from etl_cascalog_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (5, 6),   # 6-node path
+         (10, 11),                                  # island pair
+         (20, 22), (21, 22)],                       # star
+        "doc_a long, doc_b long",
+    )
+    got = {
+        r.node: r.label
+        for r in connected_components(pairs, max_iter=10).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 6: 1,
+                   10: 10, 11: 10,
+                   20: 20, 21: 20, 22: 20}
