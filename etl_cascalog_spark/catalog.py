@@ -2388,7 +2388,7 @@ def _curation_oracle_sql() -> str:
     filters → exact dedup on the normalized-text digest → near-dup losers
     from the survivor-restricted Jaccard pairs."""
     return f"""
-    WITH s AS (
+    WITH RECURSIVE s AS (
       SELECT doc_id, text,
              CAST(len(regexp_extract_all(lower(text), '\\b(the|and|of|to|is)\\b')) AS BIGINT) AS s_en,
              CAST(len(regexp_extract_all(lower(text), '\\b(el|la|los|que|de)\\b')) AS BIGINT) AS s_es,
@@ -2427,14 +2427,22 @@ def _curation_oracle_sql() -> str:
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
       FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
       GROUP BY 1, 2
-    ), losers AS (
-      SELECT DISTINCT doc_b FROM common
+    ), jp AS (
+      SELECT doc_a, doc_b FROM common
       JOIN sizes sa ON sa.doc_id = doc_a
       JOIN sizes sb ON sb.doc_id = doc_b
       WHERE c * 1.0 / (sa.n_sh + sb.n_sh - c) >= 0.7
+    ), eg AS (
+      SELECT doc_a AS s, doc_b AS t FROM jp
+      UNION SELECT doc_b, doc_a FROM jp
+    ), reach(s, t) AS (
+      SELECT s, t FROM eg
+      UNION SELECT r.s, e2.t FROM reach r JOIN eg e2 ON r.t = e2.s
+    ), losers AS (
+      SELECT s FROM reach GROUP BY s HAVING min(t) < s
     )
     SELECT doc_id, lang, quality FROM surv
-    WHERE doc_id NOT IN (SELECT doc_b FROM losers)
+    WHERE doc_id NOT IN (SELECT s FROM losers)
     """
 
 
@@ -2445,9 +2453,11 @@ def _curation_oracle_sql() -> str:
     "flagship composition): quality-score + language-ID filters (map-side "
     "Column exprs) → exact dedup on the normalized digest (window min per "
     "fingerprint) → MinHash+LSH near-dup removal over the survivors "
-    "(losers = higher-id side of every verified pair ≥ 0.7). One corpus "
-    "scan feeds everything; the only shuffles are the digest window and "
-    "the LSH band join — the shape a 100 TB curation run wants.",
+    "(losers = non-canonical members of each connected component over "
+    "verified pairs ≥ 0.7 — pairwise drop-the-larger over-deletes on "
+    "chains). One corpus scan feeds everything; the only shuffles are the "
+    "digest window, the LSH band join, and the per-round component joins "
+    "— the shape a 100 TB curation run wants.",
 )
 def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_cascalog_spark.operators.dedup import minhash_lsh_pairs
@@ -2472,10 +2482,17 @@ def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("__keep")
         .cache()  # feeds pair generation AND the final anti join
     )
+    from etl_cascalog_spark.operators.dedup import connected_components
+
     pairs = minhash_lsh_pairs(exact, "doc_id", "text", n=3, threshold=0.7)
-    # losers ≈ the near-dup fraction of the corpus id space — broadcast-able
-    # by construction (ids only), keeping the anti join shuffle-free
-    losers = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
+    # cluster-canonical keep: one survivor per connected component (the
+    # pairwise doc_b loser set over-deletes on chains a-b-c). losers ≈ the
+    # near-dup fraction of the corpus id space — broadcast-able by
+    # construction (ids only), keeping the anti join shuffle-free
+    comp = connected_components(pairs)
+    losers = comp.where(F.col("node") != F.col("label")).select(
+        F.col("node").alias("doc_id")
+    )
     return exact.join(F.broadcast(losers), "doc_id", "left_anti").select(
         "doc_id", "lang", "quality"
     )
