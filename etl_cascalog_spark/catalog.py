@@ -3268,3 +3268,34 @@ def neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(pairs).select(
         F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
     )
+
+
+@register(
+    "corpus_mixing",
+    oracle="""
+    SELECT doc_id, source
+    FROM (SELECT doc_id, source,
+                 CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'mix1'), 1, 8) AS BIGINT)
+                 % 10000 AS b
+          FROM documents)
+    WHERE b < CASE WHEN source IN ('src0', 'src1', 'src2') THEN 10000
+                   WHEN source = 'src3' THEN 5000
+                   ELSE 2500 END
+    """,
+    doc="Deterministic corpus mixing (beyond-reference data-recipe step): "
+    "per-source keep-fractions enforced by md5-bucket thresholds — "
+    "stable across reruns/engines/task retries (Spark sample() re-draws "
+    "on retry; hash thresholds cannot), map-side only.",
+)
+def corpus_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_cascalog_spark.operators.sessions import mix_corpus
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "source")
+    return mix_corpus(
+        docs,
+        "source",
+        "doc_id",
+        rates={"src0": 1.0, "src1": 1.0, "src2": 1.0, "src3": 0.5},
+        default_rate=0.25,
+        salt="mix1",
+    )

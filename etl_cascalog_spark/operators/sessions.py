@@ -406,3 +406,45 @@ def funnel_conversion(
             )
         )
     return counts.select(F.explode(F.array(*structs)).alias("__r")).select("__r.*")
+
+
+def mix_corpus(
+    df: DataFrame,
+    source_col: str,
+    id_col: str,
+    rates: dict[str, float],
+    default_rate: float = 1.0,
+    salt: str = "",
+    buckets: int = 10_000,
+) -> DataFrame:
+    """Deterministic corpus mixing (beyond-reference; the training-data
+    recipe step): downsample each source to its target ``rates`` fraction
+    by content-hash threshold — the same md5-bucket primitive as
+    :func:`hash_split`, so the sample is stable across reruns/engines and
+    a document's fate never depends on row ordering or RNG state.
+
+    Upsampling (rate > 1) is epoch-repetition, a separate explode-based
+    concern; rates here are keep-fractions in [0, 1]. Pure map-side
+    filter: at 100 TB this prunes at the scan (no shuffle, no sample()
+    nondeterminism across retried tasks — a real failure mode: Spark
+    ``sample`` re-draws on task retry, silently changing the corpus).
+    """
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col(id_col).cast("string"), F.lit(salt))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("long")
+        % buckets
+    )
+    thr = None
+    for s, r in rates.items():
+        cond = F.col(source_col) == s
+        t = F.lit(int(round(r * buckets)))
+        thr = F.when(cond, t) if thr is None else thr.when(cond, t)
+    thr = F.lit(int(round(default_rate * buckets))) if thr is None else thr.otherwise(
+        int(round(default_rate * buckets))
+    )
+    return df.where(bucket < thr)
