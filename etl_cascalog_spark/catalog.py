@@ -3299,3 +3299,26 @@ def corpus_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
         default_rate=0.25,
         salt="mix1",
     )
+
+
+@register(
+    "corpus_upsampling",
+    oracle="""
+    SELECT doc_id, CAST(epoch AS BIGINT) AS epoch
+    FROM (SELECT doc_id,
+                 2 + CASE WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'epoch'), 1, 8) AS BIGINT)
+                          % 10000 < 5000 THEN 1 ELSE 0 END AS n
+          FROM documents),
+         LATERAL (SELECT unnest(generate_series(1, n)) AS epoch)
+    """,
+    doc="Deterministic fractional upsampling (rate 2.5: every doc twice, a "
+    "stable hash-chosen half a third time) with an epoch column so "
+    "downstream shuffles spread the copies — explode(sequence) row "
+    "generation, no join, no RNG; the mixing counterpart of "
+    "corpus_mixing.",
+)
+def corpus_upsampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_cascalog_spark.operators.sessions import repeat_epochs
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id")
+    return repeat_epochs(docs, "doc_id", rate=2.5)

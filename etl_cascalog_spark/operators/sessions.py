@@ -448,3 +448,38 @@ def mix_corpus(
         int(round(default_rate * buckets))
     )
     return df.where(bucket < thr)
+
+
+def repeat_epochs(
+    df: DataFrame,
+    id_col: str,
+    rate: float,
+    salt: str = "epoch",
+    buckets: int = 10_000,
+) -> DataFrame:
+    """Deterministic upsampling to a fractional epoch ``rate`` (e.g. 2.5 →
+    every row twice, a stable hash-chosen half a third time), emitting an
+    ``epoch`` column (1-based) so downstream shuffles can spread the
+    copies. The integer part is an ``explode(sequence(...))`` — map-side
+    row generation, no join; the fractional part reuses the md5-bucket
+    threshold (same guarantees as :func:`mix_corpus`: rerun/engine/
+    retry-stable, no RNG). Rates < 1 belong to :func:`mix_corpus`.
+    """
+    if rate < 1.0:
+        raise ValueError("repeat_epochs needs rate >= 1; use mix_corpus to downsample")
+    whole = int(rate)
+    frac = rate - whole
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col(id_col).cast("string"), F.lit(salt))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("long")
+        % buckets
+    )
+    n_copies = F.lit(whole) + (bucket < F.lit(int(round(frac * buckets)))).cast("int")
+    return df.withColumn(
+        "epoch", F.explode(F.sequence(F.lit(1), n_copies))
+    )
