@@ -3322,3 +3322,35 @@ def corpus_upsampling(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = read_table(spark, sf_dir, "documents").select("doc_id")
     return repeat_epochs(docs, "doc_id", rate=2.5)
+
+
+@register(
+    "document_chunking",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS w
+      FROM documents
+    ),
+    n AS (
+      SELECT doc_id, w,
+             greatest(CAST(ceil((len(w) - 8) * 1.0 / 24) AS INT), 1) AS n_chunks
+      FROM toks WHERE len(w) > 0
+    )
+    SELECT doc_id,
+           CAST(i AS BIGINT) AS chunk_id,
+           array_to_string(list_slice(w, i * 24 + 1, i * 24 + 32), ' ') AS chunk_text,
+           CAST(len(list_slice(w, i * 24 + 1, i * 24 + 32)) AS BIGINT) AS chunk_len
+    FROM n, LATERAL (SELECT unnest(generate_series(0, n_chunks - 1)) AS i)
+    """,
+    doc="Document chunking into 32-token windows with 8-token overlap "
+    "(stride 24) — context-window prep for training/RAG. Map-side "
+    "scan→generate only: tokens materialize once (bound column, no "
+    "inlining trap), offsets explode from sequence(), every token "
+    "covered, last chunk short. No shuffle, no UDF.",
+)
+def document_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_cascalog_spark.operators.text import chunk_documents
+
+    docs = read_table(spark, sf_dir, "documents")
+    return chunk_documents(docs, chunk_tokens=32, overlap=8)

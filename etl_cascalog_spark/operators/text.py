@@ -300,3 +300,51 @@ def repetition_stats(docs, id_col: str = "doc_id", text_col: str = "text"):
         F.round(F.lit(1.0) - F.col("__nd") / F.col("__n"), 6).alias("dup_word_frac"),
         F.round(F.col("__top") / F.col("__total"), 6).alias("top_bigram_frac"),
     )
+
+
+def chunk_documents(
+    docs,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_tokens: int = 32,
+    overlap: int = 8,
+):
+    """Split documents into fixed-size token chunks with overlap — the
+    context-window preparation step (training sequence prep / RAG
+    chunking). Chunk *i* covers tokens ``[i·stride, i·stride+chunk)``
+    with ``stride = chunk − overlap``; the last chunk may be short; every
+    token is covered.
+
+    Map-side only: tokens materialize once (no inlining trap — the slice
+    references a bound column), chunk offsets come from
+    ``explode(sequence(0, n_chunks−1))``, and each output row re-joins its
+    slice. No shuffle, no UDF; at 100 TB this is a pure scan→generate
+    pipeline whose output is ~(1 + overlap/stride)× the input text.
+    """
+    stride = chunk_tokens - overlap
+    if stride <= 0:
+        raise ValueError("overlap must be smaller than chunk_tokens")
+    toks = docs.select(
+        F.col(id_col),
+        whitespace_tokens(F.col(text_col)).alias("__toks"),
+    ).where(F.size("__toks") > 0)
+    n_chunks = F.greatest(
+        F.ceil((F.size("__toks") - F.lit(overlap)) / F.lit(stride)),
+        F.lit(1),
+    ).cast("int")
+    chunked = toks.select(
+        id_col,
+        "__toks",
+        F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_id"),
+    )
+    return chunked.select(
+        id_col,
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        F.array_join(
+            F.slice(F.col("__toks"), F.col("chunk_id") * stride + 1, chunk_tokens),
+            " ",
+        ).alias("chunk_text"),
+        F.size(
+            F.slice(F.col("__toks"), F.col("chunk_id") * stride + 1, chunk_tokens)
+        ).cast("long").alias("chunk_len"),
+    )

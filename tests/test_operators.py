@@ -798,3 +798,23 @@ def test_connected_components_chains_and_islands(spark):
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 6: 1,
                    10: 10, 11: 10,
                    20: 20, 21: 20, 22: 20}
+
+
+def test_chunk_documents_coverage_and_overlap(spark):
+    """Every token is covered; consecutive chunks overlap by exactly
+    `overlap`; the final chunk may be short; reconstruction via stride
+    concat round-trips the text."""
+    from etl_cascalog_spark.operators.text import chunk_documents
+
+    words = [f"w{i}" for i in range(50)]
+    docs = spark.createDataFrame([(1, " ".join(words))], "doc_id long, text string")
+    rows = sorted(
+        chunk_documents(docs, chunk_tokens=32, overlap=8).collect(),
+        key=lambda r: r.chunk_id,
+    )
+    assert [r.chunk_len for r in rows] == [32, 26]
+    c0, c1 = rows[0].chunk_text.split(" "), rows[1].chunk_text.split(" ")
+    assert c0 == words[0:32]
+    assert c1 == words[24:50]
+    assert c0[24:32] == c1[0:8]  # exact overlap
+    assert c0 + c1[8:] == words  # stride reconstruction
