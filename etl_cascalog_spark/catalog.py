@@ -3354,3 +3354,62 @@ def document_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = read_table(spark, sf_dir, "documents")
     return chunk_documents(docs, chunk_tokens=32, overlap=8)
+
+
+@register(
+    "validation_report",
+    oracle="""
+    SELECT 'unique(o_orderkey)' AS check,
+           CAST(count(*) AS BIGINT) AS checked,
+           CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT) AS violations,
+           count(*) = count(DISTINCT o_orderkey) AS passed
+    FROM orders
+    UNION ALL
+    SELECT 'not_null(o_custkey,o_orderdate)',
+           CAST(count(*) * 2 AS BIGINT),
+           CAST(count(CASE WHEN o_custkey IS NULL THEN 1 END)
+              + count(CASE WHEN o_orderdate IS NULL THEN 1 END) AS BIGINT),
+           count(CASE WHEN o_custkey IS NULL THEN 1 END)
+              + count(CASE WHEN o_orderdate IS NULL THEN 1 END) = 0
+    FROM orders
+    UNION ALL
+    SELECT 'fk(o_custkey)',
+           CAST((SELECT count(*) FROM orders) AS BIGINT),
+           CAST((SELECT count(*) FROM orders o
+                 WHERE o.o_custkey NOT IN (SELECT c_custkey FROM customer)) AS BIGINT),
+           (SELECT count(*) FROM orders o
+            WHERE o.o_custkey NOT IN (SELECT c_custkey FROM customer)) = 0
+    UNION ALL
+    SELECT 'range(o_totalprice)',
+           CAST(count(*) AS BIGINT),
+           CAST(count(CASE WHEN o_totalprice IS NOT NULL
+                           AND o_totalprice < 0 THEN 1 END) AS BIGINT),
+           count(CASE WHEN o_totalprice IS NOT NULL
+                      AND o_totalprice < 0 THEN 1 END) = 0
+    FROM orders
+    """,
+    doc="Declarative data-quality gate (beyond-reference; the reference's "
+    "only guard was load-range audit rows): key uniqueness, NOT-NULL, "
+    "broadcast-anti-join FK integrity, and domain-range checks, one "
+    "aggregate pass each, unioned into the publish-gate report. Compose "
+    "with io.publish_atomic: publish only when sum(violations) == 0.",
+)
+def validation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_cascalog_spark.operators.validate import (
+        expect_fk,
+        expect_in_range,
+        expect_no_nulls,
+        expect_unique,
+        validation_report as vreport,
+    )
+
+    orders = read_table(spark, sf_dir, "orders")
+    cust = read_table(spark, sf_dir, "customer")
+    return vreport(
+        [
+            expect_unique(orders, ["o_orderkey"]),
+            expect_no_nulls(orders, ["o_custkey", "o_orderdate"]),
+            expect_fk(orders, "o_custkey", cust, "c_custkey"),
+            expect_in_range(orders, "o_totalprice", lo=0.0),
+        ]
+    )

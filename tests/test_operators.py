@@ -818,3 +818,37 @@ def test_chunk_documents_coverage_and_overlap(spark):
     assert c1 == words[24:50]
     assert c0[24:32] == c1[0:8]  # exact overlap
     assert c0 + c1[8:] == words  # stride reconstruction
+
+
+def test_validation_checks_fire_on_bad_data(spark):
+    """Each check reports the exact violation count on a corrupt fixture
+    (the sf tables are clean, so the catalog query only proves the
+    all-green path)."""
+    from etl_cascalog_spark.operators.validate import (
+        expect_fk,
+        expect_in_range,
+        expect_no_nulls,
+        expect_unique,
+        validation_report,
+    )
+
+    fact = spark.createDataFrame(
+        [(1, 10, 5.0), (1, 10, 6.0), (2, 99, -1.0), (3, None, 2.0)],
+        "k long, fk long, v double",
+    )
+    dim = spark.createDataFrame([(10,), (11,)], "d long")
+    rep = {
+        r.check: (r.checked, r.violations, r.passed)
+        for r in validation_report(
+            [
+                expect_unique(fact, ["k"]),
+                expect_no_nulls(fact, ["fk"]),
+                expect_fk(fact, "fk", dim, "d"),
+                expect_in_range(fact, "v", lo=0.0, hi=10.0),
+            ]
+        ).collect()
+    }
+    assert rep["unique(k)"] == (4, 1, False)      # duplicate k=1
+    assert rep["not_null(fk)"] == (4, 1, False)   # one NULL fk
+    assert rep["fk(fk)"] == (4, 2, False)         # fk=99 and fk=NULL orphaned
+    assert rep["range(v)"] == (4, 1, False)       # v=-1.0
