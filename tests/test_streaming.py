@@ -207,3 +207,38 @@ def test_stream_interval_join_matches_batch_range_join(spark):
     )
     want = sorted((r.error_id, r.click_id) for r in batch.collect())
     assert got == want and len(got) > 0
+
+
+def test_stream_static_broadcast_enrichment(spark):
+    """Stream-static join: a streaming fact enriched against a broadcast
+    static dimension (stateless — no watermark needed) matches the batch
+    join row-for-row."""
+    from etl_cascalog_spark.io import read_table
+    from etl_cascalog_spark.streaming.windows import run_to_memory, stream_events
+
+    events = read_table(spark, SF_SMOKE, "events")
+    dim = (
+        events.groupBy("user_id")
+        .agg(F.count("*").alias("n"))
+        .select(
+            "user_id",
+            F.when(F.col("n") >= 100, "heavy").otherwise("light").alias("tier"),
+        )
+    )
+    stream = run_to_memory(
+        stream_events(spark, SF_SMOKE)
+        .where(F.col("event_type") == "purchase")
+        .join(F.broadcast(dim), "user_id")
+        .select("event_id", "user_id", "tier"),
+        "t_stream_static",
+        "append",
+    )
+    got = sorted((r.event_id, r.tier) for r in stream.collect())
+    want = sorted(
+        (r.event_id, r.tier)
+        for r in events.where(F.col("event_type") == "purchase")
+        .join(dim, "user_id")
+        .select("event_id", "tier")
+        .collect()
+    )
+    assert got == want and len(got) > 0
