@@ -3413,3 +3413,35 @@ def validation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             expect_in_range(orders, "o_totalprice", lo=0.0),
         ]
     )
+
+
+@register(
+    "sequence_packing_offsets",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             CAST(len(string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) AS BIGINT) AS n_tokens
+      FROM documents
+    )
+    SELECT doc_id, n_tokens,
+           CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+             AS token_offset,
+           CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 512 AS BIGINT)
+             AS pack_id
+    FROM toks
+    """,
+    doc="Sequence-packing offsets (beyond-reference): every doc's exclusive "
+    "global token offset in the id-ordered concatenated corpus + its "
+    "512-token context bin — via the distributed prefix-sum construction "
+    "(bucketed parallel windows + a 4096x-smaller bucket-base window), "
+    "NOT the single-partition global window the oracle uses.",
+)
+def sequence_packing_offsets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_cascalog_spark.operators.text import global_token_offsets, token_count_ws
+
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id", token_count_ws(F.col("text")).alias("n_tokens")
+    )
+    return global_token_offsets(docs, ctx_tokens=512)

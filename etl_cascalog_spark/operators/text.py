@@ -12,7 +12,7 @@ stages in :mod:`operators.dedup`.
 
 from __future__ import annotations
 
-from pyspark.sql import Column
+from pyspark.sql import Column, Window
 from pyspark.sql import functions as F
 
 #: words-with-apostrophes or single non-space symbols — a BPE-ish pre-token
@@ -347,4 +347,57 @@ def chunk_documents(
         F.size(
             F.slice(F.col("__toks"), F.col("chunk_id") * stride + 1, chunk_tokens)
         ).cast("long").alias("chunk_len"),
+    )
+
+
+def global_token_offsets(
+    docs,
+    id_col: str = "doc_id",
+    n_tokens_col: str = "n_tokens",
+    ctx_tokens: int = 512,
+    bucket_size: int = 4096,
+):
+    """Sequence-packing offsets: the exclusive global token offset of every
+    document in the id-ordered concatenated corpus, plus the context bin
+    (``pack_id = offset div ctx_tokens``) its first token lands in — the
+    bookkeeping a fixed-context training-data packer needs (docs crossing
+    a bin boundary continue into the next bin, GPT-style concat packing).
+
+    The naive formulation — ``sum() OVER (ORDER BY id)`` with no partition
+    key — is a SINGLE-PARTITION window: the whole corpus funnels through
+    one task. This is the classic distributed prefix-sum instead:
+
+    1. bucket docs by ``id div bucket_size`` (deterministic, no sampling —
+       range-partition sampling would break run-to-run determinism);
+    2. exclusive prefix sums WITHIN each bucket (parallel windows);
+    3. per-bucket totals → exclusive prefix over the bucket list (a window
+       over corpus/bucket_size rows — single partition but 4096× smaller;
+       repeat the construction for another 4096× if that ever matters);
+    4. broadcast-join the bucket offsets back: offset = bucket base +
+       within-bucket prefix.
+
+    Every step is deterministic, so the assignment is reproducible and
+    oracle-checkable (``sum() OVER (ORDER BY id)`` in SQL).
+    """
+    n = F.col(n_tokens_col)
+    b = docs.withColumn("__bkt", (F.col(id_col) / bucket_size).cast("long"))
+    w_in = (
+        Window.partitionBy("__bkt")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    b = b.withColumn("__within", F.coalesce(F.sum(n).over(w_in), F.lit(0)))
+    totals = b.groupBy("__bkt").agg(F.sum(n).alias("__tot"))
+    w_b = Window.orderBy("__bkt").rowsBetween(Window.unboundedPreceding, -1)
+    bases = totals.withColumn("__base", F.coalesce(F.sum("__tot").over(w_b), F.lit(0)))
+    return (
+        b.join(F.broadcast(bases.select("__bkt", "__base")), on="__bkt")
+        .select(
+            id_col,
+            n.cast("long").alias(n_tokens_col),
+            (F.col("__base") + F.col("__within")).cast("long").alias("token_offset"),
+            ((F.col("__base") + F.col("__within")) / ctx_tokens)
+            .cast("long")
+            .alias("pack_id"),
+        )
     )
