@@ -3445,3 +3445,67 @@ def sequence_packing_offsets(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", token_count_ws(F.col("text")).alias("n_tokens")
     )
     return global_token_offsets(docs, ctx_tokens=512)
+
+
+@register(
+    "incremental_dedup_docs",
+    oracle=f"""
+    WITH hist AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 != 0),
+    newd AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0),
+    hfp AS (SELECT DISTINCT md5({_NORM_SQL}) AS fp FROM hist),
+    nfp AS (SELECT doc_id, md5({_NORM_SQL}) AS fp FROM newd),
+    ex AS (
+      SELECT doc_id FROM nfp n
+      WHERE fp NOT IN (SELECT fp FROM hfp)
+        AND doc_id = (SELECT min(m.doc_id) FROM nfp m WHERE m.fp = n.fp)
+    ),
+    tokn AS (
+      SELECT d.doc_id, string_split({_NORM_SQL}, ' ') AS w
+      FROM documents d JOIN ex ON d.doc_id = ex.doc_id
+    ),
+    tokh AS (
+      SELECT doc_id, string_split({_NORM_SQL}, ' ') AS w FROM hist
+      UNION ALL SELECT doc_id, w FROM tokn
+    ),
+    shn AS (
+      SELECT DISTINCT doc_id,
+             unnest(list_transform(range(1, greatest(len(w) - 1, 1)),
+                                   i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+      FROM tokn
+    ),
+    shh AS (
+      SELECT DISTINCT doc_id,
+             unnest(list_transform(range(1, greatest(len(w) - 1, 1)),
+                                   i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+      FROM tokh
+    ),
+    szn AS (SELECT doc_id, count(*) AS n_sh FROM shn GROUP BY 1),
+    szh AS (SELECT doc_id, count(*) AS n_sh FROM shh GROUP BY 1),
+    common AS (
+      SELECT a.doc_id AS doc_n, b.doc_id AS doc_h, count(*) AS c
+      FROM shn a JOIN shh b ON a.s = b.s
+      WHERE b.doc_id % 5 != 0 OR b.doc_id < a.doc_id
+      GROUP BY 1, 2
+    ),
+    losers AS (
+      SELECT DISTINCT doc_n FROM common
+      JOIN szn ON szn.doc_id = doc_n
+      JOIN szh ON szh.doc_id = doc_h
+      WHERE c * 1.0 / (szn.n_sh + szh.n_sh - c) >= 0.7
+    )
+    SELECT doc_id FROM ex WHERE doc_id NOT IN (SELECT doc_n FROM losers)
+    """,
+    doc="Incremental (delta-vs-history) dedup — the daily-ingest shape: "
+    "drop a new doc when its digest exists in history, a lower-id batch "
+    "doc shares it, or it is an exact-verified near-dup of history / a "
+    "lower-id batch doc. Candidate generation is NEW-side-driven (bucket "
+    "join of delta bands against history+delta bands), so cost scales "
+    "with the delta, never history-vs-history. New docs = doc_id %% 5 == 0.",
+)
+def incremental_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_cascalog_spark.operators.dedup import incremental_dedup
+
+    docs = read_table(spark, sf_dir, "documents")
+    newd = docs.where(F.col("doc_id") % 5 == 0)
+    hist = docs.where(F.col("doc_id") % 5 != 0)
+    return incremental_dedup(newd, hist, "doc_id", "text").select("doc_id")
