@@ -587,4 +587,6 @@ def incremental_dedup(
         .select(F.col("doc_n").alias(id_col))
         .distinct()
     )
-    return new_surv.join(losers, on=id_col, how="left_anti")
+    # losers ≈ the near-dup fraction of the DELTA id space — broadcast-able
+    # by construction (ids only), keeping the final anti join shuffle-free
+    return new_surv.join(F.broadcast(losers), on=id_col, how="left_anti")
