@@ -852,3 +852,32 @@ def test_validation_checks_fire_on_bad_data(spark):
     assert rep["not_null(fk)"] == (4, 1, False)   # one NULL fk
     assert rep["fk(fk)"] == (4, 2, False)         # fk=99 and fk=NULL orphaned
     assert rep["range(v)"] == (4, 1, False)       # v=-1.0
+
+
+def test_incremental_dedup_semantics(spark):
+    """Crafted delta-vs-history fixture: exact hit in history, near-dup of
+    history, within-batch duplicate, and a genuinely new doc."""
+    from etl_cascalog_spark.operators.dedup import incremental_dedup
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    near = base + " lambda"          # jaccard vs base well above 0.7
+    hist = spark.createDataFrame(
+        [(1, base), (2, "one two three four five six seven eight nine ten")],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [
+            (10, base),                       # exact digest in history -> drop
+            (15, near),                       # near-dup of history -> drop
+            (20, "unique words entirely fresh content here nothing shared"),
+            (25, "unique words entirely fresh content here nothing shared"),
+            # ^ batch-internal duplicate: 20 kept, 25 dropped
+            (30, "another totally distinct document body with original tokens"),
+        ],
+        "doc_id long, text string",
+    )
+    kept = sorted(
+        r.doc_id
+        for r in incremental_dedup(new, hist, "doc_id", "text").select("doc_id").collect()
+    )
+    assert kept == [20, 30]
