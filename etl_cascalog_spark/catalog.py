@@ -3509,3 +3509,91 @@ def incremental_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     newd = docs.where(F.col("doc_id") % 5 == 0)
     hist = docs.where(F.col("doc_id") % 5 != 0)
     return incremental_dedup(newd, hist, "doc_id", "text").select("doc_id")
+
+
+def _training_pipeline_oracle_sql() -> str:
+    """Capstone oracle: the curation CTE chain (quality → lang → exact dedup
+    → cluster-canonical near-dedup), then hash-split train selection,
+    32/8 chunking, and global chunk token offsets via a window prefix sum
+    over (doc_id, chunk_id) order."""
+    curation = _curation_oracle_sql()
+    head = curation[: curation.rindex("SELECT doc_id, lang, quality FROM surv")]
+    return (
+        head
+        + """, kept AS (
+      SELECT doc_id FROM surv
+      WHERE doc_id NOT IN (SELECT s FROM losers)
+    ), train AS (
+      SELECT k.doc_id FROM kept k
+      WHERE CAST('0x' || substr(md5(CAST(k.doc_id AS VARCHAR) || 'v1'), 1, 8) AS BIGINT)
+            % 10000 < 8000
+    ), tw AS (
+      SELECT d.doc_id,
+             string_split(regexp_replace(lower(trim(d.text)), '\\s+', ' ', 'g'), ' ') AS w
+      FROM documents d JOIN train t ON d.doc_id = t.doc_id
+    ), nch AS (
+      SELECT doc_id, w,
+             greatest(CAST(ceil((len(w) - 8) * 1.0 / 24) AS INT), 1) AS n_chunks
+      FROM tw WHERE len(w) > 0
+    ), chunks AS (
+      SELECT doc_id, CAST(i AS BIGINT) AS chunk_id,
+             CAST(len(list_slice(w, i * 24 + 1, i * 24 + 32)) AS BIGINT) AS chunk_len
+      FROM nch, LATERAL (SELECT unnest(generate_series(0, n_chunks - 1)) AS i)
+    )
+    SELECT doc_id, chunk_id, chunk_len,
+           CAST(coalesce(sum(chunk_len) OVER (ORDER BY doc_id, chunk_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+             AS token_offset,
+           CAST(coalesce(sum(chunk_len) OVER (ORDER BY doc_id, chunk_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 512 AS BIGINT)
+             AS pack_id
+    FROM chunks
+    """
+    )
+
+
+@register(
+    "training_data_pipeline",
+    oracle=_training_pipeline_oracle_sql(),
+    doc="CAPSTONE composition — the complete training-data prep DAG in one "
+    "declarative plan: curation (quality → lang-ID → exact dedup → "
+    "cluster-canonical near-dedup) → deterministic hash split (train "
+    "slice) → 32/8 context chunking → global chunk offsets + 512-token "
+    "pack bins via the distributed prefix sum. Every stage is an "
+    "already-oracle-checked operator; this query proves they compose "
+    "into one lazy DataFrame the scheduler can fuse end to end.",
+)
+def training_data_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_cascalog_spark.operators.sessions import hash_split
+    from etl_cascalog_spark.operators.text import (
+        chunk_documents,
+        global_token_offsets,
+    )
+
+    kept = QUERIES["corpus_curation_pipeline"].build(spark, sf_dir).select("doc_id")
+    docs = read_table(spark, sf_dir, "documents").join(kept, "doc_id", "left_semi")
+    train = (
+        hash_split(docs, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}, salt="v1")
+        .where(F.col("split") == "train")
+        .drop("split")
+    )
+    chunks = chunk_documents(train, chunk_tokens=32, overlap=8)
+    # one orderable id per chunk: chunk_id < 10^4 by construction at any SF
+    # (doc length / stride), so doc_id*10^4 + chunk_id preserves
+    # (doc_id, chunk_id) order exactly
+    uid = (F.col("doc_id") * 10_000 + F.col("chunk_id")).alias("__uid")
+    packed = global_token_offsets(
+        chunks.select(uid, F.col("chunk_len").alias("n_tokens")),
+        id_col="__uid",
+        n_tokens_col="n_tokens",
+        ctx_tokens=512,
+    )
+    return (
+        packed.select(
+            (F.col("__uid") / 10_000).cast("long").alias("doc_id"),
+            F.pmod(F.col("__uid"), F.lit(10_000)).cast("long").alias("chunk_id"),
+            F.col("n_tokens").alias("chunk_len"),
+            "token_offset",
+            "pack_id",
+        )
+    )
