@@ -3597,3 +3597,27 @@ def training_data_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             "pack_id",
         )
     )
+
+
+@register(
+    "feature_binning_deciles",
+    oracle="""
+    SELECT c_nationkey, c_custkey,
+           CAST(ntile(10) OVER (PARTITION BY c_nationkey
+                                ORDER BY c_acctbal, c_custkey) AS INT) AS bal_decile
+    FROM customer
+    """,
+    doc="Per-group decile binning (feature engineering): ntile over "
+    "(acctbal, custkey) — the id tie-break makes bin assignment total-"
+    "order deterministic, so both engines agree bit-exactly (ntile on a "
+    "non-total order would hash-diverge on ties). One shuffle on the "
+    "group key.",
+)
+def feature_binning_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = read_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy("c_acctbal", "c_custkey")
+    return cust.select(
+        "c_nationkey",
+        "c_custkey",
+        F.ntile(10).over(w).cast("int").alias("bal_decile"),
+    )

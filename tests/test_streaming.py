@@ -242,3 +242,36 @@ def test_stream_static_broadcast_enrichment(spark):
         .collect()
     )
     assert got == want and len(got) > 0
+
+
+def test_foreachbatch_parquet_sink_roundtrip(spark, tmp_path):
+    """foreachBatch production-sink path: each microbatch lands in a
+    parquet dir; the accumulated result equals the batch filter (the
+    pattern warehouse upserts build on)."""
+    from etl_cascalog_spark.io import read_table
+    from etl_cascalog_spark.streaming.windows import stream_events
+
+    out = str(tmp_path / "purchases")
+
+    def sink(batch_df, batch_id):
+        batch_df.write.mode("append").parquet(out)
+
+    q = (
+        stream_events(spark, SF_SMOKE)
+        .where(F.col("event_type") == "purchase")
+        .select("event_id", "user_id", "value")
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    got = sorted(r.event_id for r in spark.read.parquet(out).collect())
+    want = sorted(
+        r.event_id
+        for r in read_table(spark, SF_SMOKE, "events")
+        .where(F.col("event_type") == "purchase")
+        .collect()
+    )
+    assert got == want and len(got) > 0
