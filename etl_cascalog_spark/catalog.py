@@ -3621,3 +3621,45 @@ def feature_binning_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_custkey",
         F.ntile(10).over(w).cast("int").alias("bal_decile"),
     )
+
+
+@register(
+    "bm25_lexical_topk",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, string_split({_NORM_SQL}, ' ') AS w
+      FROM documents WHERE len(string_split({_NORM_SQL}, ' ')) > 0
+    ),
+    d AS (SELECT doc_id, len(w) * 1.0 AS dl, w FROM t),
+    stats AS (SELECT count(*) * 1.0 AS n, avg(dl) AS avgdl FROM d),
+    posting AS (
+      SELECT doc_id, dl, term, count(*) * 1.0 AS tf
+      FROM (SELECT doc_id, dl, unnest(w) AS term FROM d)
+      WHERE term IN ('spark', 'window', 'merge')
+      GROUP BY doc_id, dl, term
+    ),
+    dfr AS (SELECT term, count(*) * 1.0 AS df FROM posting GROUP BY term),
+    scored AS (
+      SELECT doc_id,
+             round(sum(ln((n - df + 0.5) / (df + 0.5) + 1.0)
+                       * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))), 6)
+               AS score
+      FROM posting JOIN dfr USING (term) CROSS JOIN stats
+      GROUP BY doc_id
+    )
+    SELECT doc_id, score,
+           CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INT) AS rank
+    FROM scored QUALIFY rank <= 10
+    """,
+    doc="BM25 lexical retrieval (beyond-reference; the lexical half of "
+    "hybrid search next to the ANN paths): inverted-index shape — term "
+    "filter at the explode, (doc, term) tf agg as the only corpus-sized "
+    "shuffle, ≤|query|-row df/idf broadcast. Scores rounded to 6 dp "
+    "BEFORE ranking (JVM vs C libm ln() last-ulp divergence would flip "
+    "near-ties), id tie-break.",
+)
+def bm25_lexical_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_cascalog_spark.operators.text import bm25_topk
+
+    docs = read_table(spark, sf_dir, "documents")
+    return bm25_topk(docs, ["spark", "window", "merge"], k=10)

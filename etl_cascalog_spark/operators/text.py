@@ -401,3 +401,79 @@ def global_token_offsets(
             .alias("pack_id"),
         )
     )
+
+
+def bm25_topk(
+    docs,
+    query_terms: "Sequence[str]",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+):
+    """BM25 lexical retrieval for one query — the lexical half of a
+    retrieval stack (pair with the ANN cosine paths for hybrid search).
+
+    Plan shape (the inverted-index shape, NOT a per-doc UDF scan):
+
+    1. corpus stats: one tiny agg → (N, avgdl), broadcast as a scalar row;
+    2. postings: explode tokens, filter to the query's terms AT THE
+       EXPLODE (the term filter prunes before any shuffle), tf per
+       (doc, term);
+    3. df per term (term-keyed agg over ≤ |query| keys), idf =
+       ln((N − df + 0.5)/(df + 0.5) + 1) — the standard Robertson/
+       Sparck-Jones form;
+    4. score = Σ_terms idf · tf(k1+1)/(tf + k1(1−b+b·dl/avgdl)), one
+       doc-keyed agg, top-k by (rounded score, id).
+
+    Scores are rounded to 6 dp BEFORE ranking: JVM and C libm ``ln`` can
+    disagree in the last ulp, and an unrounded ORDER BY would let that
+    flip near-tied ranks (same determinism rule as the ANN queries).
+    At 100 TB the only corpus-sized shuffle is the (doc, term) tf agg,
+    already pruned to query terms; df/idf live on ≤ |query| rows.
+    """
+    terms = [t.lower() for t in query_terms]
+    toks = docs.select(
+        F.col(id_col),
+        whitespace_tokens(F.col(text_col)).alias("__toks"),
+    ).where(F.size("__toks") > 0)
+    stats = toks.agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.avg(F.size("__toks").cast("double")).alias("__avgdl"),
+    )
+    postings = (
+        toks.select(
+            id_col,
+            F.size("__toks").cast("double").alias("__dl"),
+            F.explode("__toks").alias("__term"),
+        )
+        .where(F.col("__term").isin(terms))
+        .groupBy(id_col, "__dl", "__term")
+        .agg(F.count(F.lit(1)).cast("double").alias("__tf"))
+    )
+    df_per_term = postings.groupBy("__term").agg(
+        F.count(F.lit(1)).cast("double").alias("__df")
+    )
+    scored = (
+        postings.join(F.broadcast(df_per_term), "__term")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "__idf",
+            F.log((F.col("__n") - F.col("__df") + 0.5) / (F.col("__df") + 0.5) + 1.0),
+        )
+        .withColumn(
+            "__s",
+            F.col("__idf")
+            * (F.col("__tf") * (k1 + 1))
+            / (F.col("__tf") + k1 * (1 - b + b * F.col("__dl") / F.col("__avgdl"))),
+        )
+        .groupBy(id_col)
+        .agg(F.round(F.sum("__s"), 6).alias("score"))
+    )
+    w = Window.orderBy(F.col("score").desc(), F.col(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(id_col, "score", F.col("rank").cast("int").alias("rank"))
+    )
