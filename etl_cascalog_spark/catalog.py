@@ -3663,3 +3663,81 @@ def bm25_lexical_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = read_table(spark, sf_dir, "documents")
     return bm25_topk(docs, ["spark", "window", "merge"], k=10)
+
+
+@register(
+    "hybrid_search_rerank",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, string_split({_NORM_SQL}, ' ') AS w
+      FROM documents WHERE len(string_split({_NORM_SQL}, ' ')) > 0
+    ),
+    d AS (SELECT doc_id, len(w) * 1.0 AS dl, w FROM t),
+    stats AS (SELECT count(*) * 1.0 AS n, avg(dl) AS avgdl FROM d),
+    posting AS (
+      SELECT doc_id, dl, term, count(*) * 1.0 AS tf
+      FROM (SELECT doc_id, dl, unnest(w) AS term FROM d)
+      WHERE term IN ('spark', 'window', 'merge')
+      GROUP BY doc_id, dl, term
+    ),
+    dfr AS (SELECT term, count(*) * 1.0 AS df FROM posting GROUP BY term),
+    scored AS (
+      SELECT doc_id,
+             round(sum(ln((n - df + 0.5) / (df + 0.5) + 1.0)
+                       * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))), 6)
+               AS lex_score
+      FROM posting JOIN dfr USING (term) CROSS JOIN stats
+      GROUP BY doc_id
+    ),
+    cand AS (
+      SELECT doc_id, lex_score,
+             row_number() OVER (ORDER BY lex_score DESC, doc_id) AS lex_rank
+      FROM scored QUALIFY lex_rank <= 50
+    ),
+    q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+    rer AS (
+      SELECT c.doc_id, c.lex_score,
+             round(
+               list_sum(list_transform(list_zip(e.embedding, q.qv),
+                                       p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+               / (sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                * sqrt(list_sum(list_transform(q.qv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
+               4) AS cos_sim
+      FROM cand c JOIN embeddings e ON e.vec_id = c.doc_id CROSS JOIN q
+    )
+    SELECT doc_id, lex_score, cos_sim,
+           CAST(row_number() OVER (ORDER BY cos_sim DESC, doc_id) AS INT) AS rank
+    FROM rer QUALIFY rank <= 10
+    """,
+    doc="Hybrid retrieval (beyond-reference): BM25 lexical top-50 "
+    "candidates re-ranked by embedding cosine to the query vector — the "
+    "two-stage RAG retrieval stack composed from bm25_topk + the "
+    "similarity module's fold cosine. The candidate set is tiny by "
+    "construction, so the re-rank join is broadcast and the embedding "
+    "table is probed, never scanned into a cross join.",
+)
+def hybrid_search_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_cascalog_spark.operators.similarity import cosine
+    from etl_cascalog_spark.operators.text import bm25_topk
+
+    docs = read_table(spark, sf_dir, "documents")
+    emb = read_table(spark, sf_dir, "embeddings")
+    cand = (
+        bm25_topk(docs, ["spark", "window", "merge"], k=50)
+        .select(F.col("doc_id"), F.col("score").alias("lex_score"))
+    )
+    qv = emb.where(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    rer = (
+        emb.join(F.broadcast(cand), emb["vec_id"] == cand["doc_id"])
+        .crossJoin(F.broadcast(qv))
+        .select(
+            "doc_id",
+            "lex_score",
+            F.round(cosine(F.col("embedding"), F.col("qv")), 4).alias("cos_sim"),
+        )
+    )
+    w = Window.orderBy(F.col("cos_sim").desc(), F.col("doc_id"))
+    return (
+        rer.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= 10)
+    )
