@@ -3741,3 +3741,69 @@ def hybrid_search_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         rer.withColumn("rank", F.row_number().over(w).cast("int"))
         .where(F.col("rank") <= 10)
     )
+
+
+@register(
+    "trailing_window_revenue",
+    oracle="""
+    SELECT o_custkey,
+           strftime(o_orderdate, '%Y-%m-%d') AS order_dt,
+           CAST(round(sum(CAST(o_totalprice AS DECIMAL(12,2)))
+                  OVER (PARTITION BY o_custkey ORDER BY o_orderdate
+                        RANGE BETWEEN INTERVAL 6 DAY PRECEDING AND CURRENT ROW),
+                2) AS DOUBLE) AS trailing_7d
+    FROM orders
+    """,
+    doc="Time-RANGE window frame (beyond the rows-frame W3 family): 7-day "
+    "trailing revenue per customer — the frame is CALENDAR-bounded "
+    "(RANGE INTERVAL), so gaps in order dates shrink the window instead "
+    "of counting rows; peers at the same date aggregate together, making "
+    "the result per-row deterministic without an id tie-break. One "
+    "shuffle + per-key sort; exact decimal sums.",
+)
+def trailing_window_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = read_table(spark, sf_dir, "orders")
+    day = 86400  # RANGE frames need a numeric order key: epoch seconds
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.unix_timestamp("o_orderdate"))
+        .rangeBetween(-6 * day, 0)
+    )
+    return orders.select(
+        "o_custkey",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_dt"),
+        dround(F.sum(money(F.col("o_totalprice"))).over(w)).alias("trailing_7d"),
+    )
+
+
+@register(
+    "grouping_sets_report",
+    oracle="""
+    SELECT coalesce(o_orderstatus, 'ALL') AS status,
+           coalesce(o_orderpriority, 'ALL') AS priority,
+           CAST(grouping(o_orderstatus) * 2 + grouping(o_orderpriority) AS INT) AS gid,
+           count(*) AS n_orders,
+           CAST(round(sum(CAST(o_totalprice AS DECIMAL(12,2))), 2) AS DOUBLE) AS revenue
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+    """,
+    doc="Explicit GROUPING SETS (A12 beyond cube/rollup): the exact "
+    "subtotal combinations a report needs — (status, priority), "
+    "(status), grand total — in ONE aggregation pass (Expand feeds a "
+    "single shuffle; grouping_id disambiguates NULL-as-ALL from real "
+    "NULLs, surfaced as gid).",
+)
+def grouping_sets_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = read_table(spark, sf_dir, "orders")
+    orders.createOrReplaceTempView("__orders_gs")
+    return spark.sql(
+        """
+        SELECT coalesce(o_orderstatus, 'ALL') AS status,
+               coalesce(o_orderpriority, 'ALL') AS priority,
+               CAST(grouping(o_orderstatus) * 2 + grouping(o_orderpriority) AS INT) AS gid,
+               count(*) AS n_orders,
+               CAST(round(sum(CAST(o_totalprice AS DECIMAL(12,2))), 2) AS DOUBLE) AS revenue
+        FROM __orders_gs
+        GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+        """
+    )
