@@ -881,3 +881,23 @@ def test_incremental_dedup_semantics(spark):
         for r in incremental_dedup(new, hist, "doc_id", "text").select("doc_id").collect()
     )
     assert kept == [20, 30]
+
+
+def test_concurrent_query_execution(spark):
+    """One SparkSession runs catalog queries from multiple threads — the
+    scheduling model that replaces the reference's 38 serial Hadoop jobs
+    (cascalog.sh). Results must equal the serial runs."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from etl_cascalog_spark.catalog import QUERIES
+    from tests.conftest import SF_SMOKE
+
+    names = ["pricing_summary", "star_join_revenue", "top_n_per_group", "set_ops"]
+
+    def run(name):
+        return name, QUERIES[name].build(spark, SF_SMOKE).count()
+
+    with ThreadPoolExecutor(max_workers=4) as ex:
+        concurrent = dict(ex.map(run, names))
+    serial = {n: QUERIES[n].build(spark, SF_SMOKE).count() for n in names}
+    assert concurrent == serial
