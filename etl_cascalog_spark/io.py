@@ -350,3 +350,34 @@ def read_jsonl(spark: SparkSession, path: str, schema=None) -> DataFrame:
     if schema is not None:
         reader = reader.schema(schema)
     return reader.json(path)
+
+
+def compact(
+    spark: SparkSession,
+    path: str,
+    target_files: int | None = None,
+    target_bytes: int = 128 * 1024 * 1024,
+) -> int:
+    """Small-file compaction: rewrite a parquet dir into ``target_files``
+    output files (default: sized from the on-disk bytes at
+    ``target_bytes`` per file) and publish atomically (readers never see
+    a partial rewrite; crash recovery via :func:`recover_publish`).
+
+    The operational counterpart of streaming/incremental ingest at 100 TB:
+    every micro-batch append creates files, and scan parallelism degrades
+    into per-file task overhead (the classic small-files problem). Uses
+    ``coalesce`` (no shuffle — merges input splits) rather than
+    ``repartition``; returns the file count written.
+    """
+    import os
+
+    size = sum(
+        os.path.getsize(os.path.join(dp, f))
+        for dp, _dn, fn in os.walk(path)
+        for f in fn
+        if f.endswith(".parquet")
+    )
+    n = target_files or max(1, round(size / target_bytes))
+    df = spark.read.parquet(path).coalesce(n)
+    publish_atomic(df, path)
+    return n

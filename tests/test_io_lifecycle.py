@@ -189,3 +189,54 @@ def test_csv_roundtrip(spark):
         df.write.option("header", "true").csv(path)
         back = read_csv(spark, path, schema="id int, name string")
         assert sorted((r.id, r.name) for r in back.collect()) == [(1, "a"), (2, "b")]
+
+
+def test_compact_small_files(spark, tmp_path):
+    """Compaction rewrites a many-file dir into few files with identical
+    contents, atomically (the .old backup holds the previous layout)."""
+    import glob
+
+    from etl_cascalog_spark.io import compact
+
+    path = str(tmp_path / "frag")
+    spark.range(0, 10_000).repartition(64).write.parquet(path)
+    assert len(glob.glob(path + "/*.parquet")) == 64
+
+    n = compact(spark, path, target_files=2)
+    assert n == 2
+    assert len(glob.glob(path + "/*.parquet")) == 2
+    got = sorted(r.id for r in spark.read.parquet(path).collect())
+    assert got == list(range(10_000))
+
+
+def test_merge_schema_evolution(spark, tmp_path):
+    """Warehouse dirs evolve: a later write adds a column; mergeSchema
+    reads both generations (old rows NULL in the new column)."""
+    p = str(tmp_path / "evolving")
+    spark.createDataFrame([(1, "a")], "id long, v string").write.parquet(p)
+    spark.createDataFrame(
+        [(2, "b", 9.5)], "id long, v string, score double"
+    ).write.mode("append").parquet(p)
+    df = spark.read.option("mergeSchema", "true").parquet(p)
+    rows = {r.id: (r.v, r.score) for r in df.collect()}
+    assert rows == {1: ("a", None), 2: ("b", 9.5)}
+
+
+def test_csv_corrupt_records_quarantined(spark, tmp_path):
+    """PERMISSIVE csv ingestion: malformed rows land in _corrupt_record
+    instead of failing the load (the at-scale ingestion stance: quarantine,
+    don't crash)."""
+    f = tmp_path / "in.csv"
+    f.write_text("id,v\n1,ok\nnot_a_number,bad\n2,fine\n")
+    df = (
+        spark.read.option("header", "true")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .schema("id long, v string, _corrupt_record string")
+        .csv(str(f))
+        .cache()
+    )
+    good = df.where(F.col("_corrupt_record").isNull())
+    bad = df.where(F.col("_corrupt_record").isNotNull())
+    assert sorted(r.id for r in good.collect()) == [1, 2]
+    assert bad.count() == 1
