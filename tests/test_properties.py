@@ -106,3 +106,54 @@ def test_full_outer_merge_laws(spark, left_keys, right_keys):
     # idempotence
     out2 = {row.id: row.v for row in full_outer_coalesce(l, l, ["id"]).collect()}
     assert out2 == {k: f"L{k}" for k in left_keys}
+
+
+_events = st.lists(
+    st.tuples(
+        st.integers(1, 3),            # key
+        st.integers(0, 50),           # time (small ints: collisions likely)
+        st.integers(0, 1000),         # value/tiebreak id
+    ),
+    min_size=1,
+    max_size=14,
+)
+
+
+@given(left=_events, right=_events)
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_asof_join_equals_naive_theta_join(spark, left, right):
+    """asof_join (union+window composition) ≡ the naive per-left-row argmax
+    over {r : r.key = l.key, r.ts <= l.ts}, max by (ts, rid) — on random
+    micro-frames with deliberate timestamp collisions."""
+    from datetime import datetime, timedelta
+
+    from etl_cascalog_spark.operators.joins import asof_join
+
+    base = datetime(2024, 1, 1)
+    l_rows = [(k, base + timedelta(minutes=t), i) for i, (k, t, _v) in enumerate(left)]
+    r_rows = [
+        (k, base + timedelta(minutes=t), float(v), 10_000 + i)
+        for i, (k, t, v) in enumerate(right)
+    ]
+    ldf = spark.createDataFrame(l_rows, "k long, lts timestamp, lid long")
+    rdf = spark.createDataFrame(r_rows, "k long, rts timestamp, v double, rid long")
+    got = {
+        r.lid: (r.v, r.rid)
+        for r in asof_join(
+            ldf, rdf, on=["k"], left_ts="lts", right_ts="rts",
+            value_cols=["v", "rid"], tiebreak="rid",
+        ).collect()
+    }
+    want = {}
+    for k, lts, lid in l_rows:
+        cands = [(rts, rid, v) for rk, rts, v, rid in r_rows if rk == k and rts <= lts]
+        if cands:
+            _ts, rid, v = max(cands, key=lambda c: (c[0], c[1]))
+            want[lid] = (v, rid)
+        else:
+            want[lid] = (None, None)
+    assert got == want
