@@ -157,3 +157,44 @@ def test_asof_join_equals_naive_theta_join(spark, left, right):
         else:
             want[lid] = (None, None)
     assert got == want
+
+
+@given(
+    probes=st.lists(st.integers(0, 300), min_size=1, max_size=12),
+    ivs=st.lists(st.tuples(st.integers(0, 300), st.integers(0, 120)), min_size=1, max_size=8),
+    bucket=st.sampled_from([60, 3600, 7200]),
+)
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_range_join_bucketed_equals_naive(spark, probes, ivs, bucket):
+    """Bucket-exploded range_join ≡ the quadratic BETWEEN predicate for any
+    bucket size, including intervals spanning many/zero cells and boundary
+    ties (minute-granularity random data)."""
+    from datetime import datetime, timedelta
+
+    from etl_cascalog_spark.operators.joins import range_join
+
+    base = datetime(2024, 1, 1)
+    p_rows = [(i, base + timedelta(minutes=t)) for i, t in enumerate(probes)]
+    i_rows = [
+        (100 + j, base + timedelta(minutes=s), base + timedelta(minutes=s + d))
+        for j, (s, d) in enumerate(ivs)
+    ]
+    pdf = spark.createDataFrame(p_rows, "pid long, ts timestamp")
+    idf = spark.createDataFrame(i_rows, "iid long, s timestamp, e timestamp")
+    got = sorted(
+        (r.pid, r.iid)
+        for r in range_join(pdf, "ts", idf, "s", "e", bucket_seconds=bucket)
+        .select("pid", "iid")
+        .collect()
+    )
+    want = sorted(
+        (pid, iid)
+        for pid, ts in p_rows
+        for iid, s, e in i_rows
+        if s <= ts <= e
+    )
+    assert got == want
