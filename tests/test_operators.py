@@ -901,3 +901,31 @@ def test_concurrent_query_execution(spark):
         concurrent = dict(ex.map(run, names))
     serial = {n: QUERIES[n].build(spark, SF_SMOKE).count() for n in names}
     assert concurrent == serial
+
+
+def test_plan_audit_dedupes_cached_reprints():
+    """audit_plan counts unique plan lines: the same Exchange reprinted
+    inside an InMemoryRelation block is counted once; ReusedExchange and
+    BroadcastExchange are never counted as shuffles."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tools"))
+    from plan_audit import audit_plan
+
+    plan = """
+    *(3) SortMergeJoin [a#1], [b#2], FullOuter
+    :- Exchange hashpartitioning(a#1, 32), ENSURE_REQUIREMENTS, [plan_id=10]
+    :  +- InMemoryTableScan [a#1]
+    :     +- InMemoryRelation [a#1]
+    :        +- Exchange hashpartitioning(a#1, 32), ENSURE_REQUIREMENTS, [plan_id=10]
+    +- ReusedExchange [b#2], Exchange hashpartitioning(a#1, 32)
+    +- BroadcastExchange HashedRelationBroadcastMode, [plan_id=11]
+    +- BroadcastHashJoin [c#3], [d#4], Inner, BuildRight
+    +- FileScan parquet [a#1] PushedFilters: [IsNotNull(a)], ReadSchema: x
+    """
+    a = audit_plan(plan)
+    assert a["smj"] == 1
+    assert a["bhj"] == 1
+    assert a["exch"] == 1      # duplicate line counted once; Reused/Broadcast excluded
+    assert a["push"] == "yes"
