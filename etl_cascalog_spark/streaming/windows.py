@@ -110,6 +110,28 @@ def sessions(
     )
 
 
+def sessions_dynamic_gap(
+    events: DataFrame,
+    gap_expr: Column,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Session windows with a PER-EVENT gap (``session_window`` accepts a
+    Column): e.g. purchases hold a session open longer than views. The
+    gap expression is evaluated per row JVM-side; state bounding via the
+    watermark is unchanged. Batch twin: gaps-and-islands with the same
+    per-row gap column (see the equivalence test)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap_expr), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.col("session_window.start").alias("session_start"),
+            "user_id",
+            "n_events",
+        )
+    )
+
+
 def dedup_within_watermark(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
     """Stateful streaming dedup by event_id with watermark-bounded state
     (exactly-once ingestion of an at-least-once source)."""

@@ -275,3 +275,42 @@ def test_foreachbatch_parquet_sink_roundtrip(spark, tmp_path):
         .collect()
     )
     assert got == want and len(got) > 0
+
+
+def test_dynamic_gap_sessions_match_batch(spark):
+    """Per-event session gaps (purchase holds a session open 60 min, other
+    events 10 min): streaming session_window(Column) equals the batch
+    gaps-and-islands with the same per-row gap."""
+    from pyspark.sql import Window
+
+    from etl_cascalog_spark.io import read_table
+    from etl_cascalog_spark.streaming.windows import (
+        run_to_memory,
+        sessions_dynamic_gap,
+        stream_events,
+    )
+
+    gap = F.when(F.col("event_type") == "purchase", "60 minutes").otherwise("10 minutes")
+    stream = run_to_memory(
+        sessions_dynamic_gap(stream_events(spark, SF_SMOKE), gap),
+        "t_dyn_sessions",
+        "complete",
+    )
+    got = {(r.user_id, r.session_start): r.n_events for r in stream.collect()}
+
+    ev = read_table(spark, SF_SMOKE, "events")
+    w = Window.partitionBy("user_id").orderBy("ts")
+    gap_secs = F.when(F.col("event_type") == "purchase", 3600).otherwise(600)
+    batch = (
+        ev.withColumn(
+            "__deadline",
+            F.timestamp_micros(F.unix_micros("ts") + gap_secs.cast("long") * 1_000_000),
+        )
+        .withColumn("__prev_deadline", F.max("__deadline").over(w.rowsBetween(Window.unboundedPreceding, -1)))
+        .withColumn("__new", (F.col("__prev_deadline").isNull() | (F.col("ts") >= F.col("__prev_deadline"))).cast("int"))
+        .withColumn("__sid", F.sum("__new").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+        .groupBy("user_id", "__sid")
+        .agg(F.min("ts").alias("session_start"), F.count("*").alias("n_events"))
+    )
+    want = {(r.user_id, r.session_start): r.n_events for r in batch.collect()}
+    assert got == want and len(got) > 0
