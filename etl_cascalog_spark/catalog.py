@@ -3807,3 +3807,63 @@ def grouping_sets_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
         """
     )
+
+
+@register(
+    "salted_join_skew",
+    oracle="""
+    SELECT o.o_orderkey, c.c_mktsegment,
+           CAST(round(CAST(o.o_totalprice AS DECIMAL(12,2)), 2) AS DOUBLE) AS price
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE c.c_nationkey = 1
+    """,
+    doc="Skew-buster equivalence at catalog level: salted_join (explode-"
+    "salt the skewed build side x16, deterministic pmod salt on the "
+    "probe) must return exactly the plain equi-join rows. The salt is "
+    "invisible in the result — only the shuffle key distribution "
+    "changes; the oracle is the plain join.",
+)
+def salted_join_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_cascalog_spark.operators.joins import salted_join
+
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    cust = (
+        read_table(spark, sf_dir, "customer")
+        .where(F.col("c_nationkey") == 1)
+        .select(F.col("c_custkey").alias("o_custkey"), "c_mktsegment")
+    )
+    return salted_join(orders, cust, on="o_custkey", salt=16).select(
+        "o_orderkey",
+        "c_mktsegment",
+        dround(money(F.col("o_totalprice"))).alias("price"),
+    )
+
+
+@register(
+    "json_schema_extraction",
+    oracle="""
+    SELECT CAST(json_extract(props, '$.k') AS BIGINT) % 10 AS k_bucket,
+           count(*) AS n,
+           CAST(round(sum(CAST(value AS DECIMAL(12,2))), 2) AS DOUBLE) AS total_value
+    FROM events
+    WHERE props IS NOT NULL
+    GROUP BY 1
+    """,
+    doc="Schema-on-read JSON parsing with from_json + an EXPLICIT struct "
+    "schema — one parse per row into a typed column (vs one parse per "
+    "get_json_object call in the X8 path-extraction query); the "
+    "scale-preferred form when several fields are read. Aggregated per "
+    "extracted-key bucket.",
+)
+def json_schema_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events").where(F.col("props").isNotNull())
+    parsed = ev.withColumn("__p", F.from_json("props", "k bigint"))
+    return (
+        parsed.groupBy((F.col("__p.k") % 10).alias("k_bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            dround(F.sum(money(F.col("value")))).alias("total_value"),
+        )
+    )
