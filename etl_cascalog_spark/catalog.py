@@ -3867,3 +3867,177 @@ def json_schema_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
             dround(F.sum(money(F.col("value")))).alias("total_value"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# R. Corpus curation round 3: decontamination, passage dedup, vocab, clipping
+# ---------------------------------------------------------------------------
+
+@register(
+    "benchmark_decontamination",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split({_NORM_SQL}, ' ') AS w FROM documents
+    ),
+    grams AS (
+      SELECT DISTINCT doc_id, array_to_string(list_slice(w, i, i + 4), ' ') AS gram
+      FROM toks, LATERAL (SELECT unnest(generate_series(1, len(w) - 4)) AS i)
+      WHERE len(w) >= 5
+    ),
+    bench AS (SELECT DISTINCT gram FROM grams WHERE doc_id % 97 = 0),
+    corp AS (SELECT doc_id, gram FROM grams WHERE doc_id % 97 <> 0)
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_overlap
+    FROM corp JOIN bench USING (gram)
+    GROUP BY doc_id
+    """,
+    doc="Benchmark decontamination (GPT-3 §C / Pile-style n-gram overlap "
+    "scan; 5-grams here, 13 in production): per corpus doc, the count of "
+    "distinct word n-grams shared with ANY eval-set doc. Eval sets are "
+    "tiny → their distinct-gram set broadcasts; the corpus side is a "
+    "map-side explode into a BroadcastHashJoin, and the only corpus-sized "
+    "shuffle is the per-doc count on the uniform doc-id key. At real "
+    "scale the broadcast becomes a Bloom filter with this exact plan as "
+    "the verification pass.",
+)
+def benchmark_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_cascalog_spark.operators.dedup import decontaminate
+
+    docs = read_table(spark, sf_dir, "documents")
+    bench = docs.where(F.col("doc_id") % 97 == 0)
+    corpus = docs.where(F.col("doc_id") % 97 != 0)
+    return decontaminate(corpus, bench, "doc_id", "text", n=5)
+
+
+@register(
+    "passage_dedup_docs",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split({_NORM_SQL}, ' ') AS w
+      FROM documents
+      WHERE len(string_split({_NORM_SQL}, ' ')) > 0
+    ),
+    psg AS (
+      SELECT doc_id, i AS pos,
+             array_to_string(list_slice(w, i * 10 + 1, i * 10 + 10), ' ') AS passage
+      FROM toks, LATERAL (
+        SELECT unnest(generate_series(0, CAST(ceil(len(w) / 10.0) AS INT) - 1)) AS i
+      )
+    ),
+    k AS (
+      SELECT doc_id, pos, passage,
+             row_number() OVER (PARTITION BY md5(passage)
+                                ORDER BY doc_id, pos) = 1 AS keep
+      FROM psg
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_passages,
+           CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           coalesce(array_to_string(list(passage ORDER BY pos)
+                                    FILTER (WHERE keep), ' '), '') AS clean_text
+    FROM k GROUP BY doc_id
+    """,
+    doc="Passage-level exact dedup (Lee et al. 2022 ExactSubstr over fixed "
+    "10-token windows): keep only the globally FIRST occurrence of each "
+    "distinct passage, re-assemble surviving text per doc. Two shuffles — "
+    "passage-digest window (md5 key, skew-free) + doc-id re-assembly; "
+    "the fixed-window approximation of the suffix-array method that "
+    "actually distributes at 100 TB.",
+)
+def passage_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_cascalog_spark.operators.dedup import passage_dedup
+
+    docs = read_table(spark, sf_dir, "documents")
+    return passage_dedup(docs, "doc_id", "text", passage_tokens=10)
+
+
+@register(
+    "vocab_induction",
+    oracle=f"""
+    WITH toks AS (
+      SELECT unnest(string_split({_NORM_SQL}, ' ')) AS token FROM documents
+    ),
+    freq AS (
+      SELECT token, count(*) AS freq FROM toks
+      WHERE len(token) > 0 GROUP BY token
+    ),
+    total AS (SELECT sum(freq) AS t FROM freq),
+    top AS (
+      SELECT token, freq,
+             CAST(row_number() OVER (ORDER BY freq DESC, token) AS INT) AS rank
+      FROM freq QUALIFY rank <= 40
+    )
+    SELECT token, CAST(freq AS BIGINT) AS freq, rank,
+           round(sum(freq) OVER (ORDER BY freq DESC, token
+                                 ROWS UNBOUNDED PRECEDING) * 1.0 / t, 6)
+             AS cum_share
+    FROM top CROSS JOIN total
+    """,
+    doc="Vocabulary induction: global token-frequency top-40 with rank and "
+    "cumulative coverage share — the word-level seed of BPE tokenizer "
+    "training and the vocabulary-skew health check. One corpus-sized "
+    "hash-agg shuffle (map-side combine collapses it to |vocab|); top-k "
+    "is TakeOrdered (no global sort) and the rank/cumsum window touches "
+    "k rows only. Exact integer sums both sides, one double divide.",
+)
+def vocab_induction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_cascalog_spark.operators.text import vocab_top_tokens
+
+    docs = read_table(spark, sf_dir, "documents")
+    return vocab_top_tokens(docs, "text", k=40)
+
+
+@register(
+    "winsorized_features",
+    oracle="""
+    WITH ranked AS (
+      SELECT l_returnflag AS grp,
+             CAST(l_extendedprice AS DECIMAL(12,2)) AS v,
+             row_number() OVER (PARTITION BY l_returnflag
+                                ORDER BY CAST(l_extendedprice AS DECIMAL(12,2)),
+                                         l_orderkey, l_linenumber) AS rn,
+             count(*) OVER (PARTITION BY l_returnflag) AS n
+      FROM lineitem
+    ),
+    bounds AS (
+      SELECT grp, v, n,
+             max(CASE WHEN rn = CAST(ceil(0.05 * n) AS BIGINT) THEN v END)
+               OVER (PARTITION BY grp) AS lo,
+             max(CASE WHEN rn = CAST(ceil(0.95 * n) AS BIGINT) THEN v END)
+               OVER (PARTITION BY grp) AS hi
+      FROM ranked
+    )
+    SELECT grp, CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(round(min(lo), 2) AS DOUBLE) AS p_lo_val,
+           CAST(round(min(hi), 2) AS DOUBLE) AS p_hi_val,
+           CAST(round(sum(least(greatest(v, lo), hi)), 2) AS DOUBLE) AS clipped_sum,
+           round(CAST(sum(least(greatest(v, lo), hi)) AS DOUBLE) / count(*), 6)
+             AS clipped_avg
+    FROM bounds GROUP BY grp
+    """,
+    doc="Per-group winsorization (quantile clipping) for outlier-robust "
+    "features: clip price to the group's EXACT discrete [p05, p95] "
+    "percentiles (rank = ceil(p·n) — integer rank selection is "
+    "bit-stable across engines; interpolation would diverge in the last "
+    "ulp). ONE Exchange on the group key feeds both window passes and "
+    "the final agg (Catalyst reuses the partitioning); exact decimal "
+    "sums.",
+)
+def winsorized_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_cascalog_spark.operators.aggregates import winsorized_stats
+
+    li = read_table(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("grp"),
+        money(F.col("l_extendedprice")).alias("v"),
+        F.concat_ws("-", "l_orderkey", "l_linenumber").alias("rid"),
+    )
+    out = winsorized_stats(li, "grp", "v", "rid", p_lo=0.05, p_hi=0.95)
+    return out.select(
+        "grp",
+        "n_rows",
+        dround(F.col("p_lo_val")).alias("p_lo_val"),
+        dround(F.col("p_hi_val")).alias("p_hi_val"),
+        dround(F.col("clipped_sum")).alias("clipped_sum"),
+        F.round(
+            F.col("clipped_sum").cast("double") / F.col("n_rows"), 6
+        ).alias("clipped_avg"),
+    )

@@ -132,3 +132,57 @@ def grouped_agg_pandas_example():
         return float(kept.mean()) if len(kept) else float("nan")
 
     return trimmed_mean
+
+
+def winsorized_stats(
+    df,
+    group_col: str,
+    value_col: str,
+    id_col: str,
+    p_lo: float = 0.05,
+    p_hi: float = 0.95,
+):
+    """Per-group winsorization (quantile clipping) — the outlier-robust
+    feature-engineering pass: clip ``value_col`` to its group's EXACT
+    discrete [p_lo, p_hi] percentiles (rank = ceil(p·n) over the sorted
+    values — integer rank selection, so the picked bounds are bit-identical
+    across engines; interpolated percentiles would diverge in the last ulp).
+
+    Returns one row per group: ``(group, n_rows, p_lo_val, p_hi_val,
+    clipped_sum, clipped_avg)``. Pass an exact-decimal ``value_col`` for
+    deterministic sums.
+
+    100 TB shape: a single Exchange on the group key feeds both window
+    passes AND the final aggregate (same partitioning — Catalyst reuses the
+    shuffle); per-key sort is the only extra cost. No second shuffle, no
+    driver collect.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(group_col).orderBy(value_col, id_col)
+    wc = Window.partitionBy(group_col)
+    ranked = df.withColumn("__rn", F.row_number().over(w)).withColumn(
+        "__n", F.count(F.lit(1)).over(wc)
+    )
+
+    def pick(p: float):
+        at = F.ceil(F.lit(p) * F.col("__n")).cast("long")
+        return F.max(
+            F.when(F.col("__rn") == at, F.col(value_col))
+        ).over(wc)
+
+    clipped = (
+        ranked.withColumn("__lo", pick(p_lo))
+        .withColumn("__hi", pick(p_hi))
+        .withColumn(
+            "__clip",
+            F.least(F.greatest(F.col(value_col), F.col("__lo")), F.col("__hi")),
+        )
+    )
+    return clipped.groupBy(group_col).agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.min("__lo").alias("p_lo_val"),
+        F.min("__hi").alias("p_hi_val"),
+        F.sum("__clip").alias("clipped_sum"),
+    )

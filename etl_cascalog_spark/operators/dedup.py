@@ -590,3 +590,118 @@ def incremental_dedup(
     # losers ≈ the near-dup fraction of the DELTA id space — broadcast-able
     # by construction (ids only), keeping the final anti join shuffle-free
     return new_surv.join(F.broadcast(losers), on=id_col, how="left_anti")
+
+
+def decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 5,
+) -> DataFrame:
+    """Benchmark decontamination: per corpus doc, the number of distinct word
+    n-grams it shares with ANY benchmark/eval document (GPT-3 §C / Pile-style
+    13-gram overlap scan; n is a parameter — the toy catalog uses 5).
+
+    Returns ``(id_col, n_overlap)`` for contaminated docs only; anti-join the
+    corpus against it to scrub.
+
+    100 TB shape: eval sets are tiny (thousands of docs) next to the corpus,
+    so the DISTINCT benchmark n-gram set is broadcast and the corpus side is
+    a map-side explode feeding a BroadcastHashJoin — the corpus never
+    shuffles against itself; the only corpus-sized shuffle is the final
+    per-doc count, keyed on doc id (uniform). At real scale the same plan
+    ships a Bloom filter of benchmark grams instead of the exact set; the
+    exact broadcast IS the verification pass.
+    """
+    bench_grams = (
+        shingle_arrays(benchmark, id_col, text_col, n)
+        .select(F.explode("sh").alias("gram"))
+        .distinct()
+    )
+    corpus_grams = shingle_arrays(corpus, id_col, text_col, n).select(
+        F.col("doc").alias(id_col), F.explode("sh").alias("gram")
+    )
+    return (
+        corpus_grams.join(F.broadcast(bench_grams), "gram")
+        # shingles_from_tokens is distinct-per-doc, so a plain count is the
+        # distinct shared-gram count
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_overlap"))
+    )
+
+
+def passage_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    passage_tokens: int = 10,
+) -> DataFrame:
+    """Passage-level exact dedup (Lee et al. 2022 "Deduplicating Training
+    Data Makes Language Models Better", arXiv:2107.06499 — the ExactSubstr
+    idea over fixed windows instead of suffix arrays): split each doc into
+    non-overlapping ``passage_tokens``-word passages, keep only the globally
+    FIRST occurrence of each distinct passage (ordered by (doc id, position)),
+    and re-assemble the surviving text per doc.
+
+    Returns ``(id_col, n_passages, n_kept, clean_text)``.
+
+    100 TB shape: two shuffles — one keyed on the passage digest (md5 →
+    uniform, skew-free) to pick winners, one keyed on doc id to re-assemble.
+    The passage explode is map-side; nothing is quadratic. Suffix-array
+    ExactSubstr finds arbitrary-offset repeats that fixed windows miss;
+    fixed windows are the shuffle-friendly approximation production corpus
+    pipelines actually run at this scale.
+    """
+    from pyspark.sql import Window
+
+    toks = df.select(
+        F.col(id_col), whitespace_tokens(F.col(text_col)).alias("__w")
+    ).where(F.size("__w") > 0)
+    # non-overlapping windows: passage i covers tokens [i*p+1, (i+1)*p]
+    n_psg = F.ceil(F.size("__w") / F.lit(passage_tokens)).cast("int")
+    psg = (
+        toks.select(
+            id_col,
+            "__w",
+            F.explode(F.sequence(F.lit(0), n_psg - 1)).alias("pos"),
+        )
+        .select(
+            id_col,
+            "pos",
+            F.concat_ws(
+                " ",
+                F.slice(
+                    "__w", F.col("pos") * passage_tokens + 1, passage_tokens
+                ),
+            ).alias("passage"),
+        )
+        .withColumn("digest", F.md5("passage"))
+    )
+    w = Window.partitionBy("digest")
+    first_owner = F.min(F.struct(F.col(id_col), F.col("pos"))).over(w)
+    kept = psg.withColumn(
+        "__keep",
+        (first_owner[id_col] == F.col(id_col))
+        & (first_owner["pos"] == F.col("pos")),
+    )
+    return kept.groupBy(id_col).agg(
+        F.count("*").cast("long").alias("n_passages"),
+        F.sum(F.col("__keep").cast("long")).alias("n_kept"),
+        F.concat_ws(
+            " ",
+            F.array_compact(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("__keep"),
+                                F.struct(F.col("pos"), F.col("passage")),
+                            )
+                        )
+                    ),
+                    lambda s: s["passage"],
+                )
+            ),
+        ).alias("clean_text"),
+    )

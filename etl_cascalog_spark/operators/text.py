@@ -477,3 +477,42 @@ def bm25_topk(
         .where(F.col("rank") <= k)
         .select(id_col, "score", F.col("rank").cast("int").alias("rank"))
     )
+
+
+def vocab_top_tokens(df, text_col: str = "text", k: int = 50):
+    """Vocabulary induction: global token-frequency table, top-``k`` tokens
+    with rank and cumulative corpus-coverage share — the word-level seed of
+    a tokenizer-training pass (BPE implementations start from exactly this
+    table) and the corpus health check for vocabulary skew.
+
+    Returns ``(token, freq, rank, cum_share)``; ``cum_share`` is the
+    fraction of ALL token occurrences covered by ranks 1..r (rounded 6 dp —
+    one exact-integer sum per side, then a single double divide).
+
+    100 TB shape: one corpus-sized shuffle (token hash-agg with map-side
+    combine — frequencies partial-aggregate perfectly); the top-k is a
+    per-partition TakeOrdered + driver merge of k rows, and the rank /
+    cumulative window runs over those k rows only, never the full
+    vocabulary. The total is a scalar agg broadcast back in.
+    """
+    from pyspark.sql import Window
+
+    toks = df.select(
+        F.explode(whitespace_tokens(F.col(text_col))).alias("token")
+    ).where(F.length("token") > 0)
+    freq = toks.groupBy("token").agg(F.count("*").alias("freq"))
+    total = freq.agg(F.sum("freq").alias("__total"))
+    top = freq.orderBy(F.col("freq").desc(), "token").limit(k)
+    w = Window.orderBy(F.col("freq").desc(), F.col("token"))
+    wcum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        top.crossJoin(F.broadcast(total))
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+        .withColumn(
+            "cum_share",
+            F.round(
+                F.sum("freq").over(wcum).cast("double") / F.col("__total"), 6
+            ),
+        )
+        .select("token", "freq", "rank", "cum_share")
+    )

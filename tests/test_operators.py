@@ -960,3 +960,68 @@ def test_ivf_nprobe_recall_monotonic(spark):
     # note: absolute recall at small nprobe is LOW here by design — the
     # synthetic embeddings are uniform (no cluster structure), the
     # hardest case for IVF; real corpora cluster and recall jumps
+
+
+def test_decontaminate_flags_overlap_only(spark):
+    """Planted contamination: one corpus doc shares exactly one 5-gram with
+    the benchmark; a clean doc is not reported."""
+    from etl_cascalog_spark.operators.dedup import decontaminate
+
+    bench = spark.createDataFrame([(0, "a b c d e f")], "doc_id long, text string")
+    corpus = spark.createDataFrame(
+        [(10, "x a b c d e y"), (11, "p q r s t u")],
+        "doc_id long, text string",
+    )
+    rows = decontaminate(corpus, bench, "doc_id", "text", n=5).collect()
+    assert [(r.doc_id, r.n_overlap) for r in rows] == [(10, 1)]
+
+
+def test_passage_dedup_global_first_occurrence(spark):
+    """Duplicate passages drop everywhere except their globally first
+    (doc_id, pos) occurrence; surviving text re-assembles in order."""
+    from etl_cascalog_spark.operators.dedup import passage_dedup
+
+    docs = spark.createDataFrame(
+        [
+            (1, "w1 w2 w3 w4 w5 w6"),
+            (2, "w1 w2 w3 z1 z2 z3"),   # first passage copies doc 1
+            (3, "z1 z2 z3 z1 z2 z3"),   # both passages copy doc 2's tail
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: (r.n_passages, r.n_kept, r.clean_text)
+        for r in passage_dedup(docs, "doc_id", "text", passage_tokens=3).collect()
+    }
+    assert out[1] == (2, 2, "w1 w2 w3 w4 w5 w6")
+    assert out[2] == (2, 1, "z1 z2 z3")
+    assert out[3] == (2, 0, "")
+
+
+def test_winsorized_stats_clips_outlier(spark):
+    """1..10 + outlier 1000 at p10/p90: bounds are the rank-ceil(p*n)
+    values (2 and 10) and the clipped sum replaces 1→2, 1000→10."""
+    from etl_cascalog_spark.operators.aggregates import winsorized_stats
+
+    rows = [("a", float(v), str(i)) for i, v in enumerate(list(range(1, 11)) + [1000])]
+    df = spark.createDataFrame(rows, "grp string, v double, rid string")
+    r = winsorized_stats(df, "grp", "v", "rid", p_lo=0.1, p_hi=0.9).collect()[0]
+    assert (r.grp, r.n_rows, r.p_lo_val, r.p_hi_val, r.clipped_sum) == (
+        "a", 11, 2.0, 10.0, 66.0
+    )
+
+
+def test_vocab_top_tokens_rank_and_coverage(spark):
+    """Frequencies, ranks, and cumulative coverage on a 6-token corpus."""
+    from etl_cascalog_spark.operators.text import vocab_top_tokens
+
+    docs = spark.createDataFrame(
+        [(1, "a a b"), (2, "a b c")], "doc_id long, text string"
+    )
+    rows = sorted(
+        vocab_top_tokens(docs, "text", k=2).collect(), key=lambda r: r.rank
+    )
+    assert [(r.token, r.freq, r.rank, r.cum_share) for r in rows] == [
+        ("a", 3, 1, 0.5),
+        ("b", 2, 2, round(5 / 6, 6)),
+    ]
