@@ -4041,3 +4041,171 @@ def winsorized_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("clipped_sum").cast("double") / F.col("n_rows"), 6
         ).alias("clipped_avg"),
     )
+
+
+_QUALITY_SQL = f"""round(0.4 * least(length(text) / 500.0, 1.0)
+                 + 0.4 * (length(regexp_replace(text, '[^A-Za-z]', '', 'g')) * 1.0 / length(text))
+                 + 0.2 * least(len(regexp_extract_all(text, '\\b(the|a|of|and|to|in|is)\\b')) * 5.0
+                               / len(string_split({_NORM_SQL}, ' ')), 1.0), 6)"""
+
+
+@register(
+    "key_skew_profile",
+    oracle="""
+    WITH per_key AS (
+      SELECT user_id, count(*) AS cnt FROM events GROUP BY user_id
+    ),
+    stats AS (SELECT sum(cnt) AS total, count(*) AS k, max(cnt) AS m FROM per_key),
+    top AS (
+      SELECT user_id, cnt,
+             CAST(row_number() OVER (ORDER BY cnt DESC, user_id) AS INT) AS rank
+      FROM per_key QUALIFY rank <= 5
+    )
+    SELECT rank, user_id, CAST(cnt AS BIGINT) AS cnt,
+           round(cnt * 1.0 / total, 6) AS share,
+           round(m * k * 1.0 / total, 6) AS skew_factor
+    FROM top CROSS JOIN stats
+    """,
+    doc="Key-skew pre-flight profile (beyond-reference diagnostics): the "
+    "5 heaviest keys with row share plus the global skew factor "
+    "(max/mean key size — the hot-partition multiplier). One map-side- "
+    "combined count shuffle; stats and top-k are aggregate-sized. Run "
+    "on a join key BEFORE the join — skew_factor ≳ 8 → salted_join or "
+    "AQE skew handling. The reference discovered skew by failing.",
+)
+def key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_cascalog_spark.operators.profiling import key_skew_profile as prof
+
+    events = read_table(spark, sf_dir, "events")
+    return prof(events, "user_id", top_k=5)
+
+
+@register(
+    "domain_doc_cap",
+    oracle=f"""
+    WITH q AS (
+      SELECT doc_id, source, {_QUALITY_SQL} AS q
+      FROM documents WHERE length(text) > 0
+    )
+    SELECT source, doc_id, q,
+           CAST(row_number() OVER (PARTITION BY source
+                                   ORDER BY q DESC, doc_id) AS INT) AS qrank
+    FROM q QUALIFY qrank <= 3
+    """,
+    doc="Per-domain document cap (curation op: bound any single source's "
+    "contribution to the corpus — C4/MassiveText keep per-host caps): "
+    "top-3 docs per source by quality score. Rank on the 6-dp-rounded "
+    "score with id tie-break → total order, bit-stable across engines. "
+    "ONE shuffle on source; at 100 TB the window is per-domain-sized "
+    "(bounded), never corpus-sized.",
+)
+def domain_doc_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_cascalog_spark.operators.text import quality_score
+
+    docs = (
+        read_table(spark, sf_dir, "documents")
+        .where(F.length("text") > 0)
+        .select("doc_id", "source", quality_score(F.col("text")).alias("q"))
+    )
+    w = Window.partitionBy("source").orderBy(F.col("q").desc(), "doc_id")
+    return docs.withColumn("qrank", F.row_number().over(w).cast("int")).where(
+        F.col("qrank") <= 3
+    )
+
+
+@register(
+    "length_bucketing",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, len(string_split({_NORM_SQL}, ' ')) AS n_tokens
+      FROM documents WHERE length(text) > 0
+    ),
+    b AS (SELECT doc_id, n_tokens, length(bin(n_tokens)) AS bucket FROM t)
+    SELECT CAST(bucket AS INT) AS bucket,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(min(n_tokens) AS BIGINT) AS min_tokens,
+           CAST(max(n_tokens) AS BIGINT) AS max_tokens,
+           CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+           round((count(*) * max(n_tokens) - sum(n_tokens)) * 1.0
+                 / (count(*) * max(n_tokens)), 6) AS padding_frac
+    FROM b GROUP BY bucket
+    """,
+    doc="Length-bucketed batching prep (dynamic batching: group docs into "
+    "power-of-two token-length buckets so pad-to-longest waste is bounded "
+    "~2×): bucket id = bit-length of the token count — INTEGER semantics "
+    "(floor(log2(n)) via float logs can flip at powers of two across "
+    "libms). Map-side bucket assignment (NO global ntile window — that "
+    "would single-partition the corpus); one grouped agg reports per- "
+    "bucket padding waste if batches padded to the bucket max.",
+)
+def length_bucketing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_cascalog_spark.operators.text import token_count_ws
+
+    docs = (
+        read_table(spark, sf_dir, "documents")
+        .where(F.length("text") > 0)
+        .select("doc_id", token_count_ws(F.col("text")).alias("n_tokens"))
+    )
+    # bit-length via base-2 string: exact integer bucketing, no float log
+    bucketed = docs.withColumn(
+        "bucket", F.length(F.conv(F.col("n_tokens").cast("string"), 10, 2)).cast("int")
+    )
+    n, mx, sm = F.count("*"), F.max("n_tokens"), F.sum("n_tokens")
+    return bucketed.groupBy("bucket").agg(
+        n.cast("long").alias("n_docs"),
+        F.min("n_tokens").cast("long").alias("min_tokens"),
+        mx.cast("long").alias("max_tokens"),
+        sm.cast("long").alias("sum_tokens"),
+        F.round(
+            (n * mx - sm).cast("double") / (n * mx).cast("double"), 6
+        ).alias("padding_frac"),
+    )
+
+
+@register(
+    "bpe_merge_candidates",
+    oracle=f"""
+    WITH words AS (
+      SELECT unnest(string_split({_NORM_SQL}, ' ')) AS word FROM documents
+    ),
+    pairs AS (
+      SELECT unnest(list_transform(range(1, len(word)),
+                                   i -> substr(word, i, 2))) AS pair
+      FROM words WHERE len(word) >= 2
+    ),
+    freq AS (SELECT pair, count(*) AS freq FROM pairs GROUP BY pair),
+    top AS (
+      SELECT pair, freq,
+             CAST(row_number() OVER (ORDER BY freq DESC, pair) AS INT) AS rank
+      FROM freq QUALIFY rank <= 20
+    )
+    SELECT pair, CAST(freq AS BIGINT) AS freq, rank FROM top
+    """,
+    doc="BPE merge-pair scan — ONE round of byte-pair-encoding tokenizer "
+    "training as a DataFrame op: corpus-global adjacent character-pair "
+    "frequencies, top-20 with rank (the argmax IS the next BPE merge "
+    "rule; iterate with the learned merges applied to train a full "
+    "vocab). Char pairs come off a materialized word column (attribute "
+    "reference — no Catalyst re-inlining); one corpus-sized hash-agg "
+    "with map-side combine, then TakeOrdered over |pairs|.",
+)
+def bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_cascalog_spark.operators.text import whitespace_tokens
+
+    from pyspark.sql import Window as W
+
+    docs = read_table(spark, sf_dir, "documents")
+    words = docs.select(
+        F.explode(whitespace_tokens(F.col("text"))).alias("word")
+    ).where(F.length("word") >= 2)
+    pairs = words.select(
+        F.explode(
+            F.expr("transform(sequence(1, length(word) - 1), i -> substr(word, i, 2))")
+        ).alias("pair")
+    )
+    freq = pairs.groupBy("pair").agg(F.count("*").alias("freq"))
+    top = freq.orderBy(F.col("freq").desc(), "pair").limit(20)
+    w = W.orderBy(F.col("freq").desc(), F.col("pair"))
+    return top.withColumn("rank", F.row_number().over(w).cast("int")).select(
+        "pair", "freq", "rank"
+    )

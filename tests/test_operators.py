@@ -1025,3 +1025,51 @@ def test_vocab_top_tokens_rank_and_coverage(spark):
         ("a", 3, 1, 0.5),
         ("b", 2, 2, round(5 / 6, 6)),
     ]
+
+
+def test_key_skew_profile_detects_hot_key(spark):
+    """A 10×-hot key dominates the profile: rank 1, correct share, and the
+    skew factor equals max/mean key size."""
+    from etl_cascalog_spark.operators.profiling import key_skew_profile
+
+    rows = [("hot",)] * 10 + [("a",), ("b",), ("c",), ("d",), ("e",)]
+    df = spark.createDataFrame(rows, "k string")
+    out = sorted(key_skew_profile(df, "k", top_k=3).collect(), key=lambda r: r.rank)
+    assert (out[0].k, out[0].cnt, out[0].share) == ("hot", 10, round(10 / 15, 6))
+    # 6 keys, 15 rows → mean 2.5; max 10 → skew 4.0
+    assert out[0].skew_factor == 4.0
+    assert [r.rank for r in out] == [1, 2, 3]
+
+
+def test_approx_distinct_profile_contract(spark):
+    """HLL++ estimate lands within 5·rsd of the exact cardinality for a
+    known 10k-distinct column, and null accounting is exact. This is the
+    accuracy contract that replaces a DuckDB oracle (different engines ship
+    different sketches — estimates legitimately differ)."""
+    from etl_cascalog_spark.operators.profiling import approx_distinct_profile
+
+    df = spark.range(10_000).select(
+        F.col("id").alias("uniq"),
+        (F.col("id") % 100).alias("mod100"),
+        F.when(F.col("id") % 2 == 0, F.col("id")).alias("half_null"),
+    )
+    prof = {r.column: r for r in approx_distinct_profile(df, ["uniq", "mod100", "half_null"], rsd=0.05).collect()}
+    assert prof["uniq"].n_rows == 10_000 and prof["uniq"].n_non_null == 10_000
+    assert abs(prof["uniq"].approx_distinct - 10_000) <= 0.25 * 10_000 * 0.05 * 20
+    assert abs(prof["mod100"].approx_distinct - 100) <= 25
+    assert prof["half_null"].n_non_null == 5_000
+    assert abs(prof["half_null"].approx_distinct - 5_000) <= 1250
+
+
+def test_percentile_approx_sketch_contract(spark):
+    """percentile_approx (the distributed quantile sketch) lands within
+    accuracy-bound distance of the exact discrete percentile — the
+    profiling-pass counterpart used when exact rank selection (the
+    winsorize/corpus-profile path) is too expensive."""
+    df = spark.range(1, 10_001).select(F.col("id").cast("double").alias("v"))
+    r = df.agg(
+        F.percentile_approx("v", 0.5, 10_000).alias("approx"),
+        F.expr("percentile(v, 0.5)").alias("exact"),
+    ).collect()[0]
+    # accuracy=10000 → error bound n/accuracy = 1 rank position
+    assert abs(r.approx - r.exact) <= 2.0
