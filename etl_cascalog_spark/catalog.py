@@ -3014,11 +3014,15 @@ def train_split_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Corpus token-count profile (beyond-reference): per-language doc "
     "counts, mean, and EXACT discrete p50/p95 token counts via the "
     "rank = ceil(p*n) rule — integer outputs, so bit-stable across engines "
-    "(interpolated percentiles would hash-diverge in the last ulp). One "
-    "shuffle on lang for the window, one for the final agg; the profiling "
-    "pass that sizes a curation run before it starts.",
+    "(interpolated percentiles would hash-diverge in the last ulp). "
+    "Percentile selection runs on range-bucket prefix sums "
+    "(aggregates.exact_group_percentiles) — a lang key has ~6 values, so "
+    "a partitionBy(lang) window would funnel the corpus into 6 tasks; "
+    "the bucketed form keeps every stage parallel. The profiling pass "
+    "that sizes a curation run before it starts.",
 )
 def corpus_token_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_cascalog_spark.operators.aggregates import exact_group_percentiles
     from etl_cascalog_spark.operators.text import lang_id, token_count_ws
 
     docs = (
@@ -3030,20 +3034,24 @@ def corpus_token_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             token_count_ws(F.col("text")).alias("n_tokens"),
         )
     )
-    w = Window.partitionBy("lang").orderBy("n_tokens", "doc_id")
-    wc = Window.partitionBy("lang")
-    ranked = docs.withColumn("rn", F.row_number().over(w)).withColumn(
-        "n", F.count(F.lit(1)).over(wc)
-    )
-    pick = lambda p: F.max(  # noqa: E731
-        F.when(F.col("rn") == F.ceil(F.lit(p) * F.col("n")).cast("long"), F.col("n_tokens"))
-    )
-    return ranked.groupBy("lang").agg(
-        F.max("n").alias("n_docs"),
+    base = docs.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
         dround(F.avg(F.col("n_tokens").cast("double"))).alias("avg_tokens"),
-        pick(0.5).alias("p50_tokens"),
-        pick(0.95).alias("p95_tokens"),
         F.max("n_tokens").alias("max_tokens"),
+    )
+    pcts = exact_group_percentiles(
+        docs, "lang", "n_tokens", [0.5, 0.95], id_col="doc_id"
+    )
+    bounds = pcts.groupBy("lang").agg(
+        F.max(F.when(F.col("percentile") == 0.5, F.col("value"))).alias(
+            "p50_tokens"
+        ),
+        F.max(F.when(F.col("percentile") == 0.95, F.col("value"))).alias(
+            "p95_tokens"
+        ),
+    )
+    return base.join(bounds, "lang").select(
+        "lang", "n_docs", "avg_tokens", "p50_tokens", "p95_tokens", "max_tokens"
     )
 
 
@@ -4209,3 +4217,119 @@ def bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.withColumn("rank", F.row_number().over(w).cast("int")).select(
         "pair", "freq", "rank"
     )
+
+
+@register(
+    "snapshot_diff_orders",
+    oracle="""
+    WITH o AS (
+      SELECT o_orderkey AS k, o_custkey AS c,
+             CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+      FROM orders
+    ),
+    old AS (SELECT k, c, cents FROM o WHERE k % 7 <> 0),
+    new AS (
+      SELECT k, c, CASE WHEN k % 5 = 0 THEN cents * 2 ELSE cents END AS cents
+      FROM o WHERE k % 11 <> 0
+    ),
+    od AS (SELECT k, md5(concat_ws(chr(31),
+             coalesce(CAST(c AS VARCHAR), chr(0)),
+             coalesce(CAST(cents AS VARCHAR), chr(0)))) AS old_digest FROM old),
+    nd AS (SELECT k, md5(concat_ws(chr(31),
+             coalesce(CAST(c AS VARCHAR), chr(0)),
+             coalesce(CAST(cents AS VARCHAR), chr(0)))) AS new_digest FROM new)
+    SELECT coalesce(od.k, nd.k) AS o_orderkey,
+           CASE WHEN od.k IS NULL THEN 'added'
+                WHEN nd.k IS NULL THEN 'removed'
+                WHEN old_digest <> new_digest THEN 'changed'
+                ELSE 'unchanged' END AS change,
+           old_digest, new_digest
+    FROM od FULL OUTER JOIN nd ON od.k = nd.k
+    WHERE CASE WHEN od.k IS NULL THEN 'added'
+               WHEN nd.k IS NULL THEN 'removed'
+               WHEN old_digest <> new_digest THEN 'changed'
+               ELSE 'unchanged' END <> 'unchanged'
+    """,
+    doc="Snapshot diff — CDC generation from two plain table versions "
+    "(what a Delta/Iceberg change feed would emit, computed from "
+    "snapshots): added / removed / changed per key by digest compare. "
+    "Both sides project to (key, md5) BEFORE the join, so the shuffle "
+    "carries ~48 B/row regardless of table width; the full-outer join "
+    "is the one forced SMJ class (same as the stg⋈ods merges) and "
+    "vanishes under bucket-written snapshots.",
+)
+def snapshot_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_cascalog_spark.incremental import snapshot_diff
+
+    o = read_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey"),
+        F.col("o_custkey"),
+        (money(F.col("o_totalprice")) * 100).cast("long").alias("cents"),
+    )
+    old = o.where(F.col("o_orderkey") % 7 != 0)
+    new = o.where(F.col("o_orderkey") % 11 != 0).select(
+        "o_orderkey",
+        "o_custkey",
+        F.when(F.col("o_orderkey") % 5 == 0, F.col("cents") * 2)
+        .otherwise(F.col("cents"))
+        .alias("cents"),
+    )
+    return snapshot_diff(old, new, ["o_orderkey"], ["o_custkey", "cents"])
+
+
+@register(
+    "cdc_apply_orders",
+    oracle="""
+    WITH o AS (
+      SELECT o_orderkey AS k, o_custkey AS c,
+             CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+      FROM orders
+    ),
+    base AS (SELECT k, c, cents FROM o WHERE k % 10 <= 7),
+    changes AS (
+      SELECT k, c, cents, 'D' AS op, 1 AS ts FROM o WHERE k % 10 = 6
+      UNION ALL SELECT k, c, cents + 100, 'U', 1 FROM o WHERE k % 10 = 7
+      UNION ALL SELECT k, c, cents + 200, 'U', 2 FROM o WHERE k % 10 = 7
+      UNION ALL SELECT k, c, cents, 'I', 1 FROM o WHERE k % 10 IN (8, 9)
+    ),
+    latest AS (
+      SELECT * FROM changes
+      QUALIFY row_number() OVER (PARTITION BY k ORDER BY ts DESC) = 1
+    )
+    SELECT k AS o_orderkey, c AS o_custkey, cents AS price_cents
+    FROM base WHERE k NOT IN (SELECT k FROM latest)
+    UNION ALL
+    SELECT k, c, cents FROM latest WHERE op <> 'D'
+    """,
+    doc="CDC apply — the consume side (Debezium-style I/U/D log folded "
+    "into a keyed table; MERGE INTO semantics without a table format): "
+    "latest change per key wins by timestamp, D deletes, I/U upsert, "
+    "untouched base rows pass through via a broadcast anti-join on the "
+    "(ids-only, delta-sized) changed-key set — the base never "
+    "re-shuffles, the same delta-driven posture as delta_shadow_merge "
+    "and incremental_dedup.",
+)
+def cdc_apply_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_cascalog_spark.incremental import cdc_apply
+
+    o = read_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey"),
+        F.col("o_custkey"),
+        (money(F.col("o_totalprice")) * 100).cast("long").alias("price_cents"),
+    )
+    k = F.col("o_orderkey")
+    base = o.where(k % 10 <= 7)
+    mk = lambda df, price, op, ts: df.select(  # noqa: E731
+        "o_orderkey",
+        "o_custkey",
+        price.alias("price_cents"),
+        F.lit(op).alias("op"),
+        F.lit(ts).alias("ts"),
+    )
+    changes = (
+        mk(o.where(k % 10 == 6), F.col("price_cents"), "D", 1)
+        .unionByName(mk(o.where(k % 10 == 7), F.col("price_cents") + 100, "U", 1))
+        .unionByName(mk(o.where(k % 10 == 7), F.col("price_cents") + 200, "U", 2))
+        .unionByName(mk(o.where((k % 10).isin(8, 9)), F.col("price_cents"), "I", 1))
+    )
+    return cdc_apply(base, changes, ["o_orderkey"], "ts", "op")

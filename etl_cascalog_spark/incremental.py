@@ -105,3 +105,87 @@ def delta_shadow_merge(
         if c not in lcols and c not in keys:
             sel.append(F.col(c))
     return joined.select(*sel)
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key_cols: Sequence[str],
+    compare_cols: Sequence[str],
+) -> DataFrame:
+    """Table-snapshot diff — the CDC-GENERATION side (what Delta/Iceberg
+    change-data-feed computes, derived here from two plain snapshots):
+    classify every key as added / removed / changed by comparing a digest
+    of ``compare_cols``; unchanged keys are dropped.
+
+    Returns ``(*key_cols, change, old_digest, new_digest)``.
+
+    100 TB shape: both sides project to (key, md5 digest) BEFORE the join —
+    the shuffle carries ~48 bytes/row regardless of table width; the
+    full-outer join on the key is the one unavoidable co-location (SMJ,
+    same class as the stg⋈ods merges — full-outer cannot broadcast). With
+    both snapshots bucket-written on the key (io.write_bucketed) the
+    Exchange disappears entirely.
+    """
+    def digested(df: DataFrame, alias: str) -> DataFrame:
+        parts = [
+            F.coalesce(F.col(c).cast("string"), F.lit("\x00"))
+            for c in compare_cols
+        ]
+        return df.select(
+            *key_cols, F.md5(F.concat_ws("\x1f", *parts)).alias(alias)
+        )
+
+    o = digested(old, "old_digest")
+    n = digested(new, "new_digest")
+    joined = o.join(n, on=list(key_cols), how="full_outer")
+    change = (
+        F.when(F.col("old_digest").isNull(), F.lit("added"))
+        .when(F.col("new_digest").isNull(), F.lit("removed"))
+        .when(F.col("old_digest") != F.col("new_digest"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return (
+        joined.withColumn("change", change)
+        .where(F.col("change") != "unchanged")
+        .select(*key_cols, "change", "old_digest", "new_digest")
+    )
+
+
+def cdc_apply(
+    base: DataFrame,
+    changes: DataFrame,
+    key_cols: Sequence[str],
+    ts_col: str,
+    op_col: str = "op",
+) -> DataFrame:
+    """CDC APPLY — the consume side (Debezium-style I/U/D log folded into a
+    keyed table, i.e. MERGE INTO semantics without a table format): per key,
+    the LATEST change by ``ts_col`` wins; 'D' deletes the key, 'I'/'U'
+    upsert the change row's values. Base rows with no change pass through.
+
+    ``changes`` must carry the base's value columns plus ``op_col`` and
+    ``ts_col``; ties on ``ts_col`` break by preferring the higher
+    operation ordering ('U' > 'I' > 'D' alphabetically reversed is NOT
+    meaningful — supply unique timestamps or a sequence column as
+    ``ts_col``).
+
+    100 TB shape: one shuffle on the key for the latest-change window
+    (delta-sized, not base-sized); the base is touched by a broadcast
+    anti-join on the (tiny, ids-only) changed-key set, so the full history
+    never re-shuffles — same delta-driven posture as ``incremental_dedup``
+    and ``delta_shadow_merge``.
+    """
+    from pyspark.sql import Window
+
+    keys = list(key_cols)
+    w = Window.partitionBy(*keys).orderBy(F.col(ts_col).desc())
+    latest = (
+        changes.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    changed_keys = latest.select(*keys)
+    survivors = base.join(F.broadcast(changed_keys), on=keys, how="left_anti")
+    upserts = latest.where(F.col(op_col) != "D").drop(op_col, ts_col)
+    return survivors.unionByName(upserts)

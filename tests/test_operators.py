@@ -1073,3 +1073,58 @@ def test_percentile_approx_sketch_contract(spark):
     ).collect()[0]
     # accuracy=10000 → error bound n/accuracy = 1 rank position
     assert abs(r.approx - r.exact) <= 2.0
+
+
+def test_exact_group_percentiles_matches_naive_rank(spark):
+    """Bucketed prefix-sum percentile selection equals the naive
+    rank=ceil(p*n) rule on 1..100 (two groups, small bucket count so
+    targets cross bucket boundaries) and on degenerate 1-2 row groups."""
+    from etl_cascalog_spark.operators.aggregates import exact_group_percentiles
+
+    rows = [("a", float(v)) for v in range(1, 101)]
+    rows += [("b", float(v * 10)) for v in range(1, 11)]
+    rows += [("c", 7.0)]
+    df = spark.createDataFrame(rows, "grp string, v double")
+    got = {
+        (r.grp, r.percentile): r.value
+        for r in exact_group_percentiles(df, "grp", "v", [0.5, 0.95], n_buckets=4).collect()
+    }
+    assert got[("a", 0.5)] == 50.0    # ceil(0.5*100)=50
+    assert got[("a", 0.95)] == 95.0   # ceil(0.95*100)=95
+    assert got[("b", 0.5)] == 50.0    # ceil(0.5*10)=5 → 5th of 10..100
+    assert got[("b", 0.95)] == 100.0  # ceil(9.5)=10 → max
+    assert got[("c", 0.5)] == 7.0 and got[("c", 0.95)] == 7.0
+
+
+def test_snapshot_diff_classifies(spark):
+    """added / removed / changed classification on a crafted pair."""
+    from etl_cascalog_spark.incremental import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "x", 10), (2, "y", 20), (3, "z", 30)], "k long, a string, b long"
+    )
+    new = spark.createDataFrame(
+        [(1, "x", 10), (2, "y", 99), (4, "w", 40)], "k long, a string, b long"
+    )
+    out = {r.k: r.change for r in snapshot_diff(old, new, ["k"], ["a", "b"]).collect()}
+    assert out == {2: "changed", 3: "removed", 4: "added"}
+
+
+def test_cdc_apply_latest_wins(spark):
+    """Latest change per key wins; D deletes; I inserts; untouched rows
+    pass through."""
+    from etl_cascalog_spark.incremental import cdc_apply
+
+    base = spark.createDataFrame(
+        [(1, 10), (2, 20), (3, 30)], "k long, v long"
+    )
+    changes = spark.createDataFrame(
+        [
+            (2, 21, "U", 1), (2, 22, "U", 2),   # two updates: ts=2 wins
+            (3, 30, "D", 1),                     # delete
+            (4, 40, "I", 1),                     # insert
+        ],
+        "k long, v long, op string, ts long",
+    )
+    out = {r.k: r.v for r in cdc_apply(base, changes, ["k"], "ts").collect()}
+    assert out == {1: 10, 2: 22, 4: 40}
