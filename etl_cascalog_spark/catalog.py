@@ -4333,3 +4333,159 @@ def cdc_apply_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(mk(o.where((k % 10).isin(8, 9)), F.col("price_cents"), "I", 1))
     )
     return cdc_apply(base, changes, ["o_orderkey"], "ts", "op")
+
+
+@register(
+    "embedding_label_centroids",
+    oracle="""
+    SELECT label,
+           dim - 1 AS dim,
+           CAST(count(*) AS BIGINT) AS n,
+           round(CAST(sum(CAST(round(CAST(x AS DOUBLE), 6) AS DECIMAL(18,6)))
+                      AS DOUBLE) / count(*), 6) AS centroid
+    FROM (SELECT label, unnest(embedding) AS x,
+                 generate_subscripts(embedding, 1) AS dim
+          FROM embeddings)
+    GROUP BY label, dim
+    """,
+    doc="Per-label embedding centroids (k-means M-step / class prototypes "
+    "/ SemDeDup cluster centers) in long format: posexplode map-side, ONE "
+    "shuffle on (label, dim) with full map-side partial aggregation. "
+    "Components round to 6 dp then sum as exact DECIMAL — associative, so "
+    "partition-order-independent AND bit-identical to the SQL oracle "
+    "(raw float partials differ per run; float→decimal casts differ "
+    "between engines — round-then-cast is the portable form, measured).",
+)
+def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_cascalog_spark.operators.similarity import label_centroids
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    return label_centroids(emb, "label", "embedding")
+
+
+@register(
+    "multimodal_frame_sample",
+    oracle="""
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           CAST(frame_offset AS BIGINT) AS frame_offset
+    FROM documents,
+         LATERAL (SELECT unnest(generate_series(
+                    0, greatest(octet_length(encode(text)) - 1, 0), 64))
+                  AS frame_offset)
+    """,
+    doc="Multimodal frame-sampling PLAN: per-payload frame byte offsets "
+    "(every 64 bytes here; every N video frames in production) computed "
+    "from the metadata struct ONLY — the payload bytes are never read "
+    "(column pruning drops them at the scan), and the offsets feed the "
+    "mapInPandas codec boundary. Map-side explode, zero shuffles; the "
+    "text-as-UTF-8-payload stand-in makes the whole plumbing "
+    "oracle-checkable.",
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_cascalog_spark.operators.multimodal import (
+        frame_sample_plan,
+        text_as_payload,
+        with_payload_meta,
+    )
+
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id", text_as_payload(F.col("text")).alias("payload")
+    )
+    with_meta = with_payload_meta(docs, "payload", mime="video/fake")
+    sampled = frame_sample_plan(with_meta, "payload_meta", every_n_bytes=64)
+    return sampled.select(
+        "doc_id",
+        F.col("payload_meta.n_bytes").alias("n_bytes"),
+        F.col("frame_offset").cast("long").alias("frame_offset"),
+    )
+
+
+@register(
+    "mad_outlier_stats",
+    oracle="""
+    WITH v AS (
+      SELECT l_returnflag AS grp,
+             CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+      FROM lineitem
+    ),
+    r1 AS (
+      SELECT grp, cents,
+             row_number() OVER (PARTITION BY grp ORDER BY cents) AS rn,
+             count(*) OVER (PARTITION BY grp) AS n
+      FROM v
+    ),
+    med AS (
+      SELECT grp, max(CASE WHEN rn = CAST(ceil(0.5 * n) AS BIGINT)
+                           THEN cents END) AS median_cents
+      FROM r1 GROUP BY grp
+    ),
+    dev AS (
+      SELECT v.grp, v.cents, abs(v.cents - m.median_cents) AS absdev,
+             m.median_cents
+      FROM v JOIN med m ON v.grp = m.grp
+    ),
+    r2 AS (
+      SELECT grp, cents, absdev, median_cents,
+             row_number() OVER (PARTITION BY grp ORDER BY absdev) AS rn,
+             count(*) OVER (PARTITION BY grp) AS n
+      FROM dev
+    ),
+    mad AS (
+      SELECT grp, max(CASE WHEN rn = CAST(ceil(0.5 * n) AS BIGINT)
+                           THEN absdev END) AS mad_cents
+      FROM r2 GROUP BY grp
+    )
+    SELECT d.grp,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(max(d.median_cents) AS BIGINT) AS median_cents,
+           CAST(max(m.mad_cents) AS BIGINT) AS mad_cents,
+           CAST(sum(CASE WHEN d.absdev > 3 * m.mad_cents THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_outliers
+    FROM dev d JOIN mad m ON d.grp = m.grp
+    GROUP BY d.grp
+    """,
+    doc="Robust outlier statistics (median + MAD, the quality-filter rule "
+    "that survives heavy tails where mean±k·σ breaks): per group, exact "
+    "discrete median, median absolute deviation, and the count beyond "
+    "3·MAD — all integer cents, so bit-stable. BOTH medians come from "
+    "exact_group_percentiles (range-bucket prefix sums) — the oracle's "
+    "per-group windows are the low-cardinality funnel this engine "
+    "refuses to run; two bucketed selection passes + one broadcast-join "
+    "aggregate instead.",
+)
+def mad_outlier_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_cascalog_spark.operators.aggregates import exact_group_percentiles
+
+    li = read_table(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("grp"),
+        (money(F.col("l_extendedprice")) * 100).cast("long").alias("cents"),
+    )
+    med = (
+        exact_group_percentiles(li, "grp", "cents", [0.5])
+        .select("grp", F.col("value").alias("median_cents"))
+    )
+    # dev feeds the MAD selection (3 references) AND the final aggregate —
+    # uncached, Catalyst re-expands the scan+join per reference (measured:
+    # 34 BHJ / 43 Exchange plan); cached it collapses to one InMemoryRelation
+    dev = (
+        li.join(F.broadcast(med), "grp")
+        .withColumn("absdev", F.abs(F.col("cents") - F.col("median_cents")))
+        .cache()
+    )
+    mad = (
+        exact_group_percentiles(dev, "grp", "absdev", [0.5])
+        .select("grp", F.col("value").alias("mad_cents"))
+    )
+    return (
+        dev.join(F.broadcast(mad), "grp")
+        .groupBy("grp")
+        .agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.max("median_cents").cast("long").alias("median_cents"),
+            F.max("mad_cents").cast("long").alias("mad_cents"),
+            F.sum(
+                (F.col("absdev") > 3 * F.col("mad_cents")).cast("long")
+            ).alias("n_outliers"),
+        )
+    )

@@ -171,6 +171,10 @@ def exact_group_percentiles(
     from pyspark.sql import functions as F
     from pyspark.sql import Window
 
+    # percentiles are over NON-NULL values (ANSI percentile convention);
+    # without this, NULL bucket ids would also order differently across
+    # engines (Spark ASC sorts NULL first, DuckDB last)
+    df = df.where(F.col(value_col).isNotNull())
     stats = df.groupBy(group_col).agg(
         F.count("*").alias("__n"),
         F.min(value_col).alias("__vmin"),
@@ -208,7 +212,9 @@ def exact_group_percentiles(
             F.explode(F.array(*[F.lit(float(p)) for p in ps])).alias("__p"),
         )
         .withColumn("__r", F.ceil(F.col("__p") * F.col("__n")).cast("long"))
-        .join(bases, group_col)
+        # bases is metadata-sized (G·n_buckets rows) but ids-only frames
+        # fall to SortMergeJoin unless broadcast explicitly (measured)
+        .join(F.broadcast(bases), group_col)
         .where(
             (F.col("__base") < F.col("__r"))
             & (F.col("__r") <= F.col("__base") + F.col("__cnt"))

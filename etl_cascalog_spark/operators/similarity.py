@@ -405,3 +405,42 @@ def train_ivf_centroids(
         pts = pts.sample(fraction=sample_fraction, seed=seed)
     model = KMeans(k=n_cells, seed=seed, maxIter=max_iter).fit(pts)
     return [[float(x) for x in c] for c in model.clusterCenters()]
+
+
+def label_centroids(
+    df: DataFrame, label_col: str, vec_col: str, digits: int = 6
+) -> DataFrame:
+    """Per-label element-wise mean embedding — the k-means M-step / class
+    prototype / SemDeDup cluster-center computation — in long format
+    ``(label, dim, n, centroid)``.
+
+    Embedding components are rounded to ``digits`` dp as DOUBLE and summed
+    as exact DECIMAL: decimal addition is associative, so the result is
+    independent of partitioning/merge order AND bit-identical across
+    engines (raw float/double partial sums would differ per run; casting
+    float straight to decimal differs between engines — round-then-cast is
+    the portable form, measured).
+
+    100 TB shape: posexplode is map-side; the single shuffle keys on
+    (label, dim) — |labels|·dim cells, uniform, with full map-side partial
+    aggregation (each task emits one partial sum per cell, not per row).
+    No whole-group collect, no low-cardinality window.
+    """
+    xd = F.round(F.col("x").cast("double"), digits).cast("decimal(18,6)")
+    return (
+        df.select(
+            F.col(label_col).alias("label"),
+            F.posexplode(vec_col).alias("dim", "x"),
+        )
+        .select("label", "dim", xd.alias("xd"))
+        .groupBy("label", "dim")
+        .agg(F.count("*").cast("long").alias("n"), F.sum("xd").alias("s"))
+        .select(
+            "label",
+            "dim",
+            "n",
+            F.round(F.col("s").cast("double") / F.col("n"), digits).alias(
+                "centroid"
+            ),
+        )
+    )

@@ -1128,3 +1128,25 @@ def test_cdc_apply_latest_wins(spark):
     )
     out = {r.k: r.v for r in cdc_apply(base, changes, ["k"], "ts").collect()}
     assert out == {1: 10, 2: 22, 4: 40}
+
+
+def test_label_centroids_exact_means(spark):
+    """Planted vectors: centroid is the exact per-dimension mean, in long
+    format, independent of row order/partitioning."""
+    from etl_cascalog_spark.operators.similarity import label_centroids
+
+    df = spark.createDataFrame(
+        [
+            (0, [1.0, 2.0]), (0, [3.0, 4.0]),   # label 0 → (2.0, 3.0)
+            (1, [10.0, 0.0]),                    # label 1 → (10.0, 0.0)
+        ],
+        "label int, embedding array<float>",
+    ).repartition(4)
+    got = {
+        (r.label, r.dim): (r.n, r.centroid)
+        for r in label_centroids(df, "label", "embedding").collect()
+    }
+    assert got == {
+        (0, 0): (2, 2.0), (0, 1): (2, 3.0),
+        (1, 0): (1, 10.0), (1, 1): (1, 0.0),
+    }

@@ -198,3 +198,39 @@ def test_range_join_bucketed_equals_naive(spark, probes, ivs, bucket):
         if s <= ts <= e
     )
     assert got == want
+
+
+@given(
+    data=st.lists(
+        st.tuples(
+            st.sampled_from(["a", "b"]),
+            st.integers(-1000, 1000),
+        ),
+        min_size=1,
+        max_size=40,
+    ),
+    p=st.sampled_from([0.05, 0.25, 0.5, 0.75, 0.95, 1.0]),
+    n_buckets=st.sampled_from([1, 2, 4, 16]),
+)
+@_settings
+def test_exact_group_percentiles_equals_naive_rank(spark, data, p, n_buckets):
+    """The range-bucket prefix-sum selection equals the naive
+    rank = ceil(p·n) definition for any value multiset (duplicates, negative
+    values, single-element groups) and any bucket count — including
+    n_buckets=1 (degenerates to one local sort per group)."""
+    from etl_cascalog_spark.operators.aggregates import exact_group_percentiles
+
+    df = spark.createDataFrame(data, "grp string, v long")
+    got = {
+        r.grp: r.value
+        for r in exact_group_percentiles(
+            df, "grp", "v", [p], n_buckets=n_buckets
+        ).collect()
+    }
+    import math
+
+    want = {}
+    for g in {g for g, _ in data}:
+        vals = sorted(v for gg, v in data if gg == g)
+        want[g] = vals[math.ceil(p * len(vals)) - 1]
+    assert got == want
