@@ -4489,3 +4489,228 @@ def mad_outlier_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("n_outliers"),
         )
     )
+
+
+@register(
+    "unigram_lm_surprisal",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split({_NORM_SQL}, ' ')) AS token
+      FROM documents
+    ),
+    t2 AS (SELECT doc_id, token FROM toks WHERE length(token) > 0),
+    freq AS (SELECT token, count(*) AS cnt FROM t2 GROUP BY 1),
+    tot AS (SELECT sum(cnt) AS total FROM freq),
+    vocab AS (
+      SELECT token,
+             CAST(floor(ln(CAST(cnt AS DOUBLE) / CAST(total AS DOUBLE)) * 1e9 + 0.5)
+                  AS BIGINT) AS lp
+      FROM freq CROSS JOIN tot
+    )
+    SELECT t2.doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(-sum(lp) AS BIGINT) AS surprisal_nano,
+           round(CAST(-sum(lp) AS DOUBLE) / CAST(count(*) AS DOUBLE) / 1e9, 6)
+             AS avg_neg_logp
+    FROM t2 JOIN vocab USING (token)
+    GROUP BY 1
+    """,
+    doc="Unigram-LM surprisal per document (beyond-reference; the "
+    "CCNet-style perplexity filter): corpus token counts -> quantized "
+    "integer log-probs (nano-nats) -> exact per-doc accumulation. One "
+    "token shuffle + one broadcast-join + one doc-keyed agg; the 'LM' "
+    "is vocabulary-sized and broadcast.",
+)
+def unigram_lm_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_cascalog_spark.operators.text import unigram_lm_scores
+
+    docs = read_table(spark, sf_dir, "documents")
+    return unigram_lm_scores(docs, "doc_id", "text")
+
+
+@register(
+    "tfidf_top_terms",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split({_NORM_SQL}, ' ')) AS term
+      FROM documents
+    ),
+    t2 AS (SELECT doc_id, term FROM toks WHERE length(term) > 0),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM t2 GROUP BY 1, 2),
+    dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+    nd AS (SELECT count(DISTINCT doc_id) AS n FROM documents),
+    ranked AS (
+      SELECT tf.doc_id, tf.term, tf.tf, dfq.df, nd.n,
+             row_number() OVER (
+               PARTITION BY tf.doc_id
+               ORDER BY tf.tf DESC, dfq.df ASC, tf.term ASC
+             ) AS rank
+      FROM tf JOIN dfq USING (term) CROSS JOIN nd
+    )
+    SELECT doc_id, term, tf, df, CAST(rank AS INT) AS rank,
+           round(CAST(tf AS DOUBLE)
+                 * ln(CAST(n AS DOUBLE) / CAST(df AS DOUBLE)), 6) AS tfidf
+    FROM ranked WHERE rank <= 3
+    """,
+    doc="Per-document top-3 TF-IDF terms (beyond-reference): inverted "
+    "index (one (doc,term) shuffle + vocabulary-sized df broadcast) with "
+    "an integer-deterministic (tf DESC, df ASC, term) ranking; the "
+    "double tf*ln(N/df) score is display-only, rounded.",
+)
+def tfidf_top_terms_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_cascalog_spark.operators.text import tfidf_top_terms
+
+    docs = read_table(spark, sf_dir, "documents")
+    return tfidf_top_terms(docs, "doc_id", "text", k=3)
+
+
+@register(
+    "stratified_sample_docs",
+    oracle="""
+    SELECT doc_id, lang, source FROM documents
+    WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 's1'), 1, 8)
+               AS BIGINT) % 1000000
+          < CASE lang
+              WHEN 'en' THEN 500000
+              WHEN 'zh' THEN 1000000
+              WHEN 'fr' THEN 250000
+              ELSE 100000
+            END
+    """,
+    doc="Deterministic stratified sampling (beyond-reference): per-lang "
+    "keep rates via md5-bucket thresholds (en 50%, zh 100%, fr 25%, "
+    "default 10%) — the corpus-rebalancing primitive. Stable across "
+    "engines/reruns, no RNG; pure map-side filter, zero shuffle.",
+)
+def stratified_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_cascalog_spark.operators.sessions import stratified_sample
+
+    docs = read_table(spark, sf_dir, "documents")
+    return stratified_sample(
+        docs,
+        "lang",
+        "doc_id",
+        {"en": 0.5, "zh": 1.0, "fr": 0.25},
+        default_rate=0.1,
+    ).select("doc_id", "lang", "source")
+
+
+@register(
+    "quality_model_inference",
+    oracle="""
+    WITH f AS (
+      SELECT doc_id,
+             CAST(length(text) AS DOUBLE) AS n_chars,
+             CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) AS alpha,
+             CAST(length(regexp_replace(text, '[^.,;:!?''"()]', '', 'g')) AS DOUBLE) AS punct,
+             CAST(len(string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) AS DOUBLE) AS n_tokens,
+             CAST(len(regexp_extract_all(text, '\\b(the|a|of|and|to|in|is)\\b')) AS DOUBLE) AS stop
+      FROM documents
+    )
+    SELECT doc_id,
+           round(1.0 / (1.0 + exp(-(-3.0
+                 + 3.0 * (alpha / n_chars)
+                 + 4.0 * (stop / n_tokens)
+                 + -2.0 * (punct / n_chars)
+                 + 0.25 * (alpha / n_tokens)))), 6) AS prob,
+           CAST(round(1.0 / (1.0 + exp(-(-3.0
+                 + 3.0 * (alpha / n_chars)
+                 + 4.0 * (stop / n_tokens)
+                 + -2.0 * (punct / n_chars)
+                 + 0.25 * (alpha / n_tokens)))), 6) >= 0.5 AS BOOLEAN) AS keep
+    FROM f
+    """,
+    doc="Quality-classifier INFERENCE over the corpus (beyond-reference): "
+    "sigmoid(w.x) with plan-time constant weights over deterministic text "
+    "features — the 'run an exported fastText/logreg model on 100 TB' "
+    "shape. Pure codegen Column math, zero shuffle, zero Python.",
+)
+def quality_model_inference(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_cascalog_spark.operators.text import linear_quality_probability
+
+    docs = read_table(spark, sf_dir, "documents")
+    prob = linear_quality_probability(F.col("text"))
+    return docs.select(
+        "doc_id",
+        prob.alias("prob"),
+        (prob >= F.lit(0.5)).alias("keep"),
+    )
+
+
+@register(
+    "ann_sq8_topk",
+    oracle="""
+    WITH qz AS (
+      SELECT vec_id,
+             list_transform(embedding, x ->
+               CAST(floor(CAST(x AS DOUBLE)
+                          / (greatest(list_max(list_transform(embedding,
+                                y -> abs(CAST(y AS DOUBLE)))), 1e-30) / 127.0)
+                          + 0.5) AS INT)) AS q
+      FROM embeddings
+    ),
+    scored AS (
+      SELECT q2.vec_id AS query_id, c.vec_id AS neighbor_id,
+             list_sum(list_transform(list_zip(q2.q, c.q),
+                      p -> CAST(p[1] AS BIGINT) * CAST(p[2] AS BIGINT))) AS qdot
+      FROM qz c CROSS JOIN (SELECT * FROM qz WHERE vec_id % 50 = 0) q2
+      WHERE q2.vec_id != c.vec_id
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id, qdot,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY qdot DESC, neighbor_id) AS rank
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank,
+           CAST(qdot AS BIGINT) AS qdot
+    FROM ranked WHERE rank <= 5
+    """,
+    doc="Int8 scalar-quantized (SQ8) top-5 by integer dot product "
+    "(beyond-reference): per-vector symmetric quantization (4 bytes/dim "
+    "-> 1) then exact BIGINT scoring — bit-deterministic ranking with no "
+    "float ties. Map-side quantization, broadcast query side, one "
+    "streaming corpus pass.",
+)
+def ann_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_cascalog_spark.operators.similarity import quantized_dot_topk
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") % 50 == 0)
+    return quantized_dot_topk(queries, emb, k=5)
+
+
+@register(
+    "entity_blocking_pairs",
+    oracle="""
+    WITH c AS (
+      SELECT c_custkey, c_nationkey, c_mktsegment, c_name FROM customer
+    )
+    SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+           CAST(levenshtein(a.c_name, b.c_name) AS INT) AS dist
+    FROM c a JOIN c b
+      ON a.c_nationkey = b.c_nationkey AND a.c_mktsegment = b.c_mktsegment
+    WHERE a.c_custkey < b.c_custkey
+      AND levenshtein(a.c_name, b.c_name) <= 2
+    """,
+    doc="Entity-resolution candidate pairs (beyond-reference): block on "
+    "(nation, segment), verify within-block pairs by Levenshtein on the "
+    "name — the blocking discipline of the LSH dedup family applied to "
+    "record linkage. One block-key shuffle; quadratic only within a "
+    "block, with a max_block skew cap.",
+)
+def entity_blocking_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_cascalog_spark.operators.dedup import blocked_entity_pairs
+
+    cust = read_table(spark, sf_dir, "customer")
+    return blocked_entity_pairs(
+        cust,
+        "c_custkey",
+        ["c_nationkey", "c_mktsegment"],
+        "c_name",
+        max_dist=2,
+    ).select(
+        F.col("id_a"),
+        F.col("id_b"),
+        F.col("dist").cast("int").alias("dist"),
+    )

@@ -705,3 +705,55 @@ def passage_dedup(
             ),
         ).alias("clean_text"),
     )
+
+
+def blocked_entity_pairs(
+    df: DataFrame,
+    id_col: str,
+    block_cols: list[str],
+    compare_col: str,
+    max_dist: int,
+    max_block: int = 1000,
+) -> DataFrame:
+    """Entity-resolution candidate pairs: block on ``block_cols``, then
+    verify every within-block pair by Levenshtein edit distance on
+    ``compare_col`` (``levenshtein`` is a JVM built-in and standard SQL —
+    exact integer output, bit-portable to the oracle).
+
+    Returns ``(id_a, id_b, dist)`` with ``id_a < id_b`` and
+    ``dist <= max_dist``.
+
+    100 TB posture: the same blocking discipline as the LSH dedup family —
+    one shuffle on the block key, quadratic ONLY within a block, and
+    ``max_block`` drops pathological blocks outright (the ``max_bucket``
+    skew cap from :func:`minhash_lsh_pairs`; a dropped block is a signal
+    the blocking key is too coarse, not a reason to melt the cluster).
+    Blocking keys in practice: phonetic codes, sorted token prefixes,
+    geo cells — anything equality-joinable.
+    """
+    a = df.select(
+        *[F.col(c) for c in block_cols],
+        F.col(id_col).alias("id_a"),
+        F.col(compare_col).alias("__va"),
+    )
+    b = df.select(
+        *[F.col(c) for c in block_cols],
+        F.col(id_col).alias("id_b"),
+        F.col(compare_col).alias("__vb"),
+    )
+    if max_block:
+        sizes = (
+            df.groupBy(*block_cols)
+            .agg(F.count("*").alias("__bn"))
+            .where(F.col("__bn") <= max_block)
+            .drop("__bn")
+        )
+        a = a.join(F.broadcast(sizes), on=block_cols, how="left_semi")
+        b = b.join(F.broadcast(sizes), on=block_cols, how="left_semi")
+    return (
+        a.join(b, on=block_cols)
+        .where(F.col("id_a") < F.col("id_b"))
+        .withColumn("dist", F.levenshtein("__va", "__vb"))
+        .where(F.col("dist") <= max_dist)
+        .select("id_a", "id_b", "dist")
+    )

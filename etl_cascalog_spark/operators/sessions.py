@@ -483,3 +483,50 @@ def repeat_epochs(
     return df.withColumn(
         "epoch", F.explode(F.sequence(F.lit(1), n_copies))
     )
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    id_col: str,
+    rates: dict[str, float],
+    default_rate: float = 0.0,
+    salt: str = "s1",
+    buckets: int = 1_000_000,
+) -> DataFrame:
+    """Deterministic per-stratum sampling: keep a row iff its md5 bucket
+    falls under its stratum's rate threshold. The corpus-rebalancing
+    primitive (downsample over-represented languages/sources to target
+    shares) with :func:`hash_split`'s guarantees — stable across reruns
+    and engines, no RNG, no row-order dependence; ``salt`` versions the
+    sample.
+
+    ``rates`` maps stratum value → keep fraction in [0, 1]; unlisted
+    strata fall back to ``default_rate``. The rate map is a plan-time
+    constant folded into a CASE chain (J5 broadcast pattern — at real
+    scale, a broadcast-joined rates dim works identically).
+
+    100 TB posture: pure map-side filter (one md5 + one comparison per
+    row), no shuffle, arbitrarily skew-proof.
+    """
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col(id_col).cast("string"), F.lit(salt))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("long")
+        % buckets
+    )
+    thresh = None
+    for value, rate in rates.items():
+        cut = F.lit(int(round(rate * buckets)))
+        cond = F.col(strata_col) == F.lit(value)
+        thresh = F.when(cond, cut) if thresh is None else thresh.when(cond, cut)
+    thresh = (
+        F.lit(int(round(default_rate * buckets)))
+        if thresh is None
+        else thresh.otherwise(F.lit(int(round(default_rate * buckets))))
+    )
+    return df.where(bucket < thresh)

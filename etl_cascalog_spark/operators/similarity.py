@@ -444,3 +444,76 @@ def label_centroids(
             ),
         )
     )
+
+
+def quantize_int8(vec: Column) -> Column:
+    """Symmetric per-vector int8 quantization: qᵢ = round-half-up of
+    vᵢ / (max|v| / 127) → array<int> in [-127, 127].
+
+    Uses ``floor(x + 0.5)`` rather than an engine ``round`` so every engine
+    performs the identical IEEE sequence (round-half semantics differ
+    between engines; floor does not). The zero vector is guarded so the
+    scale never divides by zero.
+
+    This is the storage/compute compression step of a vector pipeline:
+    4 bytes/dim float32 → 1 byte/dim, and downstream scoring becomes exact
+    integer arithmetic (see :func:`quantized_dot_topk`).
+    """
+    amax = F.greatest(
+        F.array_max(F.transform(vec, lambda x: F.abs(x.cast("double")))),
+        F.lit(1e-30),
+    )
+    scale = amax / F.lit(127.0)
+    return F.transform(
+        vec, lambda x: F.floor(x.cast("double") / scale + F.lit(0.5)).cast("int")
+    )
+
+
+def quantized_dot_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+) -> DataFrame:
+    """Int8-quantized brute-force top-k by integer dot product — the
+    SQ8 re-rank shape (FAISS-style scalar quantization): both sides are
+    quantized with :func:`quantize_int8`, scores are exact BIGINT sums of
+    int·int products, so ranking is bit-deterministic in ANY engine — no
+    float tie ambiguity at all. Output: (query_id, neighbor_id, rank, qdot).
+
+    100 TB posture: quantization is map-side; the query side is broadcast
+    (queries ≪ corpus); scoring streams the corpus through one
+    BroadcastNestedLoop pass with a per-query top-k window on uniform
+    query_id keys. Integer dot products also SIMD-vectorize ~4× denser
+    than floats when this pattern is lowered to a columnar engine.
+    """
+    from etl_cascalog_spark.io import ensure_min_parallelism
+
+    corpus = ensure_min_parallelism(corpus, id_col)
+    q = queries.select(
+        F.col(id_col).alias("query_id"), quantize_int8(F.col(vec_col)).alias("qq")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), quantize_int8(F.col(vec_col)).alias("qc")
+    )
+    qdot = F.aggregate(
+        F.zip_with(
+            F.col("qq"), F.col("qc"), lambda x, y: (x * y).cast("long")
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", qdot.alias("qdot"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("qdot").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "qdot")
+    )

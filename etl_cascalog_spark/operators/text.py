@@ -516,3 +516,152 @@ def vocab_top_tokens(df, text_col: str = "text", k: int = 50):
         )
         .select("token", "freq", "rank", "cum_share")
     )
+
+
+def unigram_lm_scores(
+    df,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_count: int = 1,
+):
+    """Unigram language-model surprisal per document — the CCNet-style
+    "perplexity filter" shape (score docs with a cheap LM trained on the
+    corpus itself; drop the high-surprisal tail). Reference has nothing
+    like it; beyond-reference training-data surface.
+
+    Two passes: (1) token → count over the whole corpus (the "LM"),
+    (2) per-doc mean negative log-probability under that table.
+
+    Determinism contract (the oracle hash-compares values): each token's
+    log-prob is quantized ONCE to integer nano-nats
+    (``floor(ln(count/total) * 1e9 + 0.5)`` as BIGINT), so the per-doc
+    accumulation is exact integer arithmetic in any engine; only the final
+    per-token mean does one double divide, rounded to 6 dp.
+
+    Returns ``(id_col, n_tokens, surprisal_nano, avg_neg_logp)`` where
+    ``surprisal_nano`` is the exact total in nano-nats.
+
+    100 TB posture: pass 1 is one token-keyed shuffle with map-side
+    combine; the vocab table (capped by ``min_count``; at real scale also
+    by top-K) is broadcast, so pass 2 is a map-side BroadcastHashJoin plus
+    one doc-keyed agg. No Python, no RNG, no driver data loops.
+    """
+    toks = df.select(
+        F.col(id_col), F.explode(whitespace_tokens(F.col(text_col))).alias("token")
+    ).where(F.length("token") > 0)
+    freq = toks.groupBy("token").agg(F.count("*").alias("__cnt"))
+    if min_count > 1:
+        freq = freq.where(F.col("__cnt") >= min_count)
+    total = freq.agg(F.sum("__cnt").alias("__total"))
+    vocab = freq.crossJoin(F.broadcast(total)).select(
+        "token",
+        F.floor(
+            F.log(F.col("__cnt").cast("double") / F.col("__total").cast("double"))
+            * F.lit(1e9)
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("__lp_nano"),
+    )
+    return (
+        toks.join(F.broadcast(vocab), "token", "inner")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_tokens"),
+            (-F.sum("__lp_nano")).alias("surprisal_nano"),
+        )
+        .withColumn(
+            "avg_neg_logp",
+            F.round(
+                F.col("surprisal_nano").cast("double")
+                / F.col("n_tokens").cast("double")
+                / F.lit(1e9),
+                6,
+            ),
+        )
+    )
+
+
+def tfidf_top_terms(
+    df,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+):
+    """Per-document top-``k`` TF-IDF terms — the classic salient-term /
+    keyword-extraction operator over an inverted-index shape.
+
+    Ranking is fully integer-deterministic: terms are ordered by
+    ``(tf DESC, df ASC, term ASC)`` — the same ordering tf·idf induces
+    when tf dominates, with exact tie-breaks an engine pair can agree on
+    (ordering by the double score itself would make ranks depend on
+    last-ulp log differences). The tf·idf score ``tf * ln(N/df)`` is
+    still emitted, rounded to 6 dp.
+
+    Returns ``(id_col, term, tf, df, rank, tfidf)``.
+
+    100 TB posture: one (doc, term) shuffle for tf with map-side combine,
+    one term-keyed agg for df (broadcast back — document frequency tables
+    are vocabulary-sized), and a doc-keyed window for the top-k. The
+    window partitions by doc id — uniform, no skew.
+    """
+    toks = df.select(
+        F.col(id_col), F.explode(whitespace_tokens(F.col(text_col))).alias("term")
+    ).where(F.length("term") > 0)
+    tf = toks.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    ndocs = df.select(
+        F.countDistinct(F.col(id_col)).alias("__n")
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("tf").desc(), F.col("df").asc(), F.col("term").asc()
+    )
+    return (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(ndocs))
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= k)
+        .withColumn(
+            "tfidf",
+            F.round(
+                F.col("tf").cast("double")
+                * F.log(F.col("__n").cast("double") / F.col("df").cast("double")),
+                6,
+            ),
+        )
+        .select(id_col, "term", "tf", "df", "rank", "tfidf")
+    )
+
+
+#: fixed, public demo weights for the linear quality classifier:
+#: (feature, weight) over quality_features() outputs. A stand-in for any
+#: exported fastText/logreg quality model — inference stays a Column expr.
+QUALITY_LOGREG_WEIGHTS: list[tuple[str, float]] = [
+    ("alpha_ratio", 3.0),
+    ("stopword_ratio", 4.0),
+    ("punct_ratio", -2.0),
+    ("mean_word_len", 0.25),
+]
+QUALITY_LOGREG_BIAS: float = -3.0
+
+
+def linear_quality_probability(col: Column) -> Column:
+    """Logistic-regression quality-classifier INFERENCE as a pure Column
+    expression: sigmoid(bias + Σ wᵢ·featureᵢ) over the deterministic
+    text features, rounded to 6 dp.
+
+    This is the "run an exported quality model over 100 TB" shape
+    (fastText-style doc classifiers reduce to exactly this once the
+    weights are known): zero shuffle, zero Python — whole-stage codegen
+    end to end. The weight vector is a plan-time constant (J5 broadcast
+    pattern degenerated to literals); swapping models = swapping a dict.
+
+    The expression tree is built in a fixed order so both engines evaluate
+    the identical IEEE operation sequence; only ``exp`` can differ in the
+    last ulp, absorbed by the 6 dp round.
+    """
+    f = quality_features(col)
+    logit = F.lit(QUALITY_LOGREG_BIAS)
+    for name, wgt in QUALITY_LOGREG_WEIGHTS:
+        logit = logit + F.lit(wgt) * f[name]
+    return F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-logit)), 6)

@@ -1150,3 +1150,116 @@ def test_label_centroids_exact_means(spark):
         (0, 0): (2, 2.0), (0, 1): (2, 3.0),
         (1, 0): (1, 10.0), (1, 1): (1, 0.0),
     }
+
+
+def test_unigram_lm_surprisal_hand_computed(spark):
+    """Corpus 'a a b' + 'a': counts a=3, b=1, total=4 → lp(a)=ln(3/4),
+    lp(b)=ln(1/4) in nano-nats; doc 1 accumulates 2·lp(a)+lp(b) exactly."""
+    import math
+
+    from etl_cascalog_spark.operators.text import unigram_lm_scores
+
+    docs = spark.createDataFrame(
+        [(1, "a a b"), (2, "a")], "doc_id long, text string"
+    )
+    got = {r.doc_id: r for r in unigram_lm_scores(docs).collect()}
+    lp_a = math.floor(math.log(3 / 4) * 1e9 + 0.5)
+    lp_b = math.floor(math.log(1 / 4) * 1e9 + 0.5)
+    assert got[1].n_tokens == 3
+    assert got[1].surprisal_nano == -(2 * lp_a + lp_b)
+    assert got[2].surprisal_nano == -lp_a
+    assert got[2].avg_neg_logp == round(-lp_a / 1e9, 6)
+
+
+def test_tfidf_ranking_integer_keys(spark):
+    """tf desc then df asc then term: doc 1 = 'a a b', b is rarer (df 1)
+    than a (df 2), so rank is a (tf 2) then b (tf 1, df 1)."""
+    from etl_cascalog_spark.operators.text import tfidf_top_terms
+
+    docs = spark.createDataFrame(
+        [(1, "a a b"), (2, "a c")], "doc_id long, text string"
+    )
+    rows = [
+        (r.term, r.tf, r.df, r.rank)
+        for r in tfidf_top_terms(docs, k=2).where("doc_id = 1").collect()
+    ]
+    assert sorted(rows, key=lambda t: t[3]) == [("a", 2, 2, 1), ("b", 1, 1, 2)]
+
+
+def test_stratified_sample_rate_zero_and_one(spark):
+    """Rate 1.0 keeps every row of the stratum, rate 0.0 (default) drops
+    every other stratum; the sample is stable across calls."""
+    from etl_cascalog_spark.operators.sessions import stratified_sample
+
+    df = spark.createDataFrame(
+        [(i, "en" if i % 2 == 0 else "de") for i in range(100)],
+        "doc_id long, lang string",
+    )
+    kept = stratified_sample(df, "lang", "doc_id", {"en": 1.0}).collect()
+    assert len(kept) == 50 and all(r.lang == "en" for r in kept)
+    again = stratified_sample(df, "lang", "doc_id", {"en": 1.0}).collect()
+    assert sorted(r.doc_id for r in again) == sorted(r.doc_id for r in kept)
+
+
+def test_quantize_int8_bounds_and_argmax(spark):
+    """Max-|v| dim maps to ±127 exactly; zero vector survives (guarded
+    scale); quantized dot of identical vectors is the integer self-dot."""
+    from etl_cascalog_spark.operators.similarity import quantize_int8
+
+    df = spark.createDataFrame(
+        [(1, [0.5, -1.0, 0.25]), (2, [0.0, 0.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    got = {r.vec_id: r.q for r in df.select(
+        "vec_id", quantize_int8(F.col("embedding")).alias("q")
+    ).collect()}
+    assert got[1] == [64, -127, 32]  # 0.5/(1/127)=63.5 → floor(+0.5)=64
+    assert got[2] == [0, 0, 0]
+
+
+def test_quantized_dot_topk_exact_ranking(spark):
+    """Three 2-d vectors: nearest to the axis query by integer dot is the
+    colinear one; ranking has no float ties by construction."""
+    from etl_cascalog_spark.operators.similarity import quantized_dot_topk
+
+    df = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.9, 0.1]), (2, [0.0, 1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    q = df.where("vec_id = 0")
+    rows = {r.rank: (r.neighbor_id, r.qdot) for r in
+            quantized_dot_topk(q, df, k=2).collect()}
+    # v1 quantized [127, 14] → dot 127*127; v2 [0, 127] → dot 0
+    assert rows[1] == (1, 127 * 127)
+    assert rows[2] == (2, 0)
+
+
+def test_blocked_entity_pairs_blocking_and_cap(spark):
+    """Pairs only form within a block; max_block drops an oversized block."""
+    from etl_cascalog_spark.operators.dedup import blocked_entity_pairs
+
+    df = spark.createDataFrame(
+        [(1, "b1", "abc"), (2, "b1", "abd"), (3, "b2", "abc"),
+         (4, "b3", "x"), (5, "b3", "y"), (6, "b3", "z")],
+        "id long, blk string, name string",
+    )
+    pairs = blocked_entity_pairs(
+        df, "id", ["blk"], "name", max_dist=2, max_block=2
+    ).collect()
+    # b1 pair kept (dist 1); b2 singleton; b3 dropped by the cap
+    assert [(r.id_a, r.id_b, r.dist) for r in pairs] == [(1, 2, 1)]
+
+
+def test_linear_quality_probability_monotone(spark):
+    """Prose-like text (stopwords, alpha) scores above symbol soup."""
+    from etl_cascalog_spark.operators.text import linear_quality_probability
+
+    df = spark.createDataFrame(
+        [(1, "the cat sat on the mat and looked to the door"),
+         (2, "!!! ??? ;;; ,,, ... ### $$$ %%%")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r.p for r in df.select(
+        "doc_id", linear_quality_probability(F.col("text")).alias("p")
+    ).collect()}
+    assert got[1] > 0.5 > got[2]
