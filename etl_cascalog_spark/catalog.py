@@ -36,7 +36,10 @@ from etl_cascalog_spark.operators.joins import (
     star_join,
 )
 from etl_cascalog_spark.operators.periods import with_period_comparisons
-from etl_cascalog_spark.operators.surrogate import assign_dense_ids
+from etl_cascalog_spark.operators.surrogate import (
+    assign_dense_ids,
+    assign_dense_ids_scaled,
+)
 
 
 @dataclass(frozen=True)
@@ -331,12 +334,16 @@ def pivot_kv_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM customer
     """,
     doc="A8/E2 surrogate-id continuation from max existing id "
-    "(trgx.clj:166-186) — parallel window row_number, not the reference's "
-    "single-reducer group (ods/d_bolome_show.clj:51).",
+    "(trgx.clj:166-186) — range-partitioned parallel rank + broadcast "
+    "offset rebase (assign_dense_ids_scaled), not the reference's "
+    "single-reducer group (ods/d_bolome_show.clj:51) nor a no-partition "
+    "window.",
 )
 def surrogate_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = read_table(spark, sf_dir, "customer").select("c_custkey")
-    return assign_dense_ids(cust, order_by=["c_custkey"], id_col="dw_id", start_at=1000)
+    return assign_dense_ids_scaled(
+        cust, order_by=["c_custkey"], id_col="dw_id", start_at=1000
+    )
 
 
 @register(
@@ -4713,4 +4720,45 @@ def entity_blocking_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("id_a"),
         F.col("id_b"),
         F.col("dist").cast("int").alias("dist"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# N. Physical layout (beyond-reference): Z-order clustering quality
+# ---------------------------------------------------------------------------
+
+from etl_cascalog_spark.operators.layout import zorder_bucket_stats, zvalue_sql  # noqa: E402
+
+_Z_SQL = zvalue_sql("(o_custkey)", "(datediff('day', DATE '1992-01-01', o_orderdate))")
+
+@register(
+    "zorder_layout_stats",
+    oracle=f"""
+    SELECT CAST(({_Z_SQL}) // {1 << (32 - 4)} AS INT) AS z_bucket,
+           count(*) AS n_rows,
+           min(o_custkey) AS x_min, max(o_custkey) AS x_max,
+           min(datediff('day', DATE '1992-01-01', o_orderdate)) AS y_min,
+           max(datediff('day', DATE '1992-01-01', o_orderdate)) AS y_max
+    FROM orders
+    GROUP BY 1
+    """,
+    doc="Z-order (Morton) layout quality report (beyond-reference, the "
+    "Delta/Iceberg OPTIMIZE ZORDER BY trick from plain Column bit math): "
+    "interleave (custkey, order-day) bits, split rows into the 16 "
+    "top-bits z-buckets (pure map-side, no sort), and report each "
+    "bucket's per-dimension min/max span — the row-group skipping stats "
+    "a z-ordered writer achieves, tight on BOTH dimensions. Zero "
+    "shuffles beyond one 16-group agg; at write time the same key feeds "
+    "repartitionByRange(z)+sortWithinPartitions.",
+)
+def zorder_layout_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = read_table(spark, sf_dir, "orders")
+    days = F.datediff(F.col("o_orderdate"), F.lit("1992-01-01"))
+    return zorder_bucket_stats(orders, F.col("o_custkey"), days).select(
+        "z_bucket",
+        F.col("n_rows").cast("long").alias("n_rows"),
+        F.col("x_min").cast("long").alias("x_min"),
+        F.col("x_max").cast("long").alias("x_max"),
+        F.col("y_min").cast("long").alias("y_min"),
+        F.col("y_max").cast("long").alias("y_max"),
     )

@@ -243,7 +243,10 @@ def range_join(
     step_us = int(bucket_seconds) * 1_000_000
 
     def cell(col: str) -> F.Column:
-        return F.expr(f"unix_micros({col}) div {step_us}")
+        # cast-to-timestamp accepts both TIMESTAMP and TIMESTAMP_NTZ inputs
+        # (unix_micros alone rejects NTZ); the mapping only needs to be
+        # monotonic and identical on both sides, so session-tz is irrelevant.
+        return F.expr(f"unix_micros(cast({col} as timestamp)) div {step_us}")
 
     cells = intervals.withColumn(
         "__cell", F.explode(F.sequence(cell(start_col), cell(end_col)))

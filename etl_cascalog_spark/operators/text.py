@@ -471,10 +471,14 @@ def bm25_topk(
         .groupBy(id_col)
         .agg(F.round(F.sum("__s"), 6).alias("score"))
     )
+    # TakeOrderedAndProject first (distributed per-partition top-k + driver
+    # merge of k rows), THEN rank over the k survivors only — ranking the
+    # full candidate set in a no-partition window would sort every matching
+    # doc in one reducer.
+    top = scored.orderBy(F.col("score").desc(), F.col(id_col)).limit(k)
     w = Window.orderBy(F.col("score").desc(), F.col(id_col))
     return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
+        top.withColumn("rank", F.row_number().over(w))
         .select(id_col, "score", F.col("rank").cast("int").alias("rank"))
     )
 

@@ -23,34 +23,38 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-#: events table schema as stored (ts is parquet TIMESTAMP(NANOS) read as
-#: nanos-long under the legacy conf — converted on read like io.read_table)
-EVENTS_RAW_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType(), True),
-        T.StructField("ts", T.LongType(), True),
-        T.StructField("user_id", T.LongType(), True),
-        T.StructField("event_type", T.StringType(), True),
-        T.StructField("value", T.DoubleType(), True),
-        T.StructField("props", T.StringType(), True),
-    ]
-)
-
-
 def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """readStream over the events parquet (file-source micro-batches; in
-    production this is the kafka source with identical downstream code)."""
+    production this is the kafka source with identical downstream code).
+
+    A file stream needs an explicit schema, but the generator has shipped
+    ``ts`` as both TIMESTAMP(NANOS) (→ nanos-long under the legacy conf)
+    and plain timestamp[us] (→ TIMESTAMP_NTZ) across data drops — so the
+    schema is taken from the batch parquet footer instead of hardcoded,
+    and the nanos→micros conversion applies only when ``ts`` really is a
+    long (integer division: double division loses exactness above 2^53,
+    epoch-nanos are ~1.7e18). Output ``ts`` type matches io.read_table's,
+    keeping the batch/stream twins value-identical.
+    """
+    import os
+
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
     # file streaming sources need a directory — glob-filter the events file
     raw = (
-        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        spark.readStream.schema(schema)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    # integer division (see io.read_table): double division loses exactness
-    # above 2^53, epoch-nanos are ~1.7e18
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if isinstance(schema["ts"].dataType, T.LongType):
+        raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif isinstance(schema["ts"].dataType, T.TimestampNTZType):
+        # watermarks demand TIMESTAMP (ltz): EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE
+        # on NTZ. Session tz is pinned UTC above, so the cast preserves wall
+        # values and the batch twins (which keep NTZ) stay value-identical.
+        raw = raw.withColumn("ts", F.col("ts").cast("timestamp"))
+    return raw
 
 
 def tumbling(
@@ -164,7 +168,7 @@ def interval_join(
     """
     step_us = int(bucket_seconds) * 1_000_000
     p = probe.withWatermark(ts_col, watermark).withColumn(
-        "__cell", F.expr(f"unix_micros({ts_col}) div {step_us}")
+        "__cell", F.expr(f"unix_micros(cast({ts_col} as timestamp)) div {step_us}")
     )
     i = (
         intervals.withWatermark(start_col, watermark)
@@ -172,8 +176,8 @@ def interval_join(
             "__cell",
             F.explode(
                 F.sequence(
-                    F.expr(f"unix_micros({start_col}) div {step_us}"),
-                    F.expr(f"unix_micros({end_col}) div {step_us}"),
+                    F.expr(f"unix_micros(cast({start_col} as timestamp)) div {step_us}"),
+                    F.expr(f"unix_micros(cast({end_col} as timestamp)) div {step_us}"),
                 )
             ),
         )

@@ -321,6 +321,33 @@ def test_lsh_cosine_matches_brute_force_in_bucket(spark):
             assert lsh[(r.query_id, 1)] == r.neighbor_id
 
 
+def test_assign_dense_ids_scaled_matches_window(spark):
+    """A8 scale path: range-partitioned rank + offset rebase is bit-identical
+    to the no-partition-window row_number for a total ordering, for any
+    partition count (including more partitions than rows)."""
+    from etl_cascalog_spark.io import read_table
+    from etl_cascalog_spark.operators.surrogate import (
+        assign_dense_ids,
+        assign_dense_ids_scaled,
+    )
+
+    df = read_table(spark, "/root/testdata/sf0.001", "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    want = {
+        r.c_custkey: r.dw_id
+        for r in assign_dense_ids(df, ["c_custkey"], start_at=100).collect()
+    }
+    for nparts in (None, 3, 10_000):
+        got = {
+            r.c_custkey: r.dw_id
+            for r in assign_dense_ids_scaled(
+                df, ["c_custkey"], start_at=100, num_partitions=nparts
+            ).collect()
+        }
+        assert got == want
+
+
 def test_assign_sparse_ids_unique(spark):
     """A8 scale path: zero-shuffle ids are unique and ≥ start."""
     from etl_cascalog_spark.io import read_table

@@ -298,7 +298,11 @@ def test_dynamic_gap_sessions_match_batch(spark):
     )
     got = {(r.user_id, r.session_start): r.n_events for r in stream.collect()}
 
-    ev = read_table(spark, SF_SMOKE, "events")
+    # unix_micros rejects TIMESTAMP_NTZ; session tz is UTC so the cast
+    # preserves wall values and matches the stream side's ts type.
+    ev = read_table(spark, SF_SMOKE, "events").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
     w = Window.partitionBy("user_id").orderBy("ts")
     gap_secs = F.when(F.col("event_type") == "purchase", 3600).otherwise(600)
     batch = (
