@@ -4762,3 +4762,78 @@ def zorder_layout_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("y_min").cast("long").alias("y_min"),
         F.col("y_max").cast("long").alias("y_max"),
     )
+
+
+@register(
+    "boilerplate_sentence_stats",
+    oracle=r"""
+    WITH s AS (
+      SELECT doc_id, lower(trim(sent)) AS sent
+      FROM documents, unnest(string_split_regex(text, '\.\s+')) AS t(sent)
+      WHERE length(trim(sent)) > 0
+    ), dfs AS (
+      SELECT sent, count(DISTINCT doc_id) AS docs_with FROM s GROUP BY sent
+    )
+    SELECT s.doc_id,
+           count(*) AS n_sent,
+           sum(CASE WHEN dfs.docs_with >= 5 THEN 1 ELSE 0 END) AS n_boiler,
+           round(sum(CASE WHEN dfs.docs_with >= 5 THEN 1 ELSE 0 END)
+                 / CAST(count(*) AS DOUBLE), 4) AS boiler_ratio
+    FROM s JOIN dfs USING (sent)
+    GROUP BY s.doc_id
+    """,
+    doc="Cross-document boilerplate share (beyond-reference, the CCNet/"
+    "RefinedWeb line-dedup trick at sentence grain): sentences in >= 5 "
+    "distinct docs are boilerplate; per-doc share is the drop signal. "
+    "One explode + one sentence-keyed distinct agg + join-back (shuffle "
+    "reuse) + doc agg — no windows; scale variant keys the shuffle on "
+    "xxhash64(sentence).",
+)
+def boilerplate_sentence_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_cascalog_spark.operators.text import boilerplate_sentence_stats as bss
+
+    docs = read_table(spark, sf_dir, "documents")
+    return bss(docs, "doc_id", "text", min_docs=5)
+
+
+@register(
+    "hard_negative_mining",
+    oracle="""
+    WITH a AS (
+      SELECT vec_id AS anchor_id, embedding AS av, label AS a_label
+      FROM embeddings WHERE vec_id % 25 = 0
+    ), c AS (
+      SELECT vec_id AS negative_id, embedding AS cv, label AS c_label
+      FROM embeddings
+    ), scored AS (
+      SELECT anchor_id, negative_id,
+             list_sum(list_transform(list_zip(av, cv),
+                                     p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+             / (sqrt(list_sum(list_transform(av, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+              * sqrt(list_sum(list_transform(cv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS cos
+      FROM c CROSS JOIN a
+      WHERE a_label != c_label
+    ), ranked AS (
+      SELECT anchor_id, negative_id, cos,
+             row_number() OVER (PARTITION BY anchor_id ORDER BY cos DESC, negative_id) AS rank
+      FROM scored
+    )
+    SELECT anchor_id, negative_id, CAST(rank AS INT) AS rank, round(cos, 4) AS cos_sim
+    FROM ranked WHERE rank <= 3
+    """,
+    doc="Hard-negative mining for contrastive training (beyond-reference): "
+    "per anchor the 3 highest-cosine DIFFERENT-label vectors — broadcast "
+    "anchors, streamed corpus, per-row norms, anchor-partitioned window "
+    "top-k. Scale path mines within LSH buckets (lsh_bucket), acceptable "
+    "because any sufficiently-hard negative works.",
+)
+def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_cascalog_spark.operators.similarity import hard_negatives
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    return hard_negatives(emb, anchor_filter=(F.col("vec_id") % 25 == 0), k=3).select(
+        "anchor_id",
+        "negative_id",
+        F.col("rank").cast("int").alias("rank"),
+        "cos_sim",
+    )

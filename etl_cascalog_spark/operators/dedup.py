@@ -268,14 +268,26 @@ def minhash_lsh_pairs(
     )
 
 
-def simhash_sketch(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
+def simhash_sketch(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    hash_fn: str = "md5",
+) -> DataFrame:
     """64-bit SimHash as a bits array: bit b = sign of Σ_shingles ±1 by the
     b-th bit of the shingle's 64-bit hash.
 
-    The hash is the first 16 hex digits of ``md5(shingle)`` — md5 (not
-    xxhash64) specifically so the DuckDB oracle can reproduce the sketch
-    bit-for-bit (both engines emit identical lowercase-hex md5; bit b is
-    bit ``3-(b%4)`` of hex digit ``b//4``). Uniformity is equivalent.
+    ``hash_fn="md5"`` (default) takes the first 16 hex digits of
+    ``md5(shingle)`` — md5 specifically so the DuckDB oracle can reproduce
+    the sketch bit-for-bit (both engines emit identical lowercase-hex md5;
+    bit b is bit ``3-(b%4)`` of hex digit ``b//4``). ``hash_fn="xxhash64"``
+    is the production fast path: one JVM-intrinsic 64-bit hash per shingle
+    instead of md5 + 16 hex-digit ``conv`` columns (measured 4.0s → 3.0s on
+    the sf0.1 sketch stage — the remainder is shingling, shared by both).
+    Bit uniformity is equivalent; only oracle reproducibility is lost.
+    Different hashes flip borderline (near-threshold-Hamming) pairs, so
+    the two paths agree on strong duplicates, not bit-for-bit.
 
     Shape chosen for whole-stage codegen: explode shingle hashes to rows,
     materialize the 16 digit values ONCE per row (an inline md5 would be
@@ -286,6 +298,24 @@ def simhash_sketch(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> Dat
     per-doc hash array) was ~20× slower: array lambdas are interpreted,
     column sums are codegen'd.
     """
+    if hash_fn == "xxhash64":
+        hashed = shingle_sets(df, id_col, text_col, n).select(
+            "doc", F.xxhash64(F.col("shingle")).alias("h64")
+        )
+        votes = hashed.groupBy("doc").agg(
+            *[
+                F.sum(
+                    F.when(
+                        F.shiftright(F.col("h64"), 63 - b).bitwiseAND(F.lit(1)) == 1, 1
+                    ).otherwise(-1)
+                ).alias(f"v{b}")
+                for b in range(64)
+            ]
+        )
+        bits = F.array(
+            *[F.when(F.col(f"v{b}") > 0, 1).otherwise(0) for b in range(64)]
+        )
+        return votes.select("doc", bits.alias("bits"))
     sh = shingle_sets(df, id_col, text_col, n).select(
         "doc", F.md5(F.col("shingle")).alias("hx")
     )
@@ -323,6 +353,7 @@ def simhash_pairs(
     n: int = 3,
     max_hamming: int = 3,
     bands: int = 4,
+    hash_fn: str = "md5",
 ) -> DataFrame:
     """SimHash near-dup pairs: candidates share at least one of ``bands``
     (64/bands)-bit bands; verified by exact Hamming distance.
@@ -336,7 +367,7 @@ def simhash_pairs(
 
     Output: (doc_a, doc_b, hamming) with doc_a < doc_b.
     """
-    sk = simhash_sketch(df, id_col, text_col, n)
+    sk = simhash_sketch(df, id_col, text_col, n, hash_fn=hash_fn)
     width = 64 // bands
     band_cols = F.array(
         *[

@@ -517,3 +517,71 @@ def quantized_dot_topk(
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "qdot")
     )
+
+
+def hard_negatives(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    k: int = 3,
+    anchor_filter: Column | None = None,
+) -> DataFrame:
+    """Hard-negative mining for contrastive training: for each anchor, the
+    ``k`` highest-cosine vectors with a DIFFERENT label — the near-boundary
+    negatives that make a contrastive batch informative (random negatives
+    are trivially separable; the hard ones carry the gradient).
+
+    Output: (anchor_id, negative_id, rank, cos_sim).
+
+    Same plan discipline as :func:`cosine_topk`: anchors broadcast, corpus
+    streams, per-row norms precomputed, partitioned window top-k (keyed on
+    anchor — scales with anchor count, no global sort). At corpus scale
+    mine within LSH buckets first (:func:`lsh_bucket`) exactly like
+    :func:`lsh_cosine_topk`, trading recall of the single hardest negative
+    for a bucket-local candidate set; hard-negative mining tolerates that
+    approximation by design (any sufficiently-hard negative works).
+    """
+    from etl_cascalog_spark.io import ensure_min_parallelism
+
+    anchors = emb if anchor_filter is None else emb.where(anchor_filter)
+    a = F.broadcast(
+        anchors.select(
+            F.col(id_col).alias("anchor_id"),
+            F.col(vec_col).alias("av"),
+            norm(F.col(vec_col)).alias("na"),
+            F.col(label_col).alias("a_label"),
+        )
+    )
+    c = (
+        ensure_min_parallelism(emb, id_col)
+        .select(
+            F.col(id_col).alias("negative_id"),
+            F.col(vec_col).alias("cv"),
+            norm(F.col(vec_col)).alias("nc"),
+            F.col(label_col).alias("c_label"),
+        )
+        .cache()
+    )
+    scored = (
+        c.crossJoin(a)
+        .where(F.col("a_label") != F.col("c_label"))
+        .select(
+            "anchor_id",
+            "negative_id",
+            (dot(F.col("av"), F.col("cv")) / (F.col("na") * F.col("nc"))).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("anchor_id").orderBy(
+        F.col("cos").desc(), F.col("negative_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            "anchor_id",
+            "negative_id",
+            "rank",
+            F.round(F.col("cos"), 4).alias("cos_sim"),
+        )
+    )

@@ -669,3 +669,51 @@ def linear_quality_probability(col: Column) -> Column:
     for name, wgt in QUALITY_LOGREG_WEIGHTS:
         logit = logit + F.lit(wgt) * f[name]
     return F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-logit)), 6)
+
+
+def boilerplate_sentence_stats(
+    docs,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_docs: int = 5,
+):
+    """Cross-document boilerplate detection (the CCNet/RefinedWeb line-dedup
+    trick at sentence grain): a sentence appearing in ≥ ``min_docs``
+    DISTINCT documents is boilerplate (headers, footers, licence blurbs),
+    and per-doc boilerplate share is a standard pre-training drop signal.
+
+    Returns ``(doc_id, n_sent, n_boiler, boiler_ratio)``.
+
+    100 TB shape: one explode (map-side), one sentence-keyed distinct-doc
+    agg (partial aggregation combines map-side; the per-sentence key is
+    the normalized sentence string here for oracle bit-parity — at real
+    scale key on ``xxhash64(sent)`` so the shuffle carries 8 bytes, with
+    an optional df-cap like jaccard_pairs' ``max_df``), one join back on
+    the same key (shuffle reuse), one doc-keyed count agg. No windows,
+    no Python, no driver loops.
+    """
+    sent = (
+        docs.select(
+            F.col(id_col),
+            F.explode(F.split(F.col(text_col), r"\.\s+")).alias("__raw"),
+        )
+        .select(F.col(id_col), F.lower(F.trim(F.col("__raw"))).alias("__sent"))
+        .where(F.length("__sent") > 0)
+    )
+    df_per_sent = sent.groupBy("__sent").agg(
+        F.count_distinct(F.col(id_col)).alias("__docs_with")
+    )
+    return (
+        sent.join(df_per_sent, "__sent")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_sent"),
+            F.sum((F.col("__docs_with") >= min_docs).cast("int")).alias("n_boiler"),
+        )
+        .select(
+            id_col,
+            F.col("n_sent").cast("long").alias("n_sent"),
+            F.col("n_boiler").cast("long").alias("n_boiler"),
+            F.round(F.col("n_boiler") / F.col("n_sent"), 4).alias("boiler_ratio"),
+        )
+    )

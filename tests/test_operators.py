@@ -1290,3 +1290,37 @@ def test_linear_quality_probability_monotone(spark):
         "doc_id", linear_quality_probability(F.col("text")).alias("p")
     ).collect()}
     assert got[1] > 0.5 > got[2]
+
+
+def test_simhash_xxhash64_fast_path(spark):
+    """Production simhash path: one 64-bit hash per shingle, same schema,
+    one sketch per doc, and strong (identical-text) duplicates are found
+    by both hash functions."""
+    from etl_cascalog_spark.io import read_table
+    from etl_cascalog_spark.operators.dedup import simhash_pairs, simhash_sketch
+
+    docs = read_table(spark, "/root/testdata/sf0.001", "documents")
+    sk = simhash_sketch(docs, "doc_id", "text", hash_fn="xxhash64")
+    rows = sk.collect()
+    assert len(rows) == docs.count()
+    assert all(len(r.bits) == 64 for r in rows[:5])
+    # identical-text pairs have identical shingle sets → identical sketch
+    # (Hamming 0) under ANY hash; distinct texts may collide at Hamming 0
+    # under one hash only, so assert on known exact duplicates, not md5-vs-xx
+    dup = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog near the river"),
+            (2, "the quick brown fox jumps over the lazy dog near the river"),
+            (3, "an entirely different document about spark physical planning"),
+            (4, "yet another unrelated text mentioning broadcast hash joins"),
+        ],
+        ["doc_id", "text"],
+    )
+    for hf in ("md5", "xxhash64"):
+        found = {
+            (r.doc_a, r.doc_b)
+            for r in simhash_pairs(
+                dup, "doc_id", "text", max_hamming=0, hash_fn=hf
+            ).collect()
+        }
+        assert (1, 2) in found, hf
