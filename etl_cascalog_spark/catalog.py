@@ -4837,3 +4837,70 @@ def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("rank").cast("int").alias("rank"),
         "cos_sim",
     )
+
+
+@register(
+    "column_profile_orders",
+    oracle="""
+    SELECT 'o_orderkey' AS "column", count(*) AS n_rows, count(o_orderkey) AS n_non_null,
+           count(DISTINCT o_orderkey) AS n_distinct,
+           min(CAST(o_orderkey AS VARCHAR)) AS min_val, max(CAST(o_orderkey AS VARCHAR)) AS max_val
+    FROM orders
+    UNION ALL
+    SELECT 'o_custkey', count(*), count(o_custkey), count(DISTINCT o_custkey),
+           min(CAST(o_custkey AS VARCHAR)), max(CAST(o_custkey AS VARCHAR))
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderstatus', count(*), count(o_orderstatus), count(DISTINCT o_orderstatus),
+           min(o_orderstatus), max(o_orderstatus)
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderpriority', count(*), count(o_orderpriority), count(DISTINCT o_orderpriority),
+           min(o_orderpriority), max(o_orderpriority)
+    FROM orders
+    """,
+    doc="ANALYZE-style exact column profile (beyond-reference): rows / "
+    "non-null / exact NDV / min / max per column in one logical pass "
+    "(Spark: single scan + Expand for the multi-distinct; the oracle "
+    "states it as per-column UNION ALL). The broadcast-sizing audit "
+    "tool; the 100 TB profiling pass is approx_distinct_profile (HLL++, "
+    "no Expand), unit-test-pinned to ~rsd accuracy.",
+)
+def column_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_cascalog_spark.operators.profiling import exact_column_profile
+
+    orders = read_table(spark, sf_dir, "orders")
+    return exact_column_profile(
+        orders, ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"]
+    )
+
+
+@register(
+    "recency_weighted_sample",
+    oracle="""
+    WITH r AS (
+      SELECT o_orderkey,
+             greatest(datediff('day', o_orderdate, TIMESTAMP '1998-08-01 00:00:00'), 0)
+               AS age
+      FROM orders
+    )
+    SELECT o_orderkey,
+           round(greatest(0.05, pow(0.5, age / 365.0)), 6) AS keep_rate
+    FROM r
+    WHERE CAST('0x' || substr(md5(CAST(o_orderkey AS VARCHAR) || 'r1'), 1, 8)
+               AS BIGINT) % 1000000
+          < CAST(round(greatest(0.05, pow(0.5, age / 365.0)) * 1000000) AS BIGINT)
+    """,
+    doc="Recency-weighted corpus sampling (beyond-reference): keep "
+    "probability halves per 365 days of age with a 5% floor — the "
+    "freshness bias applied when mixing crawl snapshots. Deterministic "
+    "md5 coin (stratified_sample discipline); pure map-side, zero "
+    "shuffle, constant-folded decay curve.",
+)
+def recency_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_cascalog_spark.operators.sessions import recency_weighted_sample as rws
+
+    orders = read_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    return rws(
+        orders, "o_orderkey", "o_orderdate", as_of="1998-08-01", half_life_days=365.0
+    ).select("o_orderkey", "keep_rate")

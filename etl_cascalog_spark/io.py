@@ -54,6 +54,10 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # The driver may hand us a session with a non-UTC timezone; date
     # extraction from timestamps must match the (TZ-naive) DuckDB oracle.
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # Wide-aggregate plans (64-column sketches) must stay in whole-stage
+    # codegen even under a driver-owned session that skipped get_spark's
+    # defaults (interpreted fallback measured ~8× slower on simhash).
+    spark.conf.set("spark.sql.codegen.maxFields", "256")
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -93,3 +93,43 @@ def approx_distinct_profile(
         for c in cols
     ]
     return row.select(F.explode(F.array(*parts)).alias("p")).select("p.*")
+
+
+def exact_column_profile(df: DataFrame, cols: list[str]) -> DataFrame:
+    """ANALYZE-style exact per-column profile: rows, non-null rows, exact
+    distinct count, lexical/numeric min and max (stringified so mixed
+    column types share one output schema).
+
+    Output: ``(column, n_rows, n_non_null, n_distinct, min_val, max_val)``,
+    one row per profiled column.
+
+    The catalog-statistics pass a planner (or a human sizing a broadcast)
+    reads. One logical aggregate over the data: Spark executes the k
+    distinct aggregates with a single scan plus an Expand (×k rows into
+    the shuffle) — fine for a profiling pass over selected columns. At
+    100 TB prefer :func:`approx_distinct_profile` (HLL++, no Expand, one
+    fixed-size register set per column) and keep this as the audit tool
+    on samples/dimensions.
+    """
+    aggs = []
+    for c in cols:
+        aggs += [
+            F.count(F.lit(1)).alias(f"__n_{c}"),
+            F.count(c).alias(f"__nn_{c}"),
+            F.count_distinct(F.col(c)).alias(f"__nd_{c}"),
+            F.min(F.col(c).cast("string")).alias(f"__mn_{c}"),
+            F.max(F.col(c).cast("string")).alias(f"__mx_{c}"),
+        ]
+    row = df.agg(*aggs)
+    parts = [
+        F.struct(
+            F.lit(c).alias("column"),
+            F.col(f"__n_{c}").cast("long").alias("n_rows"),
+            F.col(f"__nn_{c}").cast("long").alias("n_non_null"),
+            F.col(f"__nd_{c}").cast("long").alias("n_distinct"),
+            F.col(f"__mn_{c}").alias("min_val"),
+            F.col(f"__mx_{c}").alias("max_val"),
+        )
+        for c in cols
+    ]
+    return row.select(F.explode(F.array(*parts)).alias("p")).select("p.*")

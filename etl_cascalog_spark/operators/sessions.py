@@ -530,3 +530,47 @@ def stratified_sample(
         else thresh.otherwise(F.lit(int(round(default_rate * buckets))))
     )
     return df.where(bucket < thresh)
+
+
+def recency_weighted_sample(
+    df: DataFrame,
+    id_col: str,
+    ts_col: str,
+    as_of: str,
+    half_life_days: float = 365.0,
+    floor_rate: float = 0.05,
+    salt: str = "r1",
+    buckets: int = 1_000_000,
+):
+    """Freshness-weighted corpus sampling: keep probability decays with
+    document age — ``rate = max(floor, 0.5 ** (age_days / half_life))`` —
+    so recent data is upweighted without dropping the long tail entirely
+    (the standard recency bias applied when mixing crawl snapshots).
+
+    Deterministic md5 coin (same discipline as :func:`stratified_sample`:
+    stable across reruns/engines, no RNG, no row-order dependence; ``salt``
+    versions the sample). Age is whole days before ``as_of``; future rows
+    clamp to age 0. Returns the kept rows plus their ``keep_rate``.
+
+    100 TB posture: pure map-side — one datediff, one pow, one md5 per
+    row; no shuffle, skew-proof. The decay curve is plan-time arithmetic,
+    so Catalyst constant-folds everything but the per-row hash/compare.
+    """
+    age = F.greatest(F.datediff(F.lit(as_of), F.col(ts_col)), F.lit(0))
+    rate = F.greatest(
+        F.lit(floor_rate),
+        F.pow(F.lit(0.5), age.cast("double") / F.lit(half_life_days)),
+    )
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col(id_col).cast("string"), F.lit(salt))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("long")
+        % buckets
+    )
+    return df.withColumn("keep_rate", F.round(rate, 6)).where(
+        bucket < F.round(rate * buckets).cast("long")
+    )
