@@ -4904,3 +4904,92 @@ def recency_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rws(
         orders, "o_orderkey", "o_orderdate", as_of="1998-08-01", half_life_days=365.0
     ).select("o_orderkey", "keep_rate")
+
+
+def _ann_recall_oracle_sql(k: int = 5) -> str:
+    """DuckDB oracle for ann_recall_eval: brute-force top-k and LSH top-k
+    (seeded-literal hyperplanes, as in _lsh_oracle_sql) built side by side,
+    then per-query hit counting — the whole eval harness reproduces."""
+    from etl_cascalog_spark.operators.similarity import hyperplanes
+
+    planes = hyperplanes(dim=64, n_planes=8, seed=7)
+    terms = []
+    for p_idx, plane in enumerate(planes):
+        arr = "[" + ",".join(repr(x) for x in plane) + "]"
+        dot = (
+            f"list_sum(list_transform(list_zip(embedding, {arr}), "
+            "p -> CAST(p[1] AS DOUBLE) * p[2]))"
+        )
+        terms.append(f"(CASE WHEN {dot} > 0 THEN {1 << p_idx} ELSE 0 END)")
+    bucket = " + ".join(terms)
+    cos = (
+        "list_sum(list_transform(list_zip(qv, cv), "
+        "p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) "
+        "/ (sqrt(list_sum(list_transform(qv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) "
+        "* sqrt(list_sum(list_transform(cv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))"
+    )
+    return f"""
+    WITH b AS (
+      SELECT vec_id, embedding, CAST({bucket} AS BIGINT) AS bucket FROM embeddings
+    ), q AS (
+      SELECT vec_id AS query_id, embedding AS qv, bucket FROM b WHERE vec_id % 50 = 0
+    ), c AS (
+      SELECT vec_id AS neighbor_id, embedding AS cv, bucket FROM b
+    ), exact AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               row_number() OVER (PARTITION BY query_id ORDER BY {cos} DESC, neighbor_id) AS rank
+        FROM c CROSS JOIN q WHERE query_id != neighbor_id
+      ) WHERE rank <= {k}
+    ), lshtop AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               row_number() OVER (PARTITION BY query_id ORDER BY {cos} DESC, neighbor_id) AS rank
+        FROM c JOIN q USING (bucket) WHERE query_id != neighbor_id
+      ) WHERE rank <= {k}
+    )
+    SELECT e.query_id,
+           CAST(count(*) AS BIGINT) AS n_exact,
+           CAST(sum(CASE WHEN l.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+           round(sum(CASE WHEN l.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+                 / CAST({k} AS DOUBLE), 4) AS recall_at_k
+    FROM exact e LEFT JOIN lshtop l USING (query_id, neighbor_id)
+    GROUP BY e.query_id
+    """
+
+
+@register(
+    "ann_recall_eval",
+    oracle=_ann_recall_oracle_sql(),
+    doc="ANN recall evaluation harness (beyond-reference): per query, "
+    "recall@5 of the LSH bucketed path against the brute-force ground "
+    "truth — the measurement that justifies shipping an approximate "
+    "index. Composes the two existing operators; at 100 TB run it on a "
+    "query SAMPLE (ground truth is the expensive side) and track the "
+    "recall dial vs n_planes exactly like ann_ivf_nprobe_topk's nprobe.",
+)
+def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_cascalog_spark.operators.similarity import cosine_topk, lsh_cosine_topk
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") % 50 == 0)
+    k = 5
+    exact = cosine_topk(queries, emb, k=k).select("query_id", "neighbor_id")
+    lsh = lsh_cosine_topk(queries, emb, k=k, n_planes=8, dim=64, seed=7).select(
+        "query_id", F.col("neighbor_id").alias("l_neighbor")
+    )
+    # both sides are top-k results (|queries|·k rows) — broadcast the LSH
+    # side so the eval join never sort-merges
+    joined = exact.join(
+        F.broadcast(lsh),
+        (exact["query_id"] == lsh["query_id"])
+        & (exact["neighbor_id"] == lsh["l_neighbor"]),
+        "left",
+    ).select(exact["query_id"], "neighbor_id", "l_neighbor")
+    return joined.groupBy("query_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_exact"),
+        F.sum(F.col("l_neighbor").isNotNull().cast("int")).cast("long").alias("n_hit"),
+        F.round(
+            F.sum(F.col("l_neighbor").isNotNull().cast("int")) / F.lit(float(k)), 4
+        ).alias("recall_at_k"),
+    )

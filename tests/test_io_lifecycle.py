@@ -191,6 +191,19 @@ def test_csv_roundtrip(spark):
         assert sorted((r.id, r.name) for r in back.collect()) == [(1, "a"), (2, "b")]
 
 
+def test_orc_roundtrip(spark, tmp_path):
+    """S7 format breadth: ORC is a first-class columnar source/sink in
+    Spark (predicate pushdown + column pruning like parquet) — a user
+    switching an ORC-based lake onto this engine needs no extra code."""
+    path = str(tmp_path / "t.orc")
+    df = spark.createDataFrame([(1, "a", 1.5), (2, "b", 2.5)], ["id", "name", "v"])
+    df.write.orc(path)
+    back = spark.read.orc(path).where(F.col("id") > 1)
+    assert [(r.id, r.name, r.v) for r in back.collect()] == [(2, "b", 2.5)]
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert "ORC" in plan or "orc" in plan
+
+
 def test_compact_small_files(spark, tmp_path):
     """Compaction rewrites a many-file dir into few files with identical
     contents, atomically (the .old backup holds the previous layout)."""
