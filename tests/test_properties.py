@@ -234,3 +234,75 @@ def test_exact_group_percentiles_equals_naive_rank(spark, data, p, n_buckets):
         vals = sorted(v for gg, v in data if gg == g)
         want[g] = vals[math.ceil(p * len(vals)) - 1]
     assert got == want
+
+
+@given(
+    docs=st.lists(
+        st.tuples(
+            st.integers(0, 50),
+            st.lists(st.sampled_from(["aa bb", "cc dd", "ee ff", "gg hh", "ii jj"]), min_size=1, max_size=4),
+        ),
+        min_size=1,
+        max_size=12,
+        unique_by=lambda t: t[0],
+    ),
+    min_docs=st.integers(1, 4),
+)
+@_settings
+def test_boilerplate_stats_equals_naive(spark, docs, min_docs):
+    """boilerplate_sentence_stats equals a pure-Python recomputation for
+    any doc set: sentence df counted over DISTINCT docs, per-doc counts
+    over ALL (non-distinct) sentence occurrences."""
+    from etl_cascalog_spark.operators.text import boilerplate_sentence_stats
+
+    rows = [(i, ". ".join(sents)) for i, sents in docs]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.n_sent, r.n_boiler)
+        for r in boilerplate_sentence_stats(df, min_docs=min_docs).collect()
+    }
+    sent_docs: dict[str, set] = {}
+    for i, sents in docs:
+        for s in sents:
+            sent_docs.setdefault(s, set()).add(i)
+    want = {}
+    for i, sents in docs:
+        n = len(sents)
+        b = sum(1 for s in sents if len(sent_docs[s]) >= min_docs)
+        want[i] = (n, b)
+    assert got == want
+
+
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 10_000), st.dates(date(1995, 1, 1), date(1999, 1, 1))),
+        min_size=1,
+        max_size=15,
+        unique_by=lambda t: t[0],
+    ),
+    half_life=st.sampled_from([30.0, 365.0]),
+)
+@_settings
+def test_recency_sample_equals_naive(spark, rows, half_life):
+    """recency_weighted_sample keeps exactly the rows whose md5 coin falls
+    under the decayed rate — recomputed independently in Python."""
+    import hashlib
+
+    from etl_cascalog_spark.operators.sessions import recency_weighted_sample
+
+    as_of = date(1998, 8, 1)
+    df = spark.createDataFrame(rows, "id long, dt date")
+    kept = {
+        r.id
+        for r in recency_weighted_sample(
+            df, "id", "dt", as_of="1998-08-01", half_life_days=half_life
+        ).collect()
+    }
+    want = set()
+    for i, dt in rows:
+        age = max((as_of - dt).days, 0)
+        rate = max(0.05, 0.5 ** (age / half_life))
+        bucket = int(hashlib.md5(f"{i}r1".encode()).hexdigest()[:8], 16) % 1_000_000
+        if bucket < int(round(rate * 1_000_000)):
+            want.add(i)
+    assert kept == want
