@@ -717,3 +717,79 @@ def boilerplate_sentence_stats(
             F.round(F.col("n_boiler") / F.col("n_sent"), 4).alias("boiler_ratio"),
         )
     )
+
+
+def bpe_encode(
+    docs,
+    merges: list[tuple[str, str]],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    batch_hint: str | None = None,
+):
+    """Apply a trained BPE merge table to a corpus — the tokenizer-apply
+    step that follows :func:`vocab_top_tokens` (word seed) and the
+    ``bpe_merge_candidates`` merge-rule scan.
+
+    Standard greedy BPE: each whitespace word starts as its character
+    sequence; repeatedly merge the adjacent pair with the LOWEST merge
+    rank until no listed pair remains. ``merges`` is the ordered rule
+    list (rank = position), exactly what iterating the merge scan
+    produces.
+
+    Returns ``(id_col, n_tokens, tokens array<string>)``.
+
+    This is the one hot-path operator that is genuinely sequential per
+    word (each merge changes the neighbors of the next), so it is NOT
+    expressible as Column algebra: it runs as ``mapInPandas`` — Arrow
+    batches in/out, merge table shipped once per executor in the closure
+    (broadcast-variable semantics), zero shuffle, embarrassingly parallel
+    over rows. Same boundary discipline as the multimodal codecs, but
+    with the real algorithm inside (pure Python, no external tokenizer
+    dependency).
+    """
+    import pandas as pd  # noqa: F401 (signature requirement of mapInPandas)
+
+    from pyspark.sql import types as T
+
+    rank = {pair: i for i, pair in enumerate(merges)}
+
+    def encode_word(word: str) -> list[str]:
+        parts = list(word)
+        while len(parts) > 1:
+            best_i, best_r = -1, len(rank)
+            for i in range(len(parts) - 1):
+                r = rank.get((parts[i], parts[i + 1]), len(rank))
+                if r < best_r:
+                    best_i, best_r = i, r
+            if best_i < 0 or best_r >= len(rank):
+                break
+            parts[best_i : best_i + 2] = [parts[best_i] + parts[best_i + 1]]
+        return parts
+
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("n_tokens", T.LongType()),
+            T.StructField("tokens", T.ArrayType(T.StringType())),
+        ]
+    )
+
+    def run(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            toks = [
+                [t for w in str(txt).lower().split() for t in encode_word(w)]
+                if txt is not None
+                else []
+                for txt in pdf[text_col]
+            ]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].astype("int64"),
+                    "n_tokens": [len(t) for t in toks],
+                    "tokens": toks,
+                }
+            )
+
+    return docs.select(id_col, text_col).mapInPandas(run, schema=out_schema)

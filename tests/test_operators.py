@@ -1324,3 +1324,43 @@ def test_simhash_xxhash64_fast_path(spark):
             ).collect()
         }
         assert (1, 2) in found, hf
+
+
+def test_bpe_encode_greedy_merges(spark):
+    """BPE apply: lowest-rank adjacent pair merges first, repeatedly, per
+    word; unknown pairs never merge. Hand-computed example:
+    merges [(l,o),(lo,w),(e,r)] on 'lower low' →
+    'lower' → l o w e r → lo w e r → low e r → low er
+    'low'   → l o w → lo w → low
+    """
+    from etl_cascalog_spark.operators.text import bpe_encode
+
+    docs = spark.createDataFrame([(1, "lower low"), (2, None)], "doc_id long, text string")
+    merges = [("l", "o"), ("lo", "w"), ("e", "r")]
+    out = {r.doc_id: (r.n_tokens, r.tokens) for r in bpe_encode(docs, merges).collect()}
+    assert out[1] == (3, ["low", "er", "low"])
+    assert out[2] == (0, [])
+
+
+def test_bpe_encode_matches_token_counts(spark):
+    """With an empty merge table, BPE degenerates to characters: n_tokens
+    equals the total character count of the whitespace tokens — ties the
+    mapInPandas path to the Column-side token accounting."""
+    from etl_cascalog_spark.io import read_table
+    from etl_cascalog_spark.operators.text import bpe_encode, whitespace_tokens
+    from tests.conftest import SF_SMOKE
+
+    docs = read_table(spark, SF_SMOKE, "documents").limit(50)
+    got = {r.doc_id: r.n_tokens for r in bpe_encode(docs, []).collect()}
+    want = {
+        r.doc_id: r.n
+        for r in docs.select(
+            "doc_id",
+            F.aggregate(
+                F.transform(whitespace_tokens(F.col("text")), lambda w: F.length(w)),
+                F.lit(0),
+                lambda acc, x: acc + x,
+            ).alias("n"),
+        ).collect()
+    }
+    assert got == want
