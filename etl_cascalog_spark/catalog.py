@@ -4993,3 +4993,65 @@ def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("l_neighbor").isNotNull().cast("int")) / F.lit(float(k)), 4
         ).alias("recall_at_k"),
     )
+
+
+def _lsh_multiprobe_oracle_sql(k: int = 5) -> str:
+    """DuckDB oracle for ann_lsh_multiprobe_topk: literal hyperplanes, the
+    query side unnested over its 1+n_planes single-bit-flip probe codes."""
+    from etl_cascalog_spark.operators.similarity import hyperplanes
+
+    planes = hyperplanes(dim=64, n_planes=8, seed=7)
+    terms = []
+    for p_idx, plane in enumerate(planes):
+        arr = "[" + ",".join(repr(x) for x in plane) + "]"
+        d = (
+            f"list_sum(list_transform(list_zip(embedding, {arr}), "
+            "p -> CAST(p[1] AS DOUBLE) * p[2]))"
+        )
+        terms.append(f"(CASE WHEN {d} > 0 THEN {1 << p_idx} ELSE 0 END)")
+    code = " + ".join(terms)
+    masks = "[" + ", ".join(str(m) for m in [0] + [1 << b for b in range(8)]) + "]"
+    return f"""
+    WITH b AS (
+      SELECT vec_id, embedding, CAST({code} AS BIGINT) AS code FROM embeddings
+    ), q AS (
+      SELECT vec_id AS query_id, embedding AS qv,
+             xor(code, m) AS bucket
+      FROM b, unnest({masks}) AS t(m)
+      WHERE vec_id % 50 = 0
+    ), c AS (
+      SELECT vec_id AS neighbor_id, embedding AS cv, code AS bucket FROM b
+    ), scored AS (
+      SELECT query_id, neighbor_id,
+             list_sum(list_transform(list_zip(qv, cv),
+                                     p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+             / (sqrt(list_sum(list_transform(qv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+              * sqrt(list_sum(list_transform(cv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS cos
+      FROM c JOIN q USING (bucket)
+      WHERE query_id != neighbor_id
+    ), ranked AS (
+      SELECT query_id, neighbor_id, cos,
+             row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, round(cos, 4) AS cos_sim
+    FROM ranked WHERE rank <= {k}
+    """
+
+
+@register(
+    "ann_lsh_multiprobe_topk",
+    oracle=_lsh_multiprobe_oracle_sql(),
+    doc="Multi-probe LSH cosine top-k (beyond-reference): each query also "
+    "probes every Hamming-1 (one-bit-flip) bucket — the standard recall "
+    "dial that recovers neighbors split off by a single hyperplane "
+    "without adding planes or reshuffling the corpus (query side "
+    "explodes ×9 and broadcasts; corpus hashed once). Recall weakly "
+    "dominates single-probe on the same planes (contract-tested).",
+)
+def ann_lsh_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_cascalog_spark.operators.similarity import lsh_multiprobe_topk
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") % 50 == 0)
+    return lsh_multiprobe_topk(queries, emb, k=5, n_planes=8, dim=64, seed=7)

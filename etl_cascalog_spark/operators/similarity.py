@@ -585,3 +585,83 @@ def hard_negatives(
             F.round(F.col("cos"), 4).alias("cos_sim"),
         )
     )
+
+
+def lsh_multiprobe_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_planes: int = 8,
+    dim: int = 64,
+    seed: int = 7,
+    n_probe_bits: int | None = None,
+) -> DataFrame:
+    """Multi-probe LSH cosine top-k: each query probes its own bucket PLUS
+    every Hamming-1 neighbor bucket (one sign bit flipped) — the standard
+    recall dial for hyperplane LSH (a near neighbor on the far side of ONE
+    hyperplane is the dominant miss mode; probing the flipped bucket
+    recovers it without adding planes or tables).
+
+    ``n_probe_bits`` limits which bits may flip (default: all
+    ``n_planes``), giving 1+n_probe_bits probes per query. The query side
+    explodes (queries × probes rows — still tiny, still broadcast); the
+    corpus side is hashed ONCE and never duplicated, so the extra recall
+    costs only broadcast fan-in, not a corpus reshuffle. Candidates hit
+    via several probes are deduplicated by construction (a candidate's
+    single bucket matches exactly one probed code per query).
+
+    Output: (query_id, neighbor_id, rank, cos_sim) — same contract as
+    :func:`lsh_cosine_topk`; recall is strictly ≥ single-probe on the
+    same planes.
+    """
+    from etl_cascalog_spark.io import ensure_min_parallelism
+
+    corpus = ensure_min_parallelism(corpus, id_col)
+    planes = hyperplanes(dim, n_planes, seed)
+    bits = n_planes if n_probe_bits is None else min(n_probe_bits, n_planes)
+    base = lsh_bucket(F.col(vec_col), planes)
+    probes = F.array(
+        F.lit(0), *[F.lit(1 << b) for b in range(bits)]
+    )  # XOR masks: self + each single-bit flip
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        norm(F.col(vec_col)).alias("nq"),
+        base.alias("code"),
+    ).select(
+        "query_id",
+        "qv",
+        "nq",
+        F.explode(probes).alias("__mask"),
+        F.col("code"),
+    ).select(
+        "query_id",
+        "qv",
+        "nq",
+        F.col("code").bitwiseXOR(F.col("__mask")).alias("bucket"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cv"),
+        norm(F.col(vec_col)).alias("ncv"),
+        base.alias("bucket"),
+    ).cache()
+    scored = (
+        c.join(F.broadcast(q), on="bucket")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            (dot(F.col("qv"), F.col("cv")) / (F.col("nq") * F.col("ncv"))).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id", "neighbor_id", "rank", F.round(F.col("cos"), 4).alias("cos_sim")
+        )
+    )

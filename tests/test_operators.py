@@ -1364,3 +1364,38 @@ def test_bpe_encode_matches_token_counts(spark):
         ).collect()
     }
     assert got == want
+
+
+def test_multiprobe_recall_dominates_single_probe(spark):
+    """Multi-probe candidates are a superset of single-probe candidates on
+    the same planes, so per-query recall vs brute-force ground truth is
+    weakly greater — the recall dial never costs recall."""
+    from etl_cascalog_spark.io import read_table
+    from etl_cascalog_spark.operators.similarity import (
+        cosine_topk,
+        lsh_cosine_topk,
+        lsh_multiprobe_topk,
+    )
+    from tests.conftest import SF_SMOKE
+
+    emb = read_table(spark, SF_SMOKE, "embeddings")
+    queries = emb.where(F.col("vec_id") % 50 == 0)
+    k = 5
+
+    def topk_sets(df):
+        out = {}
+        for r in df.collect():
+            out.setdefault(r.query_id, set()).add(r.neighbor_id)
+        return out
+
+    exact = topk_sets(cosine_topk(queries, emb, k=k))
+    single = topk_sets(lsh_cosine_topk(queries, emb, k=k))
+    multi = topk_sets(lsh_multiprobe_topk(queries, emb, k=k))
+    total_s = total_m = 0
+    for qid, truth in exact.items():
+        total_s += len(truth & single.get(qid, set()))
+        total_m += len(truth & multi.get(qid, set()))
+    assert total_m >= total_s
+    # and per query, every exact neighbor found single-probe stays found
+    for qid, truth in exact.items():
+        assert truth & single.get(qid, set()) <= multi.get(qid, set())
