@@ -1399,3 +1399,39 @@ def test_multiprobe_recall_dominates_single_probe(spark):
     # and per query, every exact neighbor found single-probe stays found
     for qid, truth in exact.items():
         assert truth & single.get(qid, set()) <= multi.get(qid, set())
+
+
+def test_flagship_plan_shapes(spark):
+    """Plan-shape regression guard on the scale-critical queries: star
+    joins must never SortMergeJoin (dims broadcast), selective scans must
+    push filters into parquet, and the z-order bucketing must stay a
+    single-Exchange aggregate. Uses the AQE-final executed plan, same
+    counting as tools/plan_audit.py."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tools"))
+    from plan_audit import audit_plan
+
+    from etl_cascalog_spark.catalog import QUERIES
+    from tests.conftest import SF_SMOKE
+
+    def final_audit(name):
+        df = QUERIES[name].build(spark, SF_SMOKE)
+        df.write.format("noop").mode("overwrite").save()
+        a = audit_plan(df._jdf.queryExecution().executedPlan().toString())
+        spark.catalog.clearCache()
+        return a
+
+    star = final_audit("star_join_revenue")
+    assert star["smj"] == 0 and star["bhj"] >= 3 and star["push"] == "yes"
+
+    pricing = final_audit("pricing_summary")
+    assert pricing["smj"] == 0 and pricing["push"] == "yes"
+    assert pricing["exch"] <= 1  # one grouped agg, nothing else
+
+    z = final_audit("zorder_layout_stats")
+    assert z["smj"] == 0 and z["bhj"] == 0 and z["exch"] <= 1
+
+    recall = final_audit("ann_recall_eval")
+    assert recall["smj"] == 0  # bounded top-k sides broadcast explicitly
