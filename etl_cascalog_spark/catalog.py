@@ -5055,3 +5055,66 @@ def ann_lsh_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = read_table(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") % 50 == 0)
     return lsh_multiprobe_topk(queries, emb, k=5, n_planes=8, dim=64, seed=7)
+
+
+def _pq_oracle_sql(k: int = 5, dim: int = 64, m: int = 8) -> str:
+    """DuckDB oracle for ann_pq_adc_topk: the seeded codebook is literal,
+    so corpus codes (first-match argmin via list_position(min)) and the
+    per-query ADC lookup tables reproduce exactly."""
+    from etl_cascalog_spark.operators.similarity import pq_centroids
+
+    codebook = pq_centroids()
+    d_sub = dim // m
+
+    def l2(sub_expr: str, cent: list[float]) -> str:
+        arr = "[" + ",".join(repr(x) for x in cent) + "]"
+        return (
+            f"list_sum(list_transform(list_zip({sub_expr}, {arr}), "
+            "p -> (CAST(p[1] AS DOUBLE) - p[2]) * (CAST(p[1] AS DOUBLE) - p[2])))"
+        )
+
+    code_cols, lut_cols = [], []
+    for j in range(m):
+        sub = f"list_slice(embedding, {j * d_sub + 1}, {j * d_sub + d_sub})"
+        dists = "[" + ", ".join(l2(sub, c) for c in codebook[j]) + "]"
+        code_cols.append(
+            f"CAST(list_position({dists}, list_min({dists})) - 1 AS INT) AS code_{j}"
+        )
+        lut_cols.append(f"{dists} AS lut_{j}")
+    adc = " + ".join(f"list_extract(lut_{j}, code_{j} + 1)" for j in range(m))
+    return f"""
+    WITH c AS (
+      SELECT vec_id AS neighbor_id, {", ".join(code_cols)} FROM embeddings
+    ), q AS (
+      SELECT vec_id AS query_id, {", ".join(lut_cols)}
+      FROM embeddings WHERE vec_id % 50 = 0
+    ), scored AS (
+      SELECT query_id, neighbor_id, {adc} AS adc
+      FROM c CROSS JOIN q WHERE query_id != neighbor_id
+    ), ranked AS (
+      SELECT query_id, neighbor_id, adc,
+             row_number() OVER (PARTITION BY query_id ORDER BY adc ASC, neighbor_id) AS rank
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, round(adc, 4) AS adc_dist
+    FROM ranked WHERE rank <= {k}
+    """
+
+
+@register(
+    "ann_pq_adc_topk",
+    oracle=_pq_oracle_sql(),
+    doc="Product-quantization ADC top-k (beyond-reference): corpus stored "
+    "as 8 one-byte codes per vector (vs 256 B float32 — the memory tier "
+    "that makes a 100 TB vector corpus servable), queries exact, "
+    "distance = sum of per-subspace LUT lookups. Corpus encodes "
+    "map-side with single struct-argmin folds; each query builds its "
+    "m×k_c LUT once; per candidate only m element_at + adds. Compose "
+    "with the IVF cell join for candidate pruning at scale.",
+)
+def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_cascalog_spark.operators.similarity import pq_adc_topk
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") % 50 == 0)
+    return pq_adc_topk(queries, emb, k=5)

@@ -665,3 +665,126 @@ def lsh_multiprobe_topk(
             "query_id", "neighbor_id", "rank", F.round(F.col("cos"), 4).alias("cos_sim")
         )
     )
+
+
+def pq_centroids(
+    dim: int = 64, m: int = 8, k_c: int = 4, seed: int = 13
+) -> list[list[list[float]]]:
+    """Seeded product-quantization codebook: ``m`` subspaces of ``dim/m``
+    dims, ``k_c`` centroids each. Fixed literals (like :func:`hyperplanes`
+    / :func:`ivf_centroids`) so both engines and the oracle share the
+    exact codebook; a production codebook comes from k-means per subspace
+    (see :func:`train_ivf_centroids` for the pattern)."""
+    rng = random.Random(seed)
+    d_sub = dim // m
+    return [
+        [[rng.uniform(-1.0, 1.0) for _ in range(d_sub)] for _ in range(k_c)]
+        for _ in range(m)
+    ]
+
+
+def _sub(vec: Column, j: int, d_sub: int) -> Column:
+    return F.slice(vec, j * d_sub + 1, d_sub)
+
+
+def _l2(a: Column, lit_vec: list[float]) -> Column:
+    """Σ (aᵢ − cᵢ)² as a fixed-order double fold against a literal vector."""
+    return F.aggregate(
+        F.zip_with(
+            a,
+            F.array(*[F.lit(x) for x in lit_vec]),
+            lambda x, c: (x.cast("double") - c) * (x.cast("double") - c),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def pq_code(vec: Column, codebook: list[list[list[float]]], j: int) -> Column:
+    """Subspace-``j`` PQ code: argmin L2 to the subspace centroids (ties →
+    lower code). Same single array_min struct fold as :func:`ivf_cell` —
+    each centroid distance evaluates exactly once per row."""
+    d_sub = len(codebook[j][0])
+    arr = F.array(
+        *[
+            F.struct(
+                _l2(_sub(vec, j, d_sub), c).alias("d"), F.lit(ci).alias("c")
+            )
+            for ci, c in enumerate(codebook[j])
+        ]
+    )
+    return F.array_min(arr)["c"].cast("int")
+
+
+def pq_adc_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    dim: int = 64,
+    m: int = 8,
+    k_c: int = 4,
+    seed: int = 13,
+) -> DataFrame:
+    """Product-quantization top-k by Asymmetric Distance Computation: the
+    corpus is stored as ``m`` small integer codes (8 bytes/vector here vs
+    256 bytes of float32 — the memory story that lets a 100 TB vector
+    corpus fit an in-memory serving tier), queries stay exact, and the
+    approximate distance is the sum of per-subspace query→centroid
+    distances looked up by the candidate's codes.
+
+    Plan shape: corpus side encodes map-side (m struct-argmin folds, once
+    per vector — that projection is also exactly what a PQ index WRITE
+    would persist); the query side precomputes its m×k_c distance lookup
+    table ONCE PER QUERY ROW (the ADC trick — per candidate there are
+    only m ``element_at`` + adds, no vector math); join is a broadcast
+    cross of the tiny query side. Ascending distance, ties → lower id;
+    rank over query-partitioned window. In production compose with the
+    IVF cell join (:func:`ivf_cosine_topk`) to prune candidates before
+    ADC — shapes are identical.
+    """
+    from etl_cascalog_spark.io import ensure_min_parallelism
+
+    codebook = pq_centroids(dim, m, k_c, seed)
+    d_sub = dim // m
+    corpus = ensure_min_parallelism(corpus, id_col)
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        *[
+            pq_code(F.col(vec_col), codebook, j).alias(f"code_{j}")
+            for j in range(m)
+        ],
+    ).cache()
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        *[
+            F.array(
+                *[
+                    _l2(_sub(F.col(vec_col), j, d_sub), cent)
+                    for cent in codebook[j]
+                ]
+            ).alias(f"lut_{j}")
+            for j in range(m)
+        ],
+    )
+    dist = None
+    for j in range(m):
+        t = F.element_at(F.col(f"lut_{j}"), F.col(f"code_{j}") + 1)
+        dist = t if dist is None else dist + t
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", dist.alias("adc"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("adc").asc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "rank",
+            F.round(F.col("adc"), 4).alias("adc_dist"),
+        )
+    )

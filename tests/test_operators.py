@@ -1435,3 +1435,39 @@ def test_flagship_plan_shapes(spark):
 
     recall = final_audit("ann_recall_eval")
     assert recall["smj"] == 0  # bounded top-k sides broadcast explicitly
+
+
+def test_pq_adc_equals_reconstruction_l2(spark):
+    """ADC identity: the ADC distance for (query, candidate) is EXACTLY the
+    L2 distance between the query and the candidate's codebook
+    reconstruction — recomputed in Python from the literal codebook and
+    the candidate's argmin codes."""
+    from etl_cascalog_spark.io import read_table
+    from etl_cascalog_spark.operators.similarity import pq_adc_topk, pq_centroids
+    from tests.conftest import SF_SMOKE
+
+    emb = read_table(spark, SF_SMOKE, "embeddings")
+    queries = emb.where(F.col("vec_id") % 100 == 0)
+    got = {
+        (r.query_id, r.neighbor_id): r.adc_dist
+        for r in pq_adc_topk(queries, emb, k=3).collect()
+    }
+    vecs = {r.vec_id: list(r.embedding) for r in emb.collect()}
+    codebook = pq_centroids()
+    d_sub = 8
+
+    def reconstruct(v):
+        out = []
+        for j in range(8):
+            sub = v[j * d_sub : (j + 1) * d_sub]
+            dists = [
+                sum((float(a) - c) ** 2 for a, c in zip(sub, cent))
+                for cent in codebook[j]
+            ]
+            out.extend(codebook[j][dists.index(min(dists))])
+        return out
+
+    for (qid, nid), adc in got.items():
+        qv, rec = vecs[qid], reconstruct(vecs[nid])
+        want = sum((float(a) - b) ** 2 for a, b in zip(qv, rec))
+        assert abs(adc - round(want, 4)) <= 2e-4, (qid, nid)
