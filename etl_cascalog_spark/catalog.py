@@ -5118,3 +5118,81 @@ def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = read_table(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") % 50 == 0)
     return pq_adc_topk(queries, emb, k=5)
+
+
+def _ivfpq_oracle_sql(k: int = 5, dim: int = 64, m: int = 8) -> str:
+    """DuckDB oracle for ann_ivfpq_topk: IVF cell assignment (argmax over
+    literal centroids, as _ivf_oracle_sql) + PQ codes/LUTs (as
+    _pq_oracle_sql), joined on cell."""
+    import math
+
+    from etl_cascalog_spark.operators.similarity import ivf_centroids, pq_centroids
+
+    cents = ivf_centroids(dim=dim, n_cells=8, seed=11)
+    cos_terms = []
+    for cent in cents:
+        arr = "[" + ",".join(repr(x) for x in cent) + "]"
+        d = (
+            f"list_sum(list_transform(list_zip(embedding, {arr}), "
+            "p -> CAST(p[1] AS DOUBLE) * p[2]))"
+        )
+        nc = repr(math.sqrt(sum(x * x for x in cent)))
+        cos_terms.append(f"{d} / {nc}")
+    cs = "[" + ", ".join(cos_terms) + "]"
+    cell = f"CAST(list_position({cs}, list_max({cs})) - 1 AS INT)"
+
+    codebook = pq_centroids()
+    d_sub = dim // m
+
+    def l2(sub_expr: str, cent: list[float]) -> str:
+        arr = "[" + ",".join(repr(x) for x in cent) + "]"
+        return (
+            f"list_sum(list_transform(list_zip({sub_expr}, {arr}), "
+            "p -> (CAST(p[1] AS DOUBLE) - p[2]) * (CAST(p[1] AS DOUBLE) - p[2])))"
+        )
+
+    code_cols, lut_cols = [], []
+    for j in range(m):
+        sub = f"list_slice(embedding, {j * d_sub + 1}, {j * d_sub + d_sub})"
+        dists = "[" + ", ".join(l2(sub, c) for c in codebook[j]) + "]"
+        code_cols.append(
+            f"CAST(list_position({dists}, list_min({dists})) - 1 AS INT) AS code_{j}"
+        )
+        lut_cols.append(f"{dists} AS lut_{j}")
+    adc = " + ".join(f"list_extract(lut_{j}, code_{j} + 1)" for j in range(m))
+    return f"""
+    WITH c AS (
+      SELECT vec_id AS neighbor_id, {cell} AS cell, {", ".join(code_cols)}
+      FROM embeddings
+    ), q AS (
+      SELECT vec_id AS query_id, {cell} AS cell, {", ".join(lut_cols)}
+      FROM embeddings WHERE vec_id % 50 = 0
+    ), scored AS (
+      SELECT query_id, neighbor_id, {adc} AS adc
+      FROM c JOIN q USING (cell) WHERE query_id != neighbor_id
+    ), ranked AS (
+      SELECT query_id, neighbor_id, adc,
+             row_number() OVER (PARTITION BY query_id ORDER BY adc ASC, neighbor_id) AS rank
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, round(adc, 4) AS adc_dist
+    FROM ranked WHERE rank <= {k}
+    """
+
+
+@register(
+    "ann_ivfpq_topk",
+    oracle=_ivfpq_oracle_sql(),
+    doc="IVF+PQ — the production ANN index shape (FAISS IVFPQ) composed "
+    "from the oracle-checked halves: candidates pruned to the query's "
+    "IVF cell (equi-join, ~corpus/n_cells per query), scored by PQ "
+    "asymmetric distance so the joined candidate side carries 8 bytes "
+    "of codes through the shuffle, not the embedding. nprobe extends "
+    "recall exactly as in ann_ivf_nprobe_topk.",
+)
+def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_cascalog_spark.operators.similarity import ivfpq_topk
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") % 50 == 0)
+    return ivfpq_topk(queries, emb, k=5)

@@ -788,3 +788,77 @@ def pq_adc_topk(
             F.round(F.col("adc"), 4).alias("adc_dist"),
         )
     )
+
+
+def ivfpq_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    dim: int = 64,
+    n_cells: int = 8,
+    ivf_seed: int = 11,
+    m: int = 8,
+    k_c: int = 4,
+    pq_seed: int = 13,
+) -> DataFrame:
+    """IVF+PQ — the production ANN index shape (FAISS IVFPQ): candidates
+    are pruned to the query's IVF cell (equi-join, no cross join), then
+    scored by PQ asymmetric distance (8-byte codes, per-query LUT).
+
+    This is the composition where both halves earn their keep at 100 TB:
+    the IVF join bounds candidate volume to ~corpus/n_cells per query,
+    and ADC scoring reads codes, not vectors, so the joined candidate
+    side carries m bytes per row through the shuffle instead of the
+    embedding. Output (query_id, neighbor_id, rank, adc_dist); ascending
+    distance, ties → lower id. Extend recall exactly like
+    :func:`ivf_cosine_topk`'s nprobe (probe more cells) — shapes compose.
+    """
+    from etl_cascalog_spark.io import ensure_min_parallelism
+
+    cents = ivf_centroids(dim, n_cells, ivf_seed)
+    codebook = pq_centroids(dim, m, k_c, pq_seed)
+    d_sub = dim // m
+    corpus = ensure_min_parallelism(corpus, id_col)
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        ivf_cell(F.col(vec_col), cents).alias("cell"),
+        *[
+            pq_code(F.col(vec_col), codebook, j).alias(f"code_{j}")
+            for j in range(m)
+        ],
+    ).cache()
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        ivf_cell(F.col(vec_col), cents).alias("cell"),
+        *[
+            F.array(
+                *[
+                    _l2(_sub(F.col(vec_col), j, d_sub), cent)
+                    for cent in codebook[j]
+                ]
+            ).alias(f"lut_{j}")
+            for j in range(m)
+        ],
+    )
+    dist = None
+    for j in range(m):
+        t = F.element_at(F.col(f"lut_{j}"), F.col(f"code_{j}") + 1)
+        dist = t if dist is None else dist + t
+    scored = (
+        c.join(F.broadcast(q), on="cell")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", dist.alias("adc"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("adc").asc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "rank",
+            F.round(F.col("adc"), 4).alias("adc_dist"),
+        )
+    )
