@@ -5196,3 +5196,39 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = read_table(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") % 50 == 0)
     return ivfpq_topk(queries, emb, k=5)
+
+
+@register(
+    "backfill_plan_months",
+    oracle="""
+    WITH expected AS (
+      SELECT last_day(CAST(unnest(generate_series(DATE '1992-01-01', DATE '1998-08-01',
+                                                  INTERVAL 1 MONTH)) AS DATE)) AS spine_dt
+    ), present AS (
+      SELECT DISTINCT last_day(CAST(o_orderdate AS DATE)) AS spine_dt
+      FROM orders WHERE o_orderstatus = 'F'
+    )
+    SELECT e.spine_dt AS missing_month
+    FROM expected e LEFT JOIN present p USING (spine_dt)
+    WHERE p.spine_dt IS NULL
+    """,
+    doc="Backfill planning (beyond-reference ops shape): month partitions "
+    "the sink SHOULD have (spine) anti-joined against the partitions it "
+    "HAS — the gap list an incremental loader turns into ranged reloads "
+    "(I5/S9). The present-side probe is a distinct over the partition "
+    "column only (at a real lake: a metadata listing, no data scan); the "
+    "spine broadcasts. Deliberately exercises months with zero 'F' rows.",
+)
+def backfill_plan_months(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_cascalog_spark.functions.dates import month_spine
+
+    spine = month_spine(spark, "1992-01-01", "1998-08-01")
+    present = (
+        read_table(spark, sf_dir, "orders")
+        .where(F.col("o_orderstatus") == "F")
+        .select(F.last_day(F.col("o_orderdate").cast("date")).alias("spine_dt"))
+        .distinct()
+    )
+    return spine.join(present, "spine_dt", "left_anti").select(
+        F.col("spine_dt").alias("missing_month")
+    )
