@@ -5232,3 +5232,68 @@ def backfill_plan_months(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spine.join(present, "spine_dt", "left_anti").select(
         F.col("spine_dt").alias("missing_month")
     )
+
+
+@register(
+    "trend_slope_by_nation",
+    oracle="""
+    WITH m AS (
+      SELECT n.n_name AS nation,
+             datediff('month', DATE '1992-01-01', CAST(o_orderdate AS DATE)) AS x,
+             CAST(o_totalprice AS DECIMAL(12,2)) AS y
+      FROM orders o
+      JOIN customer c ON o_custkey = c_custkey
+      JOIN nation n ON c_nationkey = n_nationkey
+    ), s AS (
+      SELECT nation,
+             count(*) AS n,
+             sum(CAST(x AS BIGINT)) AS sx,
+             sum(y) AS sy,
+             sum(CAST(x AS BIGINT) * CAST(x AS BIGINT)) AS sxx,
+             sum(CAST(x AS DECIMAL(18,2)) * y) AS sxy
+      FROM m GROUP BY nation
+    )
+    SELECT nation,
+           CAST(n AS BIGINT) AS n_orders,
+           round(CAST(n * sxy - sx * sy AS DOUBLE)
+                 / CAST(n * sxx - sx * sx AS DOUBLE), 6) AS slope_per_month
+    FROM s WHERE n * sxx - sx * sx <> 0
+    """,
+    doc="Per-group OLS trend slope (beyond-reference analytics): revenue "
+    "trend per nation via the closed form (nΣxy−ΣxΣy)/(nΣx²−(Σx)²) with "
+    "EXACT integer/decimal accumulators — double sums are partition-"
+    "order dependent, exact sums make the slope bit-stable at any "
+    "parallelism (one double divide at the end, rounded). One shuffle: "
+    "the nation groupBy; dims broadcast.",
+)
+def trend_slope_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = read_table(spark, sf_dir, "orders")
+    cust = read_table(spark, sf_dir, "customer")
+    nation = read_table(spark, sf_dir, "nation")
+    m = (
+        orders.join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .join(F.broadcast(nation), cust["c_nationkey"] == nation["n_nationkey"])
+        .select(
+            F.col("n_name").alias("nation"),
+            F.months_between(
+                F.trunc(F.col("o_orderdate").cast("date"), "month"), F.lit("1992-01-01")
+            )
+            .cast("long")
+            .alias("x"),
+            F.col("o_totalprice").cast("decimal(12,2)").alias("y"),
+        )
+    )
+    s = m.groupBy("nation").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x").cast("decimal(18,2)") * F.col("y")).alias("sxy"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    return s.where(den != 0).select(
+        "nation",
+        F.col("n").cast("long").alias("n_orders"),
+        F.round(num.cast("double") / den.cast("double"), 6).alias("slope_per_month"),
+    )
