@@ -5297,3 +5297,34 @@ def trend_slope_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("long").alias("n_orders"),
         F.round(num.cast("double") / den.cast("double"), 6).alias("slope_per_month"),
     )
+
+
+@register(
+    "weighted_sample_docs",
+    oracle="""
+    SELECT doc_id, n_chars,
+           round(pow(CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'w1'), 1, 12)
+                          AS BIGINT) AS DOUBLE) / 281474976710656.0,
+                     1.0 / CAST(n_chars AS DOUBLE)), 6) AS key_r
+    FROM documents
+    WHERE n_chars > 0
+    ORDER BY pow(CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'w1'), 1, 12)
+                      AS BIGINT) AS DOUBLE) / 281474976710656.0,
+                 1.0 / CAST(n_chars AS DOUBLE)) DESC, doc_id
+    LIMIT 100
+    """,
+    doc="Weighted sampling without replacement (Efraimidis-Spirakis A-ES, "
+    "beyond-reference): key = u^(1/w) with a deterministic md5 uniform, "
+    "top-100 by key = exact weighted sample (weight: n_chars — the "
+    "'downsample to a token budget, long docs preferred' primitive). "
+    "Map-side keys + TakeOrderedAndProject; no corpus shuffle.",
+)
+def weighted_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_cascalog_spark.operators.sessions import weighted_sample_topn
+
+    docs = read_table(spark, sf_dir, "documents")
+    return weighted_sample_topn(docs, "doc_id", F.col("n_chars"), n=100).select(
+        "doc_id",
+        "n_chars",
+        F.round(F.col("sample_key"), 6).alias("key_r"),
+    )

@@ -574,3 +574,43 @@ def recency_weighted_sample(
     return df.withColumn("keep_rate", F.round(rate, 6)).where(
         bucket < F.round(rate * buckets).cast("long")
     )
+
+
+def weighted_sample_topn(
+    df: DataFrame,
+    id_col: str,
+    weight: Column,
+    n: int,
+    salt: str = "w1",
+):
+    """Weighted sampling WITHOUT replacement (Efraimidis–Spirakis A-ES):
+    key = u^(1/w) with u a deterministic md5 uniform per row; the top-``n``
+    keys are an exact weighted sample — the primitive for "downsample this
+    corpus to a token budget, long/high-quality docs preferred".
+
+    Inclusion probabilities follow the weights exactly (the A-ES theorem);
+    determinism comes from the md5 coin (same discipline as
+    :func:`stratified_sample` — reruns and engines agree, ``salt``
+    versions the draw). Returns the sampled rows plus ``sample_key``.
+
+    100 TB posture: map-side key computation + ``TakeOrderedAndProject``
+    (per-partition top-n, driver merge of n rows) — no global sort, no
+    shuffle of the corpus. Weights ≤ 0 are excluded (A-ES domain).
+    """
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col(id_col).cast("string"), F.lit(salt))), 1, 12
+            ),
+            16,
+            10,
+        ).cast("double")
+        / F.lit(float(1 << 48))
+    )
+    key = F.pow(u, F.lit(1.0) / weight.cast("double"))
+    return (
+        df.where(weight > 0)
+        .withColumn("sample_key", key)
+        .orderBy(F.col("sample_key").desc(), F.col(id_col))
+        .limit(n)
+    )
