@@ -5202,7 +5202,7 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "backfill_plan_months",
     oracle="""
     WITH expected AS (
-      SELECT last_day(CAST(unnest(generate_series(DATE '1992-01-01', DATE '1998-08-01',
+      SELECT last_day(CAST(unnest(generate_series(DATE '1995-01-01', DATE '2001-08-01',
                                                   INTERVAL 1 MONTH)) AS DATE)) AS spine_dt
     ), present AS (
       SELECT DISTINCT last_day(CAST(o_orderdate AS DATE)) AS spine_dt
@@ -5222,7 +5222,7 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def backfill_plan_months(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_cascalog_spark.functions.dates import month_spine
 
-    spine = month_spine(spark, "1992-01-01", "1998-08-01")
+    spine = month_spine(spark, "1995-01-01", "2001-08-01")
     present = (
         read_table(spark, sf_dir, "orders")
         .where(F.col("o_orderstatus") == "F")
@@ -5327,4 +5327,80 @@ def weighted_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "n_chars",
         F.round(F.col("sample_key"), 6).alias("key_r"),
+    )
+
+
+@register(
+    "drift_binned_ks",
+    oracle="""
+    WITH b AS (
+      SELECT CASE WHEN o_orderdate < TIMESTAMP '1998-01-01 00:00:00' THEN 'ref' ELSE 'cur' END AS period,
+             least(CAST(floor(CAST(o_totalprice AS DOUBLE) / 6000.0) AS INT), 99) AS bin
+      FROM orders
+    ), counts AS (
+      SELECT bin,
+             sum(CASE WHEN period = 'ref' THEN 1 ELSE 0 END) AS n_ref,
+             sum(CASE WHEN period = 'cur' THEN 1 ELSE 0 END) AS n_cur
+      FROM b GROUP BY bin
+    ), cum AS (
+      SELECT bin,
+             sum(n_ref) OVER (ORDER BY bin) AS c_ref,
+             sum(n_cur) OVER (ORDER BY bin) AS c_cur,
+             sum(n_ref) OVER () AS t_ref,
+             sum(n_cur) OVER () AS t_cur
+      FROM counts
+    )
+    SELECT CAST(max(t_ref) AS BIGINT) AS n_ref,
+           CAST(max(t_cur) AS BIGINT) AS n_cur,
+           round(max(abs(CAST(c_ref AS DOUBLE) / t_ref - CAST(c_cur AS DOUBLE) / t_cur)), 6) AS ks_stat
+    FROM cum
+    """,
+    doc="Two-sample binned Kolmogorov-Smirnov drift check (beyond-"
+    "reference QA): order-price distribution before vs after 1998-01-01 "
+    "over 100 fixed-width bins — KS = max |binned-CDF delta|. Exact "
+    "integer bin counts (deterministic at any parallelism; the only "
+    "doubles are the final two divisions), one shuffle on the 100-bin "
+    "key, windows over 100 metadata-sized rows. The pipeline gate for "
+    "'did this snapshot's feature distribution move?'",
+)
+def drift_binned_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    orders = read_table(spark, sf_dir, "orders")
+    b = orders.select(
+        F.when(
+            F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"),
+            F.lit("ref"),
+        )
+        .otherwise(F.lit("cur"))
+        .alias("period"),
+        F.least(
+            F.floor(F.col("o_totalprice").cast("double") / F.lit(6000.0)).cast("int"),
+            F.lit(99),
+        ).alias("bin"),
+    )
+    counts = b.groupBy("bin").agg(
+        F.sum((F.col("period") == "ref").cast("int")).alias("n_ref"),
+        F.sum((F.col("period") == "cur").cast("int")).alias("n_cur"),
+    )
+    w_cum = W.orderBy("bin").rowsBetween(W.unboundedPreceding, W.currentRow)
+    w_all = W.orderBy("bin").rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    cum = counts.select(
+        F.sum("n_ref").over(w_cum).alias("c_ref"),
+        F.sum("n_cur").over(w_cum).alias("c_cur"),
+        F.sum("n_ref").over(w_all).alias("t_ref"),
+        F.sum("n_cur").over(w_all).alias("t_cur"),
+    )
+    return cum.agg(
+        F.max("t_ref").cast("long").alias("n_ref"),
+        F.max("t_cur").cast("long").alias("n_cur"),
+        F.round(
+            F.max(
+                F.abs(
+                    F.col("c_ref").cast("double") / F.col("t_ref")
+                    - F.col("c_cur").cast("double") / F.col("t_cur")
+                )
+            ),
+            6,
+        ).alias("ks_stat"),
     )
