@@ -5404,3 +5404,45 @@ def drift_binned_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("ks_stat"),
     )
+
+
+@register(
+    "corpus_diversity",
+    oracle="""
+    WITH s AS (
+      SELECT source, count(*) AS n FROM documents GROUP BY source
+    ), t AS (SELECT sum(n) AS total, count(*) AS k FROM s)
+    SELECT CAST(t.k AS BIGINT) AS n_sources,
+           CAST(t.total AS BIGINT) AS n_docs,
+           round(-sum((CAST(n AS DOUBLE)/total) * ln(CAST(n AS DOUBLE)/total)), 6)
+             AS entropy_nats,
+           round(sum(pow(CAST(n AS DOUBLE)/total, 2)), 6) AS hhi
+    FROM s, t
+    GROUP BY t.k, t.total
+    """,
+    doc="Corpus mixing health (beyond-reference QA): Shannon entropy and "
+    "Herfindahl concentration of the source distribution — the dashboard "
+    "numbers behind 'is this mix diverse enough / dominated by one "
+    "crawl?'. One source-keyed count agg (map-side combined), scalar "
+    "totals broadcast back, Σ over #sources rows — metadata-sized after "
+    "the first agg.",
+)
+def corpus_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    s = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    t = s.agg(F.sum("n").alias("total"), F.count(F.lit(1)).alias("k"))
+    p = F.col("n").cast("double") / F.col("total")
+    return (
+        s.crossJoin(F.broadcast(t))
+        .groupBy("k", "total")
+        .agg(
+            F.round(-F.sum(p * F.log(p)), 6).alias("entropy_nats"),
+            F.round(F.sum(F.pow(p, F.lit(2.0))), 6).alias("hhi"),
+        )
+        .select(
+            F.col("k").cast("long").alias("n_sources"),
+            F.col("total").cast("long").alias("n_docs"),
+            "entropy_nats",
+            "hhi",
+        )
+    )
