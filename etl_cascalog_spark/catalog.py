@@ -5446,3 +5446,92 @@ def corpus_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
             "hhi",
         )
     )
+
+
+@register(
+    "pivot_counts_matrix",
+    oracle="""
+    SELECT source,
+           sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS en,
+           sum(CASE WHEN lang = 'zh' THEN 1 ELSE 0 END) AS zh,
+           sum(CASE WHEN lang = 'fr' THEN 1 ELSE 0 END) AS fr,
+           sum(CASE WHEN lang NOT IN ('en','zh','fr') THEN 1 ELSE 0 END) AS other
+    FROM documents
+    GROUP BY source
+    """,
+    doc="Native wide pivot (A4's columnar twin): source x language count "
+    "matrix via groupBy().pivot() with an EXPLICIT value list — the "
+    "explicit list keeps the plan single-pass (no values-discovery scan) "
+    "and schema-stable at any data, which is the 100 TB discipline for "
+    "pivot. One shuffle, map-side partial counts per (source, lang).",
+)
+def pivot_counts_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    tagged = docs.withColumn(
+        "lang_bucket",
+        F.when(F.col("lang").isin("en", "zh", "fr"), F.col("lang")).otherwise(
+            F.lit("other")
+        ),
+    )
+    out = (
+        tagged.groupBy("source")
+        .pivot("lang_bucket", ["en", "zh", "fr", "other"])
+        .agg(F.count(F.lit(1)))
+    )
+    return out.select(
+        "source",
+        *[F.coalesce(F.col(c), F.lit(0)).cast("long").alias(c) for c in ("en", "zh", "fr", "other")],
+    )
+
+
+@register(
+    "corr_qty_price_by_flag",
+    oracle="""
+    WITH m AS (
+      SELECT l_returnflag AS flag,
+             CAST(l_quantity AS DECIMAL(12,2)) AS x,
+             CAST(l_extendedprice AS DECIMAL(12,2)) AS y
+      FROM lineitem
+    ), s AS (
+      SELECT flag, count(*) AS n,
+             sum(x) AS sx, sum(y) AS sy,
+             sum(x * x) AS sxx, sum(y * y) AS syy,
+             sum(x * CAST(y AS DECIMAL(18,2))) AS sxy
+      FROM m GROUP BY flag
+    )
+    SELECT flag, CAST(n AS BIGINT) AS n_rows,
+           round(CAST(n * sxy - sx * sy AS DOUBLE)
+                 / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                        * CAST(n * syy - sy * sy AS DOUBLE)), 6) AS corr_qty_price
+    FROM s
+    WHERE (n * sxx - sx * sx) > 0 AND (n * syy - sy * sy) > 0
+    """,
+    doc="Pearson correlation per group with EXACT decimal accumulators "
+    "(trend_slope_by_nation's sibling): all five sums are exact decimal/"
+    "integer — bit-stable at any parallelism — with one sqrt+divide in "
+    "double at the end. One flag-keyed shuffle with map-side partials.",
+)
+def corr_qty_price_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("flag"),
+        F.col("l_quantity").cast("decimal(12,2)").alias("x"),
+        F.col("l_extendedprice").cast("decimal(12,2)").alias("y"),
+    )
+    s = li.groupBy("flag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y").cast("decimal(18,2)")).alias("sxy"),
+    )
+    vx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    vy = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    return s.where((vx > 0) & (vy > 0)).select(
+        "flag",
+        F.col("n").cast("long").alias("n_rows"),
+        F.round(
+            num.cast("double") / F.sqrt(vx.cast("double") * vy.cast("double")), 6
+        ).alias("corr_qty_price"),
+    )
