@@ -5535,3 +5535,50 @@ def corr_qty_price_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
             num.cast("double") / F.sqrt(vx.cast("double") * vy.cast("double")), 6
         ).alias("corr_qty_price"),
     )
+
+
+@register(
+    "dedup_cluster_sizes",
+    oracle=f"""
+    WITH RECURSIVE {_SHINGLE_CTE},
+    e AS (
+      SELECT doc_a AS s, doc_b AS t FROM jpairs
+      UNION
+      SELECT doc_b, doc_a FROM jpairs
+    ),
+    reach(s, t) AS (
+      SELECT s, t FROM e
+      UNION
+      SELECT r.s, e2.t FROM reach r JOIN e e2 ON r.t = e2.s
+    ),
+    labels AS (
+      SELECT s AS doc_id, least(s, min(t)) AS cluster_id FROM reach GROUP BY s
+    ),
+    csize AS (SELECT cluster_id, count(*) AS sz FROM labels GROUP BY cluster_id)
+    SELECT CAST(sz AS BIGINT) AS cluster_size,
+           CAST(count(*) AS BIGINT) AS n_clusters,
+           CAST(sum(sz - 1) AS BIGINT) AS docs_removable
+    FROM csize GROUP BY sz
+    """,
+    doc="Dedup observability (beyond-reference): the cluster-size "
+    "histogram over the connected-component clusters, plus docs_removable "
+    "(size-1 per cluster) — the number a dedup run reports as its "
+    "reduction. Component labels from the iterative min-propagation; "
+    "histogram is two metadata-sized aggs on top. A huge max "
+    "cluster_size here is the 'boilerplate black hole' alarm that says "
+    "raise minhash bands or cap buckets.",
+)
+def dedup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_cascalog_spark.operators.dedup import (
+        connected_components,
+        minhash_lsh_pairs,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs, "doc_id", "text")
+    labels = connected_components(pairs)
+    csize = labels.groupBy("label").agg(F.count(F.lit(1)).alias("sz"))
+    return csize.groupBy("sz").agg(
+        F.count(F.lit(1)).cast("long").alias("n_clusters"),
+        F.sum(F.col("sz") - 1).cast("long").alias("docs_removable"),
+    ).select(F.col("sz").cast("long").alias("cluster_size"), "n_clusters", "docs_removable")
