@@ -862,3 +862,68 @@ def ivfpq_topk(
             F.round(F.col("adc"), 4).alias("adc_dist"),
         )
     )
+
+
+def hard_negatives_lsh(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    k: int = 3,
+    anchor_filter: Column | None = None,
+    dim: int = 64,
+    n_planes: int = 8,
+    seed: int = 7,
+) -> DataFrame:
+    """Corpus-scale hard-negative mining: the bucketed sibling of
+    :func:`hard_negatives` — candidates come from the anchor's hyperplane
+    bucket only, so the shuffle is a bucket equi-join, not a broadcast
+    cross of all anchors. Mining tolerates the bucket approximation by
+    design (any sufficiently-hard different-label negative carries the
+    contrastive gradient; the single hardest one is not required).
+
+    Same output contract: (anchor_id, negative_id, rank, cos_sim)."""
+    from etl_cascalog_spark.io import ensure_min_parallelism
+
+    planes = hyperplanes(dim, n_planes, seed)
+    anchors = emb if anchor_filter is None else emb.where(anchor_filter)
+    a = anchors.select(
+        F.col(id_col).alias("anchor_id"),
+        F.col(vec_col).alias("av"),
+        norm(F.col(vec_col)).alias("na"),
+        F.col(label_col).alias("a_label"),
+        lsh_bucket(F.col(vec_col), planes).alias("bucket"),
+    )
+    c = (
+        ensure_min_parallelism(emb, id_col)
+        .select(
+            F.col(id_col).alias("negative_id"),
+            F.col(vec_col).alias("cv"),
+            norm(F.col(vec_col)).alias("nc"),
+            F.col(label_col).alias("c_label"),
+            lsh_bucket(F.col(vec_col), planes).alias("bucket"),
+        )
+        .cache()
+    )
+    scored = (
+        c.join(F.broadcast(a), on="bucket")
+        .where(F.col("a_label") != F.col("c_label"))
+        .select(
+            "anchor_id",
+            "negative_id",
+            (dot(F.col("av"), F.col("cv")) / (F.col("na") * F.col("nc"))).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("anchor_id").orderBy(
+        F.col("cos").desc(), F.col("negative_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            "anchor_id",
+            "negative_id",
+            "rank",
+            F.round(F.col("cos"), 4).alias("cos_sim"),
+        )
+    )

@@ -1471,3 +1471,43 @@ def test_pq_adc_equals_reconstruction_l2(spark):
         qv, rec = vecs[qid], reconstruct(vecs[nid])
         want = sum((float(a) - b) ** 2 for a, b in zip(qv, rec))
         assert abs(adc - round(want, 4)) <= 2e-4, (qid, nid)
+
+
+def test_hard_negatives_lsh_subset_of_bucket(spark):
+    """The bucketed hard-negative miner returns different-label negatives
+    from the anchor's bucket, and whenever the brute-force hardest
+    negative shares the anchor's bucket, the bucketed miner finds the
+    same rank-1 negative."""
+    from etl_cascalog_spark.io import read_table
+    from etl_cascalog_spark.operators.similarity import (
+        hard_negatives,
+        hard_negatives_lsh,
+        hyperplanes,
+        lsh_bucket,
+    )
+    from tests.conftest import SF_SMOKE
+
+    emb = read_table(spark, SF_SMOKE, "embeddings")
+    flt = F.col("vec_id") % 50 == 0
+    brute = {
+        r.anchor_id: r.negative_id
+        for r in hard_negatives(emb, anchor_filter=flt, k=1).collect()
+    }
+    lsh = {
+        r.anchor_id: r.negative_id
+        for r in hard_negatives_lsh(emb, anchor_filter=flt, k=1).collect()
+    }
+    buckets = {
+        r.vec_id: r.b
+        for r in emb.select(
+            "vec_id", lsh_bucket(F.col("embedding"), hyperplanes(64, 8, 7)).alias("b")
+        ).collect()
+    }
+    labels = {r.vec_id: r.label for r in emb.select("vec_id", "label").collect()}
+    assert lsh, "bucketed miner should find negatives"
+    for aid, nid in lsh.items():
+        assert labels[aid] != labels[nid]
+        assert buckets[aid] == buckets[nid]
+    for aid, nid in brute.items():
+        if buckets.get(aid) == buckets.get(nid) and aid in lsh:
+            assert lsh[aid] == nid, aid
