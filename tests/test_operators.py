@@ -1511,3 +1511,24 @@ def test_hard_negatives_lsh_subset_of_bucket(spark):
     for aid, nid in brute.items():
         if buckets.get(aid) == buckets.get(nid) and aid in lsh:
             assert lsh[aid] == nid, aid
+
+
+def test_cli_list_oracle_and_explain(spark, capsys):
+    """python -m etl_cascalog_spark: list covers the whole catalog, oracle
+    prints the registered SQL, and explain emits the AQE-final formatted
+    plan (reuses the session fixture via getOrCreate)."""
+    from etl_cascalog_spark.__main__ import main
+    from etl_cascalog_spark.catalog import QUERIES
+
+    assert main(["list"]) == 0
+    out = capsys.readouterr().out
+    for name in QUERIES:
+        assert name in out
+
+    assert main(["oracle", "pricing_summary"]) == 0
+    assert "l_returnflag" in capsys.readouterr().out
+
+    assert main(["explain", "top_k_limit", "--sf", "/root/testdata/sf0.001"]) == 0
+    plan = capsys.readouterr().out
+    assert "TakeOrderedAndProject" in plan
+    assert main(["oracle", "nope"]) == 2
