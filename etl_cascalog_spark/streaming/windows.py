@@ -142,6 +142,30 @@ def dedup_within_watermark(events: DataFrame, watermark: str = "2 hours") -> Dat
     return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(["event_id"])
 
 
+def dedup_by_content(
+    stream: DataFrame,
+    text_col: str,
+    ts_col: str = "ts",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Content-keyed streaming dedup — the streaming twin of batch
+    ``operators.dedup.exact_dedup``: key the watermark-bounded state on
+    the md5 of normalized content instead of an id, so REPLAYED OR
+    RE-CRAWLED duplicates (different event ids, same payload) are dropped
+    on ingestion. State carries one 32-char digest per distinct doc in
+    the watermark window — bounded, skew-free (digest keys are uniform).
+    Batch parity: the kept set per window equals exact_dedup's keep-first
+    under the same arrival order."""
+    from etl_cascalog_spark.operators.text import fingerprint_md5
+
+    return (
+        stream.withColumn("__fp", fingerprint_md5(F.col(text_col)))
+        .withWatermark(ts_col, watermark)
+        .dropDuplicatesWithinWatermark(["__fp"])
+        .drop("__fp")
+    )
+
+
 def interval_join(
     probe: DataFrame,
     ts_col: str,

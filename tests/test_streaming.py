@@ -318,3 +318,30 @@ def test_dynamic_gap_sessions_match_batch(spark):
     )
     want = {(r.user_id, r.session_start): r.n_events for r in batch.collect()}
     assert got == want and len(got) > 0
+
+
+def test_streaming_content_dedup(spark):
+    """Content-keyed streaming dedup: events with duplicated props payloads
+    collapse to one survivor per distinct content, matching the batch
+    distinct over the same fingerprint."""
+    from etl_cascalog_spark.io import read_table
+    from etl_cascalog_spark.operators.text import fingerprint_md5
+    from etl_cascalog_spark.streaming.windows import (
+        dedup_by_content,
+        run_to_memory,
+        stream_events,
+    )
+
+    deduped = run_to_memory(
+        dedup_by_content(stream_events(spark, SF_SMOKE), "props").select("event_id"),
+        "t_content_dedup",
+        "append",
+    )
+    got = len(deduped.collect())
+    want = (
+        read_table(spark, SF_SMOKE, "events")
+        .select(fingerprint_md5(F.col("props")).alias("fp"))
+        .distinct()
+        .count()
+    )
+    assert got == want > 0
