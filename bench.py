@@ -21,7 +21,7 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent))
 
-from etl_cascalog_spark.session import get_spark  # noqa: E402
+from etl_cascalog_spark.session import get_spark, release_all_blocks  # noqa: E402
 from etl_cascalog_spark.catalog import QUERIES  # noqa: E402
 
 
@@ -51,22 +51,31 @@ def main() -> None:
         timings[name] = round(time.perf_counter() - t0, 3)
         print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
         # queries are independent jobs (the reference ran each report in its
-        # own JVM): drop caches so one query's persisted frames don't skew
-        # the next query's storage/GC behavior
-        spark.catalog.clearCache()
+        # own JVM): drop ALL storage — SQL caches AND localCheckpoint blocks
+        # from iterative operators. clearCache() alone leaks the latter;
+        # across a 118-query sweep the leaked blocks forced a deterministic
+        # major-GC stall on whichever query hit the heap ceiling (observed as
+        # sql_api_query 1.6s isolated → 14s in-suite in round 2).
+        release_all_blocks(spark)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "catalog_total_wall",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf),
-            }
-        )
+    line = json.dumps(
+        {
+            "metric": "catalog_total_wall",
+            "value": total,
+            "unit": "sec",
+            "queries": timings,
+            "sf": float(sf),
+        }
     )
+    # the driver parses stdout (and truncated it in round 2): emit exactly
+    # one JSON line there, AND persist the same JSON to a file so the
+    # artifact survives any pipe truncation
+    Path(__file__).resolve().parent.joinpath("BENCH_local.json").write_text(
+        line + "\n"
+    )
+    sys.stdout.write(line + "\n")
+    sys.stdout.flush()
     spark.stop()
 
 

@@ -62,8 +62,13 @@ def main(argv: list[str] | None = None) -> int:
     else:
         df.write.format("noop").mode("overwrite").save()
         df.explain("formatted")
-    # no spark.stop(): getOrCreate may have handed us a caller's session
-    # (tests, notebooks); CLI processes tear the JVM down on exit anyway
+    # results are consumed: free caches AND localCheckpoint blocks in case
+    # getOrCreate handed us a long-lived caller session (tests, notebooks);
+    # no spark.stop() for the same reason — CLI processes tear the JVM
+    # down on exit anyway
+    from etl_cascalog_spark.session import release_all_blocks
+
+    release_all_blocks(spark)
     return 0
 
 

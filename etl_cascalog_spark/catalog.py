@@ -2790,6 +2790,53 @@ def multimodal_payload_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "image_decode_stats",
+    oracle="""
+    WITH p AS (
+      SELECT doc_id,
+             (doc_id * 37) % 256 AS r, (doc_id * 59) % 256 AS g,
+             (doc_id * 83) % 256 AS b,
+             1 + doc_id % 16 AS w, 1 + doc_id % 8 AS h
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+           CAST(255 AS INTEGER) AS max_val,
+           round((0.299 * r + 0.587 * g + 0.114 * b) / 255.0, 6) AS mean_luma
+    FROM p
+    """,
+    doc="EXECUTABLE image decode end-to-end (beyond-reference; closes the "
+    "round-2 decode stub): deterministic solid-color PPM(P6) payloads are "
+    "rendered per document (encode_ppm, mapInPandas), then decode_image "
+    "parses header+raster with numpy and emits Rec.601 mean luma — the "
+    "oracle recomputes every stat analytically from doc_id, so the whole "
+    "binary encode→decode path is value-checked, not just schema-checked. "
+    "Two Arrow map stages, zero shuffle, payload bytes never leave the "
+    "executor.",
+)
+def image_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_cascalog_spark.operators.multimodal import decode_image, encode_ppm
+
+    params = read_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        ((F.col("doc_id") * 37) % 256).cast("int").alias("r"),
+        ((F.col("doc_id") * 59) % 256).cast("int").alias("g"),
+        ((F.col("doc_id") * 83) % 256).cast("int").alias("b"),
+        (1 + F.col("doc_id") % 16).cast("int").alias("w"),
+        (1 + F.col("doc_id") % 8).cast("int").alias("h"),
+    )
+    imgs = encode_ppm(params, "doc_id", "r", "g", "b", "w", "h")
+    decoded = decode_image(imgs, "doc_id", "payload")
+    return decoded.select(
+        "doc_id",
+        "width",
+        "height",
+        "max_val",
+        F.round("mean_luma", 6).alias("mean_luma"),
+    )
+
+
+@register(
     "top_n_per_group",
     oracle="""
     SELECT * FROM (
@@ -4844,11 +4891,11 @@ def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT 'o_orderkey' AS "column", count(*) AS n_rows, count(o_orderkey) AS n_non_null,
            count(DISTINCT o_orderkey) AS n_distinct,
-           min(CAST(o_orderkey AS VARCHAR)) AS min_val, max(CAST(o_orderkey AS VARCHAR)) AS max_val
+           CAST(min(o_orderkey) AS VARCHAR) AS min_val, CAST(max(o_orderkey) AS VARCHAR) AS max_val
     FROM orders
     UNION ALL
     SELECT 'o_custkey', count(*), count(o_custkey), count(DISTINCT o_custkey),
-           min(CAST(o_custkey AS VARCHAR)), max(CAST(o_custkey AS VARCHAR))
+           CAST(min(o_custkey) AS VARCHAR), CAST(max(o_custkey) AS VARCHAR)
     FROM orders
     UNION ALL
     SELECT 'o_orderstatus', count(*), count(o_orderstatus), count(DISTINCT o_orderstatus),
@@ -4860,7 +4907,9 @@ def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM orders
     """,
     doc="ANALYZE-style exact column profile (beyond-reference): rows / "
-    "non-null / exact NDV / min / max per column in one logical pass "
+    "non-null / exact NDV / type-native min / max per column (numeric "
+    "columns keep numeric ordering; stringified only at the edge) in one "
+    "logical pass "
     "(Spark: single scan + Expand for the multi-distinct; the oracle "
     "states it as per-column UNION ALL). The broadcast-sizing audit "
     "tool; the 100 TB profiling pass is approx_distinct_profile (HLL++, "
@@ -5455,7 +5504,8 @@ def corpus_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
            sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS en,
            sum(CASE WHEN lang = 'zh' THEN 1 ELSE 0 END) AS zh,
            sum(CASE WHEN lang = 'fr' THEN 1 ELSE 0 END) AS fr,
-           sum(CASE WHEN lang NOT IN ('en','zh','fr') THEN 1 ELSE 0 END) AS other
+           sum(CASE WHEN lang IS NULL OR lang NOT IN ('en','zh','fr')
+                    THEN 1 ELSE 0 END) AS other
     FROM documents
     GROUP BY source
     """,

@@ -482,29 +482,46 @@ def connected_components(
     components/heavy skew, the published large-star/small-star algorithm
     (Kiveris et al., "Connected Components in MapReduce") halves rounds —
     unnecessary for near-dup graphs, noted for parity.
+
+    Block lifecycle: round ``N-1``'s checkpoint blocks are unpersisted as
+    soon as round ``N`` is materialized and the convergence probe has run,
+    so the build holds at most edges + two rounds of labels — NOT one
+    leaked checkpoint per round (``clearCache`` cannot free these, and the
+    leak is what stalled unrelated queries later in a long session). Only
+    the returned frame's own checkpoint stays alive; callers release it
+    via :func:`etl_cascalog_spark.session.release_all_blocks` once
+    consumed.
     """
+    from etl_cascalog_spark.session import persistent_rdd_ids, unpersist_rdd_ids
+
+    spark = pairs.sparkSession
+    before = persistent_rdd_ids(spark)
     edges = pairs.select(F.col(id_a).alias("s"), F.col(id_b).alias("t"))
     edges = (
         edges.unionByName(edges.select(F.col("t").alias("s"), F.col("s").alias("t")))
         .distinct()
         .localCheckpoint(eager=True)
     )
+    edge_ids = persistent_rdd_ids(spark) - before
     labels = (
         edges.select(F.col("s").alias("node"))
         .distinct()
         .withColumn("label", F.col("node"))
         .localCheckpoint(eager=True)
     )
+    label_ids = persistent_rdd_ids(spark) - before - edge_ids
     for _ in range(max_iter):
         msgs = edges.join(
             labels.withColumnRenamed("node", "s"), on="s"
         ).select(F.col("t").alias("node"), "label")
+        seen = persistent_rdd_ids(spark)
         new_labels = (
             labels.unionByName(msgs)
             .groupBy("node")
             .agg(F.min("label").alias("label"))
             .localCheckpoint(eager=True)
         )
+        new_ids = persistent_rdd_ids(spark) - seen
         changed = (
             new_labels.join(
                 labels.withColumnRenamed("label", "__old"), on="node"
@@ -513,9 +530,11 @@ def connected_components(
             .limit(1)
             .count()
         )
-        labels = new_labels
+        unpersist_rdd_ids(spark, label_ids)  # retire round N-1's blocks
+        labels, label_ids = new_labels, new_ids
         if changed == 0:
             break
+    unpersist_rdd_ids(spark, edge_ids)  # result lineage is truncated: safe
     return labels
 
 

@@ -19,11 +19,27 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
-def zvalue(x: Column, y: Column, bits: int = 16) -> Column:
+def zvalue(x: Column, y: Column, bits: int = 16, strict: bool = True) -> Column:
     """Morton code of two non-negative ints: bit i of ``x`` lands at 2i,
     bit i of ``y`` at 2i+1. Unrolled shift/and/multiply chain — identical
     arithmetic is expressible in any SQL dialect (see :func:`zvalue_sql`),
-    which keeps the operator oracle-checkable bit-for-bit."""
+    which keeps the operator oracle-checkable bit-for-bit.
+
+    Domain contract: both keys must lie in ``[0, 2**bits)`` — the default
+    16 bits covers keys up to 65535 (o_custkey outgrows that around
+    sf0.5). Bits above ``bits`` are NOT interleaved, and silently
+    truncating them would alias distinct high keys into one Morton code,
+    quietly destroying the "tight spans on BOTH dimensions" clustering
+    property at exactly the scale the layout is for. ``strict=True``
+    (default) therefore raises at run time on out-of-domain keys instead
+    of truncating; size ``bits`` to the real column domain (≤ 31 per
+    dimension so the interleaved key fits a signed long).
+    """
+    if not (1 <= bits <= 31):
+        raise ValueError(
+            f"zvalue: bits={bits} out of range — need 1..31 per dimension "
+            "so the interleaved Morton key fits a signed 64-bit long"
+        )
     terms = []
     for i in range(bits):
         terms.append((F.shiftright(x, i).bitwiseAND(F.lit(1))) * F.lit(1 << (2 * i)))
@@ -33,6 +49,19 @@ def zvalue(x: Column, y: Column, bits: int = 16) -> Column:
     out = terms[0]
     for t in terms[1:]:
         out = out + t
+    if strict:
+        lim = F.lit(1 << bits)
+        ok = (x >= 0) & (x < lim) & (y >= 0) & (y < lim)
+        guard = F.assert_true(
+            ok,
+            f"zvalue: key outside [0, 2^{bits}) — distinct keys would alias "
+            "into one Morton code; raise `bits` to cover the column domain "
+            "(max 31 per dimension)",
+        )
+        # assert_true yields NULL on success and raises otherwise, so this
+        # `when` always takes the first branch — it exists only to force
+        # the guard's evaluation alongside the code
+        out = F.when(guard.isNull(), out)
     return out
 
 

@@ -2,15 +2,14 @@
 
 Beyond-reference surface (BASELINE.json north star). The design treats
 image/audio/video as **binary columns with a metadata struct** — the Spark
-side (schema, partition shape, Arrow batch plumbing) is fully real; the
-actual codec work (image decode, resample, frame extraction) is stubbed
-behind ``mapInPandas`` Pandas-UDF boundaries because the codec libraries
-(Pillow/ffmpeg/torchaudio) are not in this container. The stubs are either
-
-- clearly-marked ``NotImplementedError`` raises (``decode_image``), or
-- deterministic fakes (``fake_decode_features``) so the distributed
-  plumbing (batch iteration, schema mapping, partition preservation) is
-  testable end-to-end.
+side (schema, partition shape, Arrow batch plumbing) is fully real, and so
+is one codec: ``decode_image`` parses binary PPM (P6) — header, comments,
+raster — and computes Rec.601 pixel statistics with numpy, end-to-end
+executable with zero external dependencies (``encode_ppm`` is its
+generator twin). Formats that need real codec libraries
+(JPEG/PNG/ffmpeg/torchaudio — not in this container) raise a clear error
+at the same seam; ``fake_decode_features`` remains as the deterministic
+fake for plumbing tests that want arbitrary payload bytes.
 
 Scale: payload columns ride in parquet binary; metadata-only pipelines
 never touch the bytes (column pruning drops the payload at the scan).
@@ -60,23 +59,110 @@ def text_as_payload(col: Column) -> Column:
     return F.encode(col, "UTF-8")
 
 
-#: output schema of the (stubbed) image feature extractor
-IMAGE_FEATURES_SCHEMA = "doc_id long, width int, height int, mean_luma double"
+#: output schema of the image feature extractor
+IMAGE_FEATURES_SCHEMA = "doc_id long, width int, height int, max_val int, mean_luma double"
 
 
-def decode_image(df: DataFrame, payload_col: str) -> DataFrame:
-    """REAL-CODEC STUB: decode image bytes → (width, height, mean_luma).
+def encode_ppm(
+    df: DataFrame,
+    id_col: str,
+    r_col: str,
+    g_col: str,
+    b_col: str,
+    w_col: str,
+    h_col: str,
+) -> DataFrame:
+    """Render a binary PPM (P6) payload per row: header ``P6\\n{w} {h}\\n255\\n``
+    followed by ``w*h`` repetitions of the (r, g, b) byte triple. The
+    deterministic image generator for decode round-trips — same
+    ``mapInPandas`` Arrow boundary as a real renderer. Output:
+    ``(id_col, payload binary)``."""
+    id_dtype = dict(df.dtypes)[id_col]
+
+    def _render(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = [
+                b"P6\n%d %d\n255\n" % (w, h) + bytes((r, g, b)) * (w * h)
+                for r, g, b, w, h in zip(
+                    pdf[r_col], pdf[g_col], pdf[b_col], pdf[w_col], pdf[h_col]
+                )
+            ]
+            yield pd.DataFrame({id_col: pdf[id_col], "payload": payloads})
+
+    return df.mapInPandas(_render, schema=f"{id_col} {id_dtype}, payload binary")
+
+
+def _parse_ppm(b: bytes) -> tuple[int, int, int, "object"]:
+    """Parse binary PPM (P6): magic, then width/height/maxval tokens with
+    arbitrary whitespace and ``#`` comments, one whitespace byte, raster.
+    Returns (width, height, maxval, HxWx3 uint8 array)."""
+    import numpy as np
+
+    if not b.startswith(b"P6"):
+        raise ValueError(
+            "decode_image: unsupported image codec — only binary PPM (P6) "
+            "decodes dependency-free; for JPEG/PNG install Pillow and "
+            "extend _parse_ppm"
+        )
+    pos, vals = 2, []
+    while len(vals) < 3:
+        while pos < len(b) and b[pos : pos + 1].isspace():
+            pos += 1
+        if b[pos : pos + 1] == b"#":  # comment runs to end of line
+            while pos < len(b) and b[pos] != 0x0A:
+                pos += 1
+            continue
+        start = pos
+        while pos < len(b) and not b[pos : pos + 1].isspace():
+            pos += 1
+        vals.append(int(b[start:pos]))
+    pos += 1  # exactly one whitespace byte separates maxval from the raster
+    w, h, maxval = vals
+    need = w * h * 3
+    if len(b) - pos < need:
+        raise ValueError(f"decode_image: truncated raster ({len(b) - pos} < {need})")
+    raster = np.frombuffer(b, dtype=np.uint8, count=need, offset=pos).reshape(h, w, 3)
+    return w, h, maxval, raster
+
+
+def decode_image(df: DataFrame, id_col: str, payload_col: str) -> DataFrame:
+    """REAL decode: PPM (P6) bytes → (width, height, max_val, mean_luma).
+
+    ``mean_luma`` is the Rec.601 luma ``0.299 R + 0.587 G + 0.114 B``
+    averaged over all pixels, normalized by ``maxval`` — computed in
+    float64 over the numpy raster, one vectorized pass per image.
 
     The Spark plumbing (mapInPandas over Arrow batches, explicit output
-    schema) is the production shape; the codec itself requires Pillow,
-    which is not in this container.
+    schema, no shuffle) is the production shape for ANY codec; PPM is the
+    one format that needs zero dependencies, so this path is executable
+    end-to-end in this container. Non-PPM payloads raise with a clear
+    pointer at the Pillow extension seam rather than guessing.
     """
+    import numpy as np
 
     def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        raise NotImplementedError(
-            "image codec not available in this environment; "
-            "install Pillow and replace this body with Image.open(BytesIO(b))"
-        )
+        for pdf in batches:
+            ws, hs, mvs, lumas = [], [], [], []
+            for b in pdf[payload_col]:
+                w, h, maxval, raster = _parse_ppm(bytes(b))
+                lum = (
+                    0.299 * raster[:, :, 0].astype(np.float64)
+                    + 0.587 * raster[:, :, 1].astype(np.float64)
+                    + 0.114 * raster[:, :, 2].astype(np.float64)
+                )
+                ws.append(w)
+                hs.append(h)
+                mvs.append(maxval)
+                lumas.append(float(lum.mean()) / maxval)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].astype("int64"),
+                    "width": pd.Series(ws, dtype="int32"),
+                    "height": pd.Series(hs, dtype="int32"),
+                    "max_val": pd.Series(mvs, dtype="int32"),
+                    "mean_luma": pd.Series(lumas, dtype="float64"),
+                }
+            )
 
     return df.mapInPandas(_decode, schema=IMAGE_FEATURES_SCHEMA)
 
@@ -94,6 +180,7 @@ def fake_decode_features(df: DataFrame, id_col: str, payload_col: str) -> DataFr
                     "doc_id": pdf[id_col].astype("int64"),
                     "width": payloads.map(lambda b: 1 + len(b) % 640).astype("int32"),
                     "height": payloads.map(lambda b: 1 + len(b) % 480).astype("int32"),
+                    "max_val": pd.Series([255] * len(pdf), dtype="int32"),
                     "mean_luma": payloads.map(
                         lambda b: (sum(b[:64]) / max(1, len(b[:64]))) / 255.0
                     ).astype("float64"),

@@ -97,8 +97,10 @@ def approx_distinct_profile(
 
 def exact_column_profile(df: DataFrame, cols: list[str]) -> DataFrame:
     """ANALYZE-style exact per-column profile: rows, non-null rows, exact
-    distinct count, lexical/numeric min and max (stringified so mixed
-    column types share one output schema).
+    distinct count, and TYPE-NATIVE min/max stringified at the edge (so
+    mixed column types share one output schema while numeric columns keep
+    numeric ordering — min over ``cast(c as string)`` would report
+    lexicographic extremes like '10' < '9').
 
     Output: ``(column, n_rows, n_non_null, n_distinct, min_val, max_val)``,
     one row per profiled column.
@@ -117,8 +119,8 @@ def exact_column_profile(df: DataFrame, cols: list[str]) -> DataFrame:
             F.count(F.lit(1)).alias(f"__n_{c}"),
             F.count(c).alias(f"__nn_{c}"),
             F.count_distinct(F.col(c)).alias(f"__nd_{c}"),
-            F.min(F.col(c).cast("string")).alias(f"__mn_{c}"),
-            F.max(F.col(c).cast("string")).alias(f"__mx_{c}"),
+            F.min(F.col(c)).cast("string").alias(f"__mn_{c}"),
+            F.max(F.col(c)).cast("string").alias(f"__mx_{c}"),
         ]
     row = df.agg(*aggs)
     parts = [

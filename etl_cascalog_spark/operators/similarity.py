@@ -17,6 +17,17 @@ sets); for corpus-vs-corpus use the LSH bucketing (shuffle on bucket id) or
 an IVF-style coarse quantizer (bucket = argmin centroid; same join shape).
 All arithmetic is double-cast BEFORE multiply/sum: float32 accumulation is
 neither portable nor stable across partitionings.
+
+Cache lifecycle (every operator in this module): builders ``.cache()`` the
+encoded/normed corpus because it feeds BOTH sides of a self-join or both
+the candidate and re-rank stages; the returned frame is lazy, so the
+builder cannot unpersist after the caller's action. The contract —
+identical for ``cosine_topk`` and every newer operator — is that callers
+owning a long-lived session release storage once results are consumed:
+:func:`etl_cascalog_spark.session.release_all_blocks` (which also frees
+``localCheckpoint`` data that ``spark.catalog.clearCache()`` leaks).
+``bench.py`` and the CLI already do this per query; tests do it in their
+fixtures.
 """
 
 from __future__ import annotations
@@ -98,6 +109,7 @@ def cosine_topk_blas(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 5,
+    max_queries: int = 100_000,
 ) -> DataFrame:
     """Vectorized exact cosine top-k — the PRODUCTION scorer (closes the
     interpreted-fold floor of :func:`cosine_topk`, which stays as the
@@ -118,6 +130,15 @@ def cosine_topk_blas(
     exact near-ties, which is why the catalog checks this operator on
     (query_id, neighbor_id, rank) with the exact-SQL oracle.
 
+    The bounded-query contract is ENFORCED, not just documented: the query
+    side is counted first and anything over ``max_queries`` (default 100k
+    vectors ≈ tens of MB at typical dims — comfortably driver-sized)
+    raises before the collect, because a corpus-sized ``queries`` frame
+    would otherwise OOM the driver. For unbounded query sides use
+    :func:`lsh_cosine_topk` / :func:`lsh_multiprobe_topk` /
+    :func:`ivf_cosine_topk`, whose candidate generation is a bucket
+    equi-join with no driver materialization.
+
     Output: (query_id, neighbor_id, rank, cos_sim).
     """
     import numpy as np
@@ -126,6 +147,16 @@ def cosine_topk_blas(
     from etl_cascalog_spark.io import ensure_min_parallelism
 
     corpus = ensure_min_parallelism(corpus, id_col)
+    n_q = queries.limit(max_queries + 1).count()
+    if n_q > max_queries:
+        raise ValueError(
+            f"cosine_topk_blas: query side exceeds max_queries={max_queries} "
+            "— this scorer collects the query set to the driver by design "
+            "(eval/re-rank sets). For an unbounded query side use "
+            "lsh_cosine_topk / lsh_multiprobe_topk / ivf_cosine_topk "
+            "(bucketed candidate joins, nothing driver-side), or raise "
+            "max_queries explicitly if you know the set fits."
+        )
     q_rows = queries.select(F.col(id_col), F.col(vec_col)).collect()
     qids = [r[0] for r in q_rows]
     Q = np.asarray([r[1] for r in q_rows], dtype=np.float64)

@@ -724,7 +724,6 @@ def bpe_encode(
     merges: list[tuple[str, str]],
     id_col: str = "doc_id",
     text_col: str = "text",
-    batch_hint: str | None = None,
 ):
     """Apply a trained BPE merge table to a corpus — the tokenizer-apply
     step that follows :func:`vocab_top_tokens` (word seed) and the
@@ -736,7 +735,9 @@ def bpe_encode(
     list (rank = position), exactly what iterating the merge scan
     produces.
 
-    Returns ``(id_col, n_tokens, tokens array<string>)``.
+    Returns ``(id_col, n_tokens, tokens array<string>)`` — the id column
+    keeps the caller's name AND Spark type (no silent rename to
+    ``doc_id`` / cast to long).
 
     This is the one hot-path operator that is genuinely sequential per
     word (each merge changes the neighbors of the next), so it is NOT
@@ -768,7 +769,7 @@ def bpe_encode(
 
     out_schema = T.StructType(
         [
-            T.StructField("doc_id", T.LongType()),
+            T.StructField(id_col, docs.schema[id_col].dataType),
             T.StructField("n_tokens", T.LongType()),
             T.StructField("tokens", T.ArrayType(T.StringType())),
         ]
@@ -786,7 +787,7 @@ def bpe_encode(
             ]
             yield pd.DataFrame(
                 {
-                    "doc_id": pdf[id_col].astype("int64"),
+                    id_col: pdf[id_col],
                     "n_tokens": [len(t) for t in toks],
                     "tokens": toks,
                 }

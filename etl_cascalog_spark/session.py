@@ -60,3 +60,43 @@ def get_spark(
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+def persistent_rdd_ids(spark: SparkSession) -> set[int]:
+    """IDs of every RDD currently holding blocks in the BlockManager —
+    caches AND ``localCheckpoint`` data (the latter is invisible to
+    ``spark.catalog.clearCache``, which only walks the SQL cache manager).
+    """
+    jmap = spark.sparkContext._jsc.getPersistentRDDs()
+    return {int(k) for k in jmap.keys()}
+
+
+def unpersist_rdd_ids(
+    spark: SparkSession, ids: set[int], blocking: bool = False
+) -> None:
+    """Drop the blocks of specific persistent RDDs by id (no-op for ids
+    already gone). Used by iterative operators to retire round ``N-1``'s
+    ``localCheckpoint`` as soon as round ``N`` is materialized, so a
+    bounded-iteration build holds at most one round of blocks."""
+    jmap = spark.sparkContext._jsc.getPersistentRDDs()
+    for rid, jrdd in list(jmap.items()):
+        if int(rid) in ids:
+            jrdd.unpersist(blocking)
+
+
+def release_all_blocks(spark: SparkSession, blocking: bool = False) -> None:
+    """Session-level storage reset between independent jobs: SQL cache
+    + every persistent RDD, INCLUDING ``localCheckpoint`` blocks.
+
+    ``spark.catalog.clearCache()`` alone leaks localCheckpoint data from
+    iterative operators (connected components, incremental dedup); in a
+    long session those blocks accumulate until a major GC stalls an
+    unlucky later query. Callers that own a long-lived session (bench
+    loops, the CLI, notebook users) should call this when a query's
+    results have been consumed. NOTE: frames returned by iterative
+    operators are backed by checkpoint blocks — release only AFTER
+    collecting/writing them."""
+    jmap = spark.sparkContext._jsc.getPersistentRDDs()
+    for jrdd in list(jmap.values()):
+        jrdd.unpersist(blocking)
+    spark.catalog.clearCache()

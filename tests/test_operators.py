@@ -105,6 +105,21 @@ def test_blas_topk_matches_fold(spark):
         assert abs(bcos - cos) <= 1e-4  # rounded to 4dp; raw delta ~1e-15
 
 
+def test_blas_topk_rejects_oversized_query_side(spark):
+    """The bounded-query contract is enforced: a query frame larger than
+    max_queries raises BEFORE any driver-side collect, pointing at the
+    bucketed operators for the unbounded case."""
+    import pytest
+
+    from etl_cascalog_spark.io import read_table
+    from etl_cascalog_spark.operators.similarity import cosine_topk_blas
+    from tests.conftest import SF_SMOKE
+
+    emb = read_table(spark, SF_SMOKE, "embeddings")
+    with pytest.raises(ValueError, match="max_queries.*lsh_cosine_topk"):
+        cosine_topk_blas(emb, emb, k=5, max_queries=10)
+
+
 def test_take_train_dts_and_shift_cut(spark):
     """take-train-dts window generation (mlvar/d_bolome_user_order_stat.clj
     :52-70) + shift-cut-trgx aggregation (:97-135): shifted y/x windows,
@@ -286,20 +301,44 @@ def test_multimodal_fake_decode_plumbing(spark):
     assert all(1 <= w <= 640 and 1 <= h <= 480 and 0 <= l <= 1 for (w, h, l) in a.values())
 
 
-def test_decode_image_is_explicit_stub(spark):
-    """The real-codec path must fail loudly, not silently fake."""
-    from etl_cascalog_spark.operators.multimodal import decode_image, text_as_payload
-    from etl_cascalog_spark.io import read_table
-    from py4j.protocol import Py4JJavaError
+def test_decode_image_ppm_round_trip(spark):
+    """encode_ppm → decode_image round-trips exactly: dimensions, maxval,
+    and the Rec.601 solid-color luma, stable under repartitioning."""
+    from etl_cascalog_spark.operators.multimodal import decode_image, encode_ppm
 
-    docs = (
-        read_table(spark, "/root/testdata/sf0.001", "documents")
-        .limit(1)
-        .select("doc_id", text_as_payload(F.col("text")).alias("payload"))
+    rows = [(i, (i * 37) % 256, (i * 59) % 256, (i * 83) % 256, 1 + i % 5, 1 + i % 3)
+            for i in range(1, 25)]
+    df = spark.createDataFrame(rows, "doc_id long, r int, g int, b int, w int, h int")
+    imgs = encode_ppm(df, "doc_id", "r", "g", "b", "w", "h")
+    got = {
+        r.doc_id: (r.width, r.height, r.max_val, r.mean_luma)
+        for r in decode_image(imgs.repartition(7), "doc_id", "payload").collect()
+    }
+    assert len(got) == 24
+    for i, r, g, b, w, h in rows:
+        gw, gh, gm, luma = got[i]
+        assert (gw, gh, gm) == (w, h, 255)
+        assert abs(luma - (0.299 * r + 0.587 * g + 0.114 * b) / 255.0) < 1e-12
+
+
+def test_decode_image_parses_comments_and_rejects_non_ppm(spark):
+    """Header comments/whitespace are handled per the PPM spec; non-PPM
+    payloads fail loudly at the codec seam (no silent fake)."""
+    from etl_cascalog_spark.operators.multimodal import _parse_ppm, decode_image
+
+    w, h, mv, raster = _parse_ppm(
+        b"P6 # trailing comment\n# full-line comment\n 2\t1 \n255\n"
+        + bytes((10, 20, 30, 40, 50, 60))
+    )
+    assert (w, h, mv) == (2, 1, 255)
+    assert raster.tolist() == [[[10, 20, 30], [40, 50, 60]]]
+
+    docs = spark.createDataFrame(
+        [(1, bytearray(b"\x89PNG not a ppm"))], "doc_id long, payload binary"
     )
     with pytest.raises(Exception) as exc:
-        decode_image(docs, "payload").collect()
-    assert "NotImplementedError" in str(exc.value) or "codec" in str(exc.value)
+        decode_image(docs, "doc_id", "payload").collect()
+    assert "unsupported image codec" in str(exc.value)
 
 
 def test_lsh_cosine_matches_brute_force_in_bucket(spark):
