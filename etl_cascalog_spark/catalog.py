@@ -5632,3 +5632,171 @@ def dedup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_clusters"),
         F.sum(F.col("sz") - 1).cast("long").alias("docs_removable"),
     ).select(F.col("sz").cast("long").alias("cluster_size"), "n_clusters", "docs_removable")
+
+
+@register(
+    "prefix_filter_jaccard_dedup",
+    oracle=f"WITH {_SHINGLE_CTE} SELECT doc_a, doc_b, jaccard FROM jpairs",
+    doc="Exact Jaccard near-dup pairs ≥ 0.7 via PREFIX FILTERING "
+    "(AllPairs/PPJoin family): shingles ordered by global rarity, only "
+    "each doc's first |r|−⌈t·|r|⌉+1 rarest shingles join, then full-set "
+    "verification — 100% recall WITHOUT MinHash's banding probability or "
+    "the inverted index's boilerplate-shingle detonation (common "
+    "shingles are last in the rarity order, so they stay out of "
+    "prefixes). The third dedup tier: exact like the index join, "
+    "candidate-bounded like LSH.",
+)
+def prefix_filter_jaccard_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_cascalog_spark.operators.dedup import prefix_filter_jaccard_pairs
+
+    docs = read_table(spark, sf_dir, "documents")
+    return prefix_filter_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.7)
+
+
+@register(
+    "ewma_monthly_revenue",
+    oracle="""
+    WITH m AS (
+      SELECT n_name AS nation, date_trunc('month', o_orderdate) AS mth,
+             CAST(sum(o_totalprice) AS DOUBLE) AS rev
+      FROM orders
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      GROUP BY 1, 2
+    ), s AS (
+      SELECT nation, count(*) AS n_months, max(mth) AS last_month,
+             list(rev ORDER BY mth) AS vs
+      FROM m GROUP BY nation
+    )
+    SELECT nation, CAST(n_months AS BIGINT) AS n_months,
+           CAST(last_month AS DATE) AS last_month,
+           round(list_reduce(vs, (acc, x) -> 0.3 * x + 0.7 * acc), 6)
+             AS ewma_revenue
+    FROM s
+    """,
+    doc="Exponentially-weighted moving average of monthly revenue per "
+    "nation (α=0.3) — a genuinely SEQUENTIAL recurrence (each step's "
+    "state feeds the next), expressed as a Catalyst fold: exact decimal "
+    "monthly sums, then array_sort(collect_list) + F.aggregate per key. "
+    "Distribution is BY KEY (every nation folds independently, "
+    "shuffle-once), the fold itself is an in-memory array scan — the "
+    "right shape for per-entity state recurrences at 100 TB (state "
+    "vectors per user/doc), where the alternative (window with "
+    "recursive reference) does not exist in SQL engines. Oracle mirrors "
+    "the identical fold order via DuckDB list_reduce, so doubles match "
+    "bit-for-bit.",
+)
+def ewma_monthly_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = read_table(spark, sf_dir, "orders")
+    cust = read_table(spark, sf_dir, "customer")
+    nat = read_table(spark, sf_dir, "nation")
+    monthly = (
+        orders.join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .join(F.broadcast(nat), cust["c_nationkey"] == nat["n_nationkey"])
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.date_trunc("month", F.col("o_orderdate")).alias("mth"),
+        )
+        .agg(F.sum("o_totalprice").cast("double").alias("rev"))
+    )
+    per_nation = monthly.groupBy("nation").agg(
+        F.count(F.lit(1)).cast("long").alias("n_months"),
+        F.max("mth").cast("date").alias("last_month"),
+        F.transform(
+            F.array_sort(F.collect_list(F.struct(F.col("mth"), F.col("rev")))),
+            lambda x: x["rev"],
+        ).alias("vs"),
+    )
+    ewma = F.aggregate(
+        F.slice(F.col("vs"), 2, F.greatest(F.size("vs") - 1, F.lit(0))),
+        F.element_at(F.col("vs"), 1),
+        lambda acc, x: F.lit(0.3) * x + F.lit(0.7) * acc,
+    )
+    return per_nation.select(
+        "nation", "n_months", "last_month", F.round(ewma, 6).alias("ewma_revenue")
+    )
+
+
+@register(
+    "copurchase_part_pairs",
+    oracle="""
+    WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+    SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+           CAST(count(*) AS BIGINT) AS n_orders
+    FROM op a JOIN op b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    GROUP BY 1, 2
+    ORDER BY n_orders DESC, part_a, part_b
+    LIMIT 20
+    """,
+    doc="Market-basket co-occurrence mining: top-20 part pairs appearing "
+    "in the same order. The pair explosion is bounded by order size "
+    "(≤7 lineitems → ≤21 pairs per order), so the self-join on "
+    "l_orderkey is one co-partitioned shuffle, pair counts map-side "
+    "combine, and the top-k is TakeOrderedAndProject (no global sort). "
+    "The co-occurrence primitive under item2vec-style embedding "
+    "training data.",
+)
+def copurchase_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    op = (
+        read_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = op.toDF("l_orderkey", "part_a")
+    b = op.toDF("l_orderkey", "part_b")
+    return (
+        a.join(b, on="l_orderkey")
+        .where(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_orders"))
+        .orderBy(F.col("n_orders").desc(), "part_a", "part_b")
+        .limit(20)
+    )
+
+
+@register(
+    "phrase_match_docs",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                         x -> x <> '') AS w
+      FROM documents
+    ), hit AS (
+      SELECT doc_id,
+             list_min(list_filter(range(1, len(w)),
+                                  i -> w[i] = 'order' AND w[i+1] = 'fast'))
+               AS first_pos
+      FROM tok
+    )
+    SELECT doc_id, CAST(first_pos AS BIGINT) AS first_pos
+    FROM hit WHERE first_pos IS NOT NULL
+    """,
+    doc="Phrase search ('order fast') via a POSITIONAL inverted index: "
+    "tokenize once (split + filter, JVM-side), posexplode to (doc, term, "
+    "pos), then adjacency = self-join on (doc_id, pos+1) between the two "
+    "term postings. At 100 TB the index is built once, parquet'd "
+    "partitioned by term bucket, and each phrase query is two SELECTIVE "
+    "posting probes + one co-partitioned equi-join — vs a full-corpus "
+    "regex scan per query. The oracle IS that naive scan (DuckDB list "
+    "scan over every doc), so the index path is value-checked against "
+    "first-principles. first_pos is 1-based.",
+)
+def phrase_match_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.filter(
+            F.split(F.lower(F.col("text")), "[^a-z0-9]+"), lambda x: x != ""
+        ).alias("w"),
+    )
+    idx = toks.select("doc_id", F.posexplode("w").alias("pos", "term"))
+    a = idx.where(F.col("term") == "order").select("doc_id", F.col("pos").alias("pa"))
+    b = idx.where(F.col("term") == "fast").select("doc_id", F.col("pos").alias("pb"))
+    return (
+        a.join(b, on="doc_id")
+        .where(F.col("pb") == F.col("pa") + 1)
+        .groupBy("doc_id")
+        .agg((F.min("pa") + 1).cast("long").alias("first_pos"))
+    )

@@ -356,6 +356,33 @@ def read_jsonl(spark: SparkSession, path: str, schema=None) -> DataFrame:
     return reader.json(path)
 
 
+def read_seqfile(
+    spark: SparkSession,
+    path: str,
+    key_name: str = "key",
+    value_name: str = "value",
+) -> DataFrame:
+    """S7 ``hfs-seqfile`` (imported-but-never-exercised in the reference,
+    hadoop/bolome/d_bolome_order.clj:4-5): Hadoop SequenceFile of
+    (Text, Text) pairs → a two-string-column DataFrame.
+
+    The one deliberate RDD touch in this codebase: SequenceFile is a
+    key-value container with no DataFrame source in Spark, so the bridge
+    is ``sc.sequenceFile`` (Writable⇄JVM conversion, splittable reads —
+    one task per block, same parallelism story as any HDFS input) followed
+    by an immediate hop into a DataFrame, where everything downstream
+    stays in Catalyst. Legacy-migration aid only — land new data in
+    parquet/ORC."""
+    rdd = spark.sparkContext.sequenceFile(path)
+    return spark.createDataFrame(rdd, f"{key_name} string, {value_name} string")
+
+
+def write_seqfile(df: DataFrame, path: str, key_col: str, value_col: str) -> None:
+    """SequenceFile sink twin of :func:`read_seqfile`: two string columns →
+    (Text, Text) pairs, one output file per partition."""
+    df.select(key_col, value_col).rdd.map(tuple).saveAsSequenceFile(path)
+
+
 def compact(
     spark: SparkSession,
     path: str,

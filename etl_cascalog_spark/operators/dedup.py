@@ -155,6 +155,76 @@ def jaccard_pairs(
     )
 
 
+def prefix_filter_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """Exact Jaccard similarity join via PREFIX FILTERING (the published
+    AllPairs/PPJoin family — Bayardo et al. WWW'07, Xiao et al. WWW'08):
+    the third dedup tier, between the all-shingles inverted index
+    (:func:`jaccard_pairs` — every shared shingle generates a candidate)
+    and MinHash banding (:func:`minhash_lsh_pairs` — probabilistic
+    recall).
+
+    Principle: order every doc's shingles by GLOBAL rarity (df asc, then
+    shingle — any shared total order works) and keep only the first
+    ``p = |r| − ⌈t·|r|⌉ + 1`` as its *prefix*. Pigeonhole guarantees any
+    pair with ``J ≥ t`` shares at least one prefix shingle, so the
+    candidate join runs over prefixes only — and because prefixes hold
+    each doc's RAREST shingles, the join's per-key fan-out is bounded by
+    the df of rare tokens (the boilerplate shingle that detonates the
+    naive index join is, by construction, last in every prefix-ordering
+    and almost never inside a prefix). Candidates are then verified
+    exactly on the full sets, so recall is 100% — no banding probability,
+    no ``max_df`` survivability cap.
+
+    100 TB shape: one df-count agg + one rarity-sorted per-doc pass
+    (both shuffle on shingle/doc), candidate equi-join on prefix shingles,
+    broadcast-verified. Output: (doc_a, doc_b, jaccard), doc_a < doc_b.
+    """
+    sh = shingle_sets(df, id_col, text_col, n).cache()
+    dfreq = sh.groupBy("shingle").agg(F.count("*").alias("__df"))
+    ordered = (
+        sh.join(dfreq, "shingle")
+        .groupBy("doc")
+        .agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(F.col("__df").alias("d"), F.col("shingle").alias("s"))
+                )
+            ).alias("ord")
+        )
+    )
+    size = F.size("ord")
+    p = (size - F.ceil(F.lit(threshold) * size) + 1).cast("int")
+    pref = ordered.select(
+        "doc", F.explode(F.slice("ord", F.lit(1), p)).alias("e")
+    ).select("doc", F.col("e.s").alias("shingle"))
+    a = pref.toDF("doc_a", "shingle")
+    b = pref.toDF("doc_b", "shingle")
+    candidates = (
+        a.join(b, on="shingle")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    sets = shingle_arrays(df, id_col, text_col, n)
+    sa = sets.toDF("doc_a", "sh_a")
+    sb = sets.toDF("doc_b", "sh_b")
+    common = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    union = F.size(F.col("sh_a")) + F.size(F.col("sh_b")) - common
+    jx = common.cast("double") / union.cast("double")
+    return (
+        sa.join(F.broadcast(candidates), "doc_a")
+        .join(sb, "doc_b")
+        .where(jx >= threshold)
+        .select("doc_a", "doc_b", F.round(jx, 4).alias("jaccard"))
+    )
+
+
 def _perm_params(num_hashes: int, seed: int = 42) -> list[tuple[int, int]]:
     # coefficients < 2^30 with a 32-bit base hash: a*h + b < 2^62 — no
     # long overflow under ANSI arithmetic

@@ -253,3 +253,76 @@ def test_csv_corrupt_records_quarantined(spark, tmp_path):
     bad = df.where(F.col("_corrupt_record").isNotNull())
     assert sorted(r.id for r in good.collect()) == [1, 2]
     assert bad.count() == 1
+
+
+def test_jdbc_embedded_derby_round_trip(spark):
+    """S1 live-JDBC integration against embedded Derby (ships inside the
+    Spark distro — no network, no external DB): DDL via jdbc_execute,
+    append via jdbc_append, read back via jdbc_read with a PARTITIONED
+    parallel scan and predicate pushdown into the JDBC source, then the
+    reference's idempotent-reload lifecycle (ranged DELETE, TRUNCATE).
+    Closes the one operator the sandbox could never exercise end-to-end
+    (reference tap: trgx.clj:96-108)."""
+    from etl_cascalog_spark.io import (
+        jdbc_append,
+        jdbc_execute,
+        jdbc_read,
+        render_delete_range,
+        render_truncate,
+    )
+
+    url = "jdbc:derby:memory:etl_s1_test;create=true"
+    props = {"driver": "org.apache.derby.jdbc.EmbeddedDriver"}
+    # Derby has no CREATE TABLE IF NOT EXISTS — plain DDL through the same
+    # driver-side statement channel render_create_table_if feeds elsewhere
+    jdbc_execute(
+        spark, url, "CREATE TABLE rpt (id INT NOT NULL, dt DATE, amt DOUBLE)"
+    )
+    src = spark.createDataFrame(
+        [(i, f"2024-01-{1 + i % 28:02d}", float(i) * 1.5) for i in range(1, 101)],
+        "id int, dt string, amt double",
+    ).select("id", F.col("dt").cast("date").alias("dt"), "amt")
+    jdbc_append(src, url, "rpt", props)
+
+    # partitioned parallel read: 4 JDBC splits on the numeric column
+    back = jdbc_read(
+        spark, url, "rpt", props,
+        partition_column="id", num_partitions=4, lower_bound=1, upper_bound=101,
+    )
+    assert back.rdd.getNumPartitions() == 4
+    assert back.count() == 100
+
+    # predicate pushdown reaches the JDBC scan (not a post-scan Filter only)
+    filtered = back.where(F.col("id") > 90).select("id", "amt")
+    plan = filtered._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "GreaterThan" in plan, plan
+    assert filtered.count() == 10
+
+    # idempotent reload: ranged DELETE, re-append, then TRUNCATE
+    jdbc_execute(
+        spark, url, render_delete_range("rpt", "dt", "2024-01-01", "2024-01-10")
+    )
+    n_after_delete = jdbc_read(spark, url, "rpt", props).count()
+    assert n_after_delete < 100
+    jdbc_append(src.where(F.col("dt") <= "2024-01-10"), url, "rpt", props)
+    assert jdbc_read(spark, url, "rpt", props).count() == 100
+    jdbc_execute(spark, url, render_truncate("rpt"))
+    assert jdbc_read(spark, url, "rpt", props).count() == 0
+
+
+def test_seqfile_round_trip(spark, tmp_path):
+    """S7 hfs-seqfile parity: (Text, Text) SequenceFile round-trip through
+    the one sanctioned RDD bridge — written with N partitions, read back
+    splittable, values intact."""
+    from etl_cascalog_spark.io import read_seqfile, write_seqfile
+
+    src = spark.createDataFrame(
+        [(f"k{i:03d}", f"v{i}") for i in range(50)], "key string, value string"
+    ).repartition(4)
+    p = str(tmp_path / "seq")
+    write_seqfile(src, p, "key", "value")
+    back = read_seqfile(spark, p)
+    assert back.rdd.getNumPartitions() >= 1
+    assert {(r.key, r.value) for r in back.collect()} == {
+        (f"k{i:03d}", f"v{i}") for i in range(50)
+    }

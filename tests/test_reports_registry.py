@@ -430,3 +430,41 @@ def test_all_registry_jobs_execute(spark):
         rows = out.collect()
         assert rows, f"{name} produced no rows"
         assert all(r.report == (spec.label or name) for r in rows), name
+
+
+def test_sovi_brand_others_multi_market_golden():
+    """Golden pin of the sovi_brand Others subtlety
+    (m_cocacola_sovi_brand.clj:42-91): Others is computed PER MARKET over
+    the whole per-market brand map INCLUDING a TOTAL row (the reference's
+    collect-kv at :45-46 runs before any exclusion), and only afterwards
+    are Tier markets and the TOTAL brand dropped. Filtering first would
+    give Others = 100 − Σ real brands; the reference's order — strict
+    parity here — double-counts TOTAL inside the remainder."""
+    from etl_cascalog_spark.plans.reports_registry import _prep_sovi_brand
+    from etl_cascalog_spark.session import get_spark
+
+    spark = get_spark("sovi-golden")
+    dims = "dw_dt string, bg string, bottler string, channel string, market string, juice_type string, sovi_type string"
+    rows = [
+        # CityX: KO 60 + Pepsi 25 + TOTAL 85 → Others = 100-170 = -70
+        ("2017-01-31", "SBL", "BotA", "GT", "CityX", "j", "s", "KO", 60.0),
+        ("2017-01-31", "SBL", "BotA", "GT", "CityX", "j", "s", "Pepsi", 25.0),
+        ("2017-01-31", "SBL", "BotA", "GT", "CityX", "j", "s", "TOTAL", 85.0),
+        # CityY (no TOTAL row): KO 40 → Others = 60
+        ("2017-01-31", "SBL", "BotA", "GT", "CityY", "j", "s", "KO", 40.0),
+        # Tier market: contributes its own Others but every row is dropped
+        ("2017-01-31", "SBL", "BotA", "GT", "China Tier1", "j", "s", "KO", 50.0),
+    ]
+    df = from_rows(
+        spark, rows, dims + ", brand string, value double"
+    )
+    got = {
+        (r.market, r.brand): r.value for r in _prep_sovi_brand(df).collect()
+    }
+    assert got == {
+        ("CityX", "KO"): 60.0,
+        ("CityX", "Pepsi"): 25.0,
+        ("CityX", "Others"): -70.0,  # TOTAL inside the remainder, then dropped
+        ("CityY", "KO"): 40.0,
+        ("CityY", "Others"): 60.0,
+    }
