@@ -4090,9 +4090,10 @@ def winsorized_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = read_table(spark, sf_dir, "lineitem").select(
         F.col("l_returnflag").alias("grp"),
         money(F.col("l_extendedprice")).alias("v"),
-        F.concat_ws("-", "l_orderkey", "l_linenumber").alias("rid"),
     )
-    out = winsorized_stats(li, "grp", "v", "rid", p_lo=0.05, p_hi=0.95)
+    # no tie-break id: the percentile VALUE is tie-permutation-invariant,
+    # and dropping the string sort key measurably halves the bucket sorts
+    out = winsorized_stats(li, "grp", "v", p_lo=0.05, p_hi=0.95)
     return out.select(
         "grp",
         "n_rows",
@@ -5799,4 +5800,397 @@ def phrase_match_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("pb") == F.col("pa") + 1)
         .groupBy("doc_id")
         .agg((F.min("pa") + 1).cast("long").alias("first_pos"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# P. Semantic dedup (k-means / SemDeDup), graph rank, resample, PassJoin,
+#    VARIANT shredding (round-3 beyond-reference widening)
+# ---------------------------------------------------------------------------
+
+_KM_K = 8
+_KM_ITERS = 3
+_SEMDEDUP_THR = 1_500_000_000_000
+
+
+def _kmeans_oracle_ctes(k: int = _KM_K, iters: int = _KM_ITERS) -> str:
+    """Unrolled Lloyd's-iteration CTE chain (DuckDB). All-integer (micro-
+    unit grid, trunc division — DuckDB ``//`` and Spark ``div`` both
+    truncate toward zero, verified), so it hash-matches the Spark path
+    exactly. Final assignment CTE is ``a{iters-1}``."""
+    ctes = [
+        """
+    pts AS (
+      SELECT vec_id AS id, CAST(z[2] AS INT) AS idx,
+             CAST(round(CAST(z[1] AS DOUBLE) * 1000000, 0) AS BIGINT) AS units
+      FROM (SELECT vec_id,
+                   unnest(list_zip(embedding, range(1, len(embedding) + 1))) AS z
+            FROM embeddings)
+    ),
+    seed AS (
+      SELECT id, CAST(row_number() OVER (ORDER BY id) - 1 AS INT) AS cid
+      FROM (SELECT DISTINCT id FROM pts ORDER BY id LIMIT {k})
+    ),
+    c0 AS (SELECT s.cid, p.idx, p.units FROM seed s JOIN pts p USING (id))
+        """.format(k=k)
+    ]
+    for j in range(iters):
+        if j > 0:
+            # centroid update from the previous assignment: integer mean
+            ctes.append(
+                """
+    c{j} AS (
+      SELECT a.cluster AS cid, p.idx,
+             CAST(sum(p.units) // count(*) AS BIGINT) AS units
+      FROM a{p} a JOIN pts p USING (id)
+      GROUP BY 1, 2
+    )
+                """.format(j=j, p=j - 1)
+            )
+        ctes.append(
+            """
+    d{j} AS (
+      SELECT p.id, c.cid,
+             CAST(sum((p.units - c.units) * (p.units - c.units)) AS BIGINT)
+               AS dist
+      FROM pts p JOIN c{j} c ON p.idx = c.idx
+      GROUP BY 1, 2
+    ),
+    a{j} AS (
+      SELECT id, cluster, dist FROM (
+        SELECT id, cid AS cluster, dist,
+               row_number() OVER (PARTITION BY id ORDER BY dist, cid) AS rn
+        FROM d{j}
+      ) WHERE rn = 1
+    )
+            """.format(j=j)
+        )
+    return ",".join(ctes)
+
+
+@register(
+    "semantic_dedup_kmeans",
+    oracle="""
+    WITH {ctes},
+    fin AS (SELECT id, CAST(cluster AS INT) AS cluster FROM a{last}),
+    prs AS (
+      SELECT x.id AS id_a, y.id AS id_b, x.cluster
+      FROM fin x JOIN fin y ON x.cluster = y.cluster AND x.id < y.id
+    ),
+    pd AS (
+      SELECT pr.id_a, pr.id_b, pr.cluster,
+             CAST(sum((pa.units - pb.units) * (pa.units - pb.units))
+                  AS BIGINT) AS dist
+      FROM prs pr
+      JOIN pts pa ON pa.id = pr.id_a
+      JOIN pts pb ON pb.id = pr.id_b AND pb.idx = pa.idx
+      GROUP BY 1, 2, 3
+    )
+    SELECT id_a, id_b, cluster, dist FROM pd WHERE dist <= {thr}
+    """.format(ctes=_kmeans_oracle_ctes(), last=_KM_ITERS - 1, thr=_SEMDEDUP_THR),
+    doc="SemDeDup (Abbas et al. 2023): deterministic integer-grid k-means "
+    "over the embedding corpus (k=8, 3 fixed Lloyd iterations, micro-unit "
+    "quantization so every sum/divide is exact int64), then near-dup "
+    "pairs WITHIN clusters only — candidate volume Σ|cluster|², never N². "
+    "Per iteration: one corpus shuffle (min-by-struct assignment, "
+    "map-side combinable) + one K·dim centroid aggregate broadcast back. "
+    "The oracle is the same recurrence as an unrolled CTE chain — "
+    "possible precisely BECAUSE the arithmetic is order-free integer.",
+)
+def semantic_dedup_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_cascalog_spark.operators.semantic import semantic_dedup_pairs
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    return semantic_dedup_pairs(
+        emb, "vec_id", "embedding", dim=64, k=_KM_K, iters=_KM_ITERS,
+        max_dist_units=_SEMDEDUP_THR,
+    ).select(
+        F.col("id_a"), F.col("id_b"),
+        F.col("cluster").cast("int").alias("cluster"),
+        F.col("dist").cast("long").alias("dist"),
+    )
+
+
+@register(
+    "kmeans_cluster_profile",
+    oracle="""
+    WITH {ctes}
+    SELECT CAST(cluster AS INT) AS cluster,
+           CAST(count(*) AS BIGINT) AS n_members,
+           CAST(sum(dist) AS BIGINT) AS inertia_units,
+           CAST(min(id) AS BIGINT) AS min_id,
+           CAST(max(id) AS BIGINT) AS max_id
+    FROM a{last}
+    GROUP BY 1
+    """.format(ctes=_kmeans_oracle_ctes(), last=_KM_ITERS - 1),
+    doc="Fitted k-means partition diagnostics (cluster size, exact integer "
+    "inertia, member id range) — what a curation pipeline inspects before "
+    "setting per-cluster dedup thresholds. Same deterministic integer "
+    "Lloyd's as semantic_dedup_kmeans; output is K rows.",
+)
+def kmeans_cluster_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_cascalog_spark.operators.semantic import kmeans_cluster_profile
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    return kmeans_cluster_profile(
+        emb, "vec_id", "embedding", dim=64, k=_KM_K, iters=_KM_ITERS
+    ).select(
+        F.col("cluster").cast("int").alias("cluster"),
+        "n_members", "inertia_units", "min_id", "max_id",
+    )
+
+
+@register(
+    "pagerank_copurchase",
+    oracle="""
+    WITH baskets AS (
+      SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+    ),
+    sizes AS (SELECT ok, count(*) AS n FROM baskets GROUP BY ok),
+    bounded AS (
+      SELECT b.ok, b.pk FROM baskets b JOIN sizes s ON b.ok = s.ok
+      WHERE s.n <= 7
+    ),
+    edges AS (
+      SELECT DISTINCT a.pk AS src, b.pk AS dst
+      FROM bounded a JOIN bounded b ON a.ok = b.ok AND a.pk != b.pk
+    ),
+    nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+    nn AS (SELECT count(*) AS n FROM nodes),
+    deg AS (SELECT src, count(*) AS out_deg FROM edges GROUP BY src),
+    ce AS (
+      SELECT e.src, e.dst, d.out_deg FROM edges e JOIN deg d ON e.src = d.src
+    ),
+    r0 AS (
+      SELECT node,
+             CAST(1000000000000 // (SELECT n FROM nn) AS BIGINT) AS rank_units
+      FROM nodes
+    ),
+    s1 AS (
+      SELECT ce.dst AS node, CAST(sum(r.rank_units // ce.out_deg) AS BIGINT) AS s
+      FROM ce JOIN r0 r ON ce.src = r.node GROUP BY 1
+    ),
+    r1 AS (
+      SELECT n.node,
+             CAST((15 * CAST(1000000000000 // (SELECT n FROM nn) AS BIGINT)
+                   + 85 * coalesce(s1.s, 0)) // 100 AS BIGINT) AS rank_units
+      FROM nodes n LEFT JOIN s1 ON n.node = s1.node
+    ),
+    s2 AS (
+      SELECT ce.dst AS node, CAST(sum(r.rank_units // ce.out_deg) AS BIGINT) AS s
+      FROM ce JOIN r1 r ON ce.src = r.node GROUP BY 1
+    ),
+    r2 AS (
+      SELECT n.node,
+             CAST((15 * CAST(1000000000000 // (SELECT n FROM nn) AS BIGINT)
+                   + 85 * coalesce(s2.s, 0)) // 100 AS BIGINT) AS rank_units
+      FROM nodes n LEFT JOIN s2 ON n.node = s2.node
+    ),
+    s3 AS (
+      SELECT ce.dst AS node, CAST(sum(r.rank_units // ce.out_deg) AS BIGINT) AS s
+      FROM ce JOIN r2 r ON ce.src = r.node GROUP BY 1
+    ),
+    r3 AS (
+      SELECT n.node,
+             CAST((15 * CAST(1000000000000 // (SELECT n FROM nn) AS BIGINT)
+                   + 85 * coalesce(s3.s, 0)) // 100 AS BIGINT) AS rank_units
+      FROM nodes n LEFT JOIN s3 ON n.node = s3.node
+    )
+    SELECT node, rank_units FROM r3
+    """,
+    doc="Integer PageRank (3 fixed iterations, damping 0.85) over the "
+    "part co-purchase graph — importance weights for curation sampling. "
+    "Rank mass is int64 micro-units; contribution = rank div out_degree "
+    "(truncating division both engines), so integer sums make the result "
+    "partition-order-free — a float PageRank cannot hash-match ANY "
+    "oracle. Basket pair fan-out is capped at 7 items (the max_bucket "
+    "discipline); one shuffle per iteration, degrees ride on the edge "
+    "row (zero per-iteration degree joins).",
+)
+def pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_cascalog_spark.operators.graph import copurchase_edges, pagerank_int
+
+    li = read_table(spark, sf_dir, "lineitem")
+    edges = copurchase_edges(li, max_order_items=7)
+    return pagerank_int(edges, iters=3).select(
+        F.col("node").cast("long").alias("node"),
+        F.col("rank_units").cast("long").alias("rank_units"),
+    )
+
+
+@register(
+    "resample_interpolate_daily",
+    oracle="""
+    WITH known AS (
+      SELECT n.n_name AS key, CAST(o.o_orderdate AS DATE) AS day,
+             CAST(sum(CAST(CAST(o.o_totalprice AS DECIMAL(12,2)) * 100
+                           AS BIGINT)) AS BIGINT) AS v
+      FROM orders o
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      WHERE day(o.o_orderdate) IN (1, 15)
+      GROUP BY 1, 2
+    ),
+    bounds AS (SELECT key, min(day) AS d0, max(day) AS d1 FROM known GROUP BY key),
+    spine AS (
+      SELECT key, CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day
+      FROM bounds
+    ),
+    dense AS (
+      SELECT s.key, s.day, k.v FROM spine s
+      LEFT JOIN known k ON s.key = k.key AND s.day = k.day
+    ),
+    w AS (
+      SELECT key, day, v,
+             last_value(v IGNORE NULLS) OVER
+               (PARTITION BY key ORDER BY day
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+             first_value(v IGNORE NULLS) OVER
+               (PARTITION BY key ORDER BY day
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+             last_value(CASE WHEN v IS NOT NULL THEN day END IGNORE NULLS) OVER
+               (PARTITION BY key ORDER BY day
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pd,
+             first_value(CASE WHEN v IS NOT NULL THEN day END IGNORE NULLS) OVER
+               (PARTITION BY key ORDER BY day
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nd
+      FROM dense
+    )
+    SELECT key, day,
+           CAST(CASE WHEN v IS NOT NULL THEN v
+                ELSE pv + ((nv - pv) * date_diff('day', pd, day))
+                          // date_diff('day', pd, nd)
+                END AS BIGINT) AS value,
+           CASE WHEN v IS NOT NULL THEN 'actual' ELSE 'interp' END AS src
+    FROM w
+    """,
+    doc="Daily resample + linear interpolation (feature-store densify): "
+    "nation revenue observed on the 1st/15th only, gap-filled to every "
+    "day between each key's first and last observation. Interpolation is "
+    "exact integer cents (prev + (next-prev)·offset div gap), so the "
+    "DuckDB oracle matches bit-for-bit. Spine explode is map-side off a "
+    "25-row bounds aggregate; both IGNORE-NULLS window families share "
+    "one sort per key.",
+)
+def resample_interpolate_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_cascalog_spark.operators.timeseries import resample_interpolate_daily
+
+    orders = read_table(spark, sf_dir, "orders")
+    cust = read_table(spark, sf_dir, "customer")
+    nation = read_table(spark, sf_dir, "nation")
+    known = (
+        orders.where(F.dayofmonth("o_orderdate").isin(1, 15))
+        .join(F.broadcast(cust.select("c_custkey", "c_nationkey")),
+              orders["o_custkey"] == F.col("c_custkey"))
+        .join(F.broadcast(nation.select("n_nationkey", "n_name")),
+              F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy(
+            F.col("n_name").alias("key"),
+            F.col("o_orderdate").cast("date").alias("day"),
+        )
+        .agg(
+            F.sum((money(F.col("o_totalprice")) * 100).cast("long"))
+            .cast("long")
+            .alias("cents")
+        )
+    )
+    return resample_interpolate_daily(known, "key", "day", "cents")
+
+
+@register(
+    "pigeonhole_edit_pairs",
+    oracle="""
+    WITH c AS (
+      SELECT c_custkey AS id, substring(c_name, 10, 9) AS s,
+             length(substring(c_name, 10, 9)) AS slen
+      FROM customer
+    ),
+    segs AS (
+      SELECT id, s, slen, t.i,
+             substring(s, (t.i * slen) // 3 + 1,
+                       ((t.i + 1) * slen) // 3 - (t.i * slen) // 3) AS seg
+      FROM c, unnest([0, 1, 2]) AS t(i)
+    ),
+    capped AS (
+      SELECT * FROM (
+        SELECT *, count(*) OVER (PARTITION BY slen, i, seg) AS pn FROM segs
+      ) WHERE pn <= 500
+    ),
+    cand AS (
+      SELECT DISTINCT a.id AS id_a, b.id AS id_b, a.s AS sa, b.s AS sb
+      FROM capped a JOIN capped b
+        ON a.slen = b.slen AND a.i = b.i AND a.seg = b.seg AND a.id < b.id
+    )
+    SELECT id_a, id_b, CAST(levenshtein(sa, sb) AS INT) AS dist
+    FROM cand WHERE levenshtein(sa, sb) <= 2
+    """,
+    doc="PassJoin-style edit-distance similarity self-join (Li et al., "
+    "VLDB 2012): pigeonhole each name into 3 aligned segments — "
+    "same-length strings within substitution distance 2 must agree on "
+    "one segment — candidates from the (len, seg_idx, seg_val) equi-join "
+    "only, verified by exact levenshtein. Segmentation runs on the "
+    "9-digit key suffix (the constant 'Customer#' prefix would make "
+    "every segment a degenerate posting list); max_posting=500 drops "
+    "lists that are still too hot, exactly like LSH max_bucket: at "
+    "100 TB a constant prefix must not emit N² candidates.",
+)
+def pigeonhole_edit_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_cascalog_spark.operators.dedup import pigeonhole_edit_pairs
+
+    cust = read_table(spark, sf_dir, "customer").select(
+        "c_custkey", F.substring("c_name", 10, 9).alias("name_key")
+    )
+    return pigeonhole_edit_pairs(
+        cust, "c_custkey", "name_key", n_segments=3, max_dist=2, max_posting=500
+    ).select(
+        "id_a", "id_b", F.col("dist").cast("int").alias("dist")
+    )
+
+
+@register(
+    "variant_json_shred",
+    oracle="""
+    SELECT o_orderpriority AS prio,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT))
+                AS BIGINT) AS sum_cents,
+           min(strftime(o_orderdate, '%Y-%m-%d')) AS min_day,
+           max(strftime(o_orderdate, '%Y-%m-%d')) AS max_day
+    FROM orders
+    GROUP BY 1
+    """,
+    doc="Semi-structured shredding through Spark's VARIANT type (4.x): "
+    "orders are serialized to JSON, parse_json() into VARIANT, fields "
+    "re-extracted with typed variant_get paths ($.prio string, $.cents "
+    "long, $.d string), then aggregated. The oracle computes the same "
+    "aggregate relationally, so the round-trip (construct → shred → "
+    "type) is value-checked end-to-end. VARIANT's binary encoding keeps "
+    "shredding JVM-side and columnar — the modern engine path for "
+    "schema-on-read JSON at scale (vs per-row get_json_object string "
+    "parsing).",
+)
+def variant_json_shred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = read_table(spark, sf_dir, "orders")
+    js = orders.select(
+        F.to_json(
+            F.struct(
+                F.col("o_orderpriority").alias("prio"),
+                (money(F.col("o_totalprice")) * 100)
+                .cast("long")
+                .alias("cents"),
+                F.date_format("o_orderdate", "yyyy-MM-dd").alias("d"),
+            )
+        ).alias("js")
+    )
+    v = js.select(F.parse_json("js").alias("v"))
+    shredded = v.select(
+        F.variant_get("v", "$.prio", "string").alias("prio"),
+        F.variant_get("v", "$.cents", "long").alias("cents"),
+        F.variant_get("v", "$.d", "string").alias("d"),
+    )
+    return shredded.groupBy("prio").agg(
+        F.count("*").cast("long").alias("n_orders"),
+        F.sum("cents").cast("long").alias("sum_cents"),
+        F.min("d").alias("min_day"),
+        F.max("d").alias("max_day"),
     )

@@ -240,7 +240,7 @@ def winsorized_stats(
     df,
     group_col: str,
     value_col: str,
-    id_col: str,
+    id_col: str | None = None,
     p_lo: float = 0.05,
     p_hi: float = 0.95,
 ):
@@ -252,7 +252,11 @@ def winsorized_stats(
 
     Returns one row per group: ``(group, n_rows, p_lo_val, p_hi_val,
     clipped_sum)``. Pass an exact-decimal ``value_col`` for deterministic
-    sums.
+    sums. ``id_col`` is a WITHIN-TIES ordering refinement only — the value
+    at rank ceil(p·n) in the value-ordering is invariant to how ties
+    permute, so the default (None) is both deterministic and cheaper (no
+    extra sort key through the bucket sorts); pass it only when you need
+    the picked ROW (not value) pinned.
 
     100 TB shape: percentile bounds come from
     :func:`exact_group_percentiles` (range-bucket prefix sums — bounded

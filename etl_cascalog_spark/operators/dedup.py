@@ -877,3 +877,85 @@ def blocked_entity_pairs(
         .where(F.col("dist") <= max_dist)
         .select("id_a", "id_b", "dist")
     )
+
+
+def pigeonhole_edit_pairs(
+    df: DataFrame,
+    id_col: str,
+    str_col: str,
+    n_segments: int = 3,
+    max_dist: int = 2,
+    max_posting: int = 2000,
+) -> DataFrame:
+    """Edit-distance similarity self-join via segment pigeonholing (the
+    PassJoin partition idea — Li, Deng, Feng, "PassJoin: a partition-based
+    method for similarity joins", VLDB 2012): split every string into
+    ``n_segments`` near-equal segments; two same-length strings within
+    substitution distance ``n_segments - 1`` MUST share at least one
+    aligned segment, so candidates come from an equi-join on
+    (length, segment_idx, segment_value) instead of all pairs.
+
+    Contract: candidate recall is complete for same-length, substitution-
+    only edits with ``max_dist < n_segments`` (position-shifting edits can
+    evade aligned segments — full PassJoin probes shifted substrings; this
+    is the aligned-segment variant, which is the whole story for
+    fixed-format keys: codes, padded ids, normalized phone numbers).
+    Every emitted pair is verified by exact ``levenshtein``, so precision
+    is always exact.
+
+    Returns ``(id_a, id_b, dist)``, ``id_a < id_b``, ``dist <= max_dist``.
+
+    100 TB posture: one explode (×n_segments, map-side), one shuffle on the
+    segment key, quadratic only within a posting list, ``max_posting``
+    capping degenerate lists (constant-prefix columns) exactly like
+    ``max_bucket`` in the LSH joins; the distinct on candidate pairs folds
+    multi-segment agreements before the verify.
+    """
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.col(str_col).alias("s"),
+        F.length(F.col(str_col)).alias("slen"),
+    )
+    # segment i of k covers [floor(i*len/k)+1, floor((i+1)*len/k)] —
+    # near-equal split that both engines compute identically in int math
+    segs = base.select(
+        "id",
+        "s",
+        "slen",
+        F.explode(F.sequence(F.lit(0), F.lit(n_segments - 1))).alias("i"),
+    ).select(
+        "id",
+        "s",
+        "slen",
+        "i",
+        F.expr(
+            "substring(s, (i * slen div {k}) + 1,"
+            " ((i + 1) * slen div {k}) - (i * slen div {k}))".format(
+                k=n_segments
+            )
+        ).alias("seg"),
+    )
+    if max_posting:
+        from pyspark.sql import Window
+
+        pw = Window.partitionBy("slen", "i", "seg")
+        segs = segs.withColumn("__pn", F.count("*").over(pw)).where(
+            F.col("__pn") <= max_posting
+        )
+    a = segs.select(
+        "slen", "i", "seg", F.col("id").alias("id_a"), F.col("s").alias("__sa")
+    )
+    b = segs.select(
+        "slen", "i", "seg", F.col("id").alias("id_b"), F.col("s").alias("__sb")
+    )
+    cands = (
+        a.join(b, ["slen", "i", "seg"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "__sa", "__sb")
+        .distinct()
+    )
+    return (
+        cands.withColumn("dist", F.levenshtein("__sa", "__sb"))
+        .where(F.col("dist") <= max_dist)
+        .select("id_a", "id_b", "dist")
+    )

@@ -1,0 +1,138 @@
+"""Graph operators over relational edge lists.
+
+Beyond-reference surface: the reference's only graph-shaped computation is
+tree assembly (``trgx``); a curation pipeline additionally needs
+*importance* and *connectivity* over item graphs (e.g. co-purchase /
+co-citation webs) for sampling weights. Connected components already lives
+in ``operators/dedup.py``; this module adds PageRank.
+
+Determinism contract: ranks are 64-bit integer micro-units end-to-end —
+``contribution = rank div out_degree`` (integer division), damping applied
+as ``(15·base + 85·Σcontrib) div 100``. Integer sums are order-independent,
+so the result hash-matches a relational oracle exactly, something a
+float PageRank fundamentally cannot promise across partitionings.
+
+100 TB shape: one shuffle per iteration (groupBy dst over the edge list,
+map-side combinable longs), degrees computed once and carried ON the edge
+row (no per-iteration degree join); iteration count is FIXED (unrollable
+into the oracle, bounded wall time). Hub skew is the usual PageRank skew —
+partial aggregation absorbs it (contributions combine before the shuffle).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: total rank mass, in micro-units (10¹² ≪ 2⁶³ even summed over a node's
+#: whole in-neighborhood)
+RANK_SCALE = 1_000_000_000_000
+
+
+def pagerank_int(
+    edges: DataFrame,
+    iters: int = 3,
+    damping_pct: int = 85,
+) -> DataFrame:
+    """Integer PageRank over a directed edge list (src, dst).
+
+    Every node appearing as src or dst participates. Dangling nodes (no
+    out-edges) keep their base share only — their mass is dropped, not
+    redistributed, which keeps the recurrence local (no global dangling-sum
+    reduction per iteration) and is the standard "weak" PageRank variant;
+    on symmetrized graphs (both directions present) there are no dangling
+    nodes and the variants coincide.
+
+    Returns (node, rank_units) with Σ initial units = N · (RANK_SCALE div N).
+
+    Block lifecycle: the edge fan-out (quadratic pair generation +
+    distinct) is the expensive input — it is ``localCheckpoint``-ed ONCE
+    and every iteration joins against the materialized rows; without
+    this, iteration i's DAG re-runs the fan-out i times. Per-round rank
+    frames are checkpointed and retired N-1-style (the
+    ``connected_components`` discipline); the returned frame's
+    checkpoint stays alive for the caller to release.
+    """
+    from etl_cascalog_spark.session import persistent_rdd_ids, unpersist_rdd_ids
+
+    spark = edges.sparkSession
+    before = persistent_rdd_ids(spark)
+    degrees = edges.groupBy("src").agg(F.count("*").alias("out_deg"))
+    # degree rides on the edge row: ONE join before the loop, zero inside it
+    contrib_edges = (
+        edges.join(degrees, "src")
+        .select("src", "dst", "out_deg")
+        .localCheckpoint(eager=True)
+    )
+    static_ids = persistent_rdd_ids(spark) - before
+    nodes = (
+        contrib_edges.select(F.col("src").alias("node"))
+        .union(contrib_edges.select(F.col("dst")))
+        .distinct()
+    )
+
+    n_nodes = nodes.count()  # driver-side scalar (config-scale, like S5)
+    base = RANK_SCALE // max(n_nodes, 1)
+    ranks = nodes.select("node", F.lit(base).cast("long").alias("rank_units"))
+    prev_ids: set[int] = set()
+
+    for _ in range(iters):
+        contribs = (
+            contrib_edges.join(
+                ranks, contrib_edges["src"] == ranks["node"]
+            )
+            .select(
+                F.col("dst").alias("node"),
+                F.expr("rank_units div out_deg").alias("c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("c").alias("in_sum"))
+        )
+        seen = persistent_rdd_ids(spark)
+        ranks = (
+            nodes.join(contribs, "node", "left")
+            .select(
+                "node",
+                F.expr(
+                    f"({100 - damping_pct} * {base}L"
+                    f" + {damping_pct} * coalesce(in_sum, 0L)) div 100"
+                ).cast("long").alias("rank_units"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        new_ids = persistent_rdd_ids(spark) - seen
+        unpersist_rdd_ids(spark, prev_ids)
+        prev_ids = new_ids
+    unpersist_rdd_ids(spark, static_ids)  # result lineage truncated: safe
+    return ranks
+
+
+def copurchase_edges(
+    lineitem: DataFrame,
+    max_order_items: int = 7,
+) -> DataFrame:
+    """Symmetric part-part co-purchase edges from the order basket.
+
+    Baskets larger than ``max_order_items`` are dropped BEFORE the pair
+    fan-out (the quadratic guard — identical discipline to ``max_bucket``
+    in the LSH joins: at 100 TB one degenerate mega-order must not emit
+    |basket|² rows). Edges are distinct (src, dst) pairs, both directions.
+    """
+    baskets = (
+        lineitem.select(
+            F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
+        )
+        .distinct()
+    )
+    sizes = baskets.groupBy("ok").agg(F.count("*").alias("n_items"))
+    bounded = baskets.join(
+        sizes.where(F.col("n_items") <= max_order_items), "ok"
+    )
+    a = bounded.select("ok", F.col("pk").alias("src"))
+    b = bounded.select("ok", F.col("pk").alias("dst"))
+    return (
+        a.join(b, "ok")
+        .where(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+    )

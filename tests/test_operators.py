@@ -1571,3 +1571,117 @@ def test_cli_list_oracle_and_explain(spark, capsys):
     plan = capsys.readouterr().out
     assert "TakeOrderedAndProject" in plan
     assert main(["oracle", "nope"]) == 2
+
+
+def test_kmeans_assignment_is_nearest_and_deterministic(spark):
+    from etl_cascalog_spark.operators.semantic import (
+        kmeans_fit,
+        quantize_embeddings,
+    )
+
+    # two tight groups around (0,0) and (10,10): k=2 must separate them
+    rows = [
+        (0, [0.0, 0.1]), (1, [0.1, 0.0]), (2, [0.05, 0.05]),
+        (3, [10.0, 10.1]), (4, [10.1, 10.0]), (5, [9.95, 10.05]),
+    ]
+    df = spark.createDataFrame(rows, "id: long, v: array<double>")
+    pts = quantize_embeddings(df, "id", "v")
+    fit = kmeans_fit(pts, dim=2, k=2, iters=3)
+    got = {r["id"]: r["cluster"] for r in fit.collect()}
+    assert got[0] == got[1] == got[2]
+    assert got[3] == got[4] == got[5]
+    assert got[0] != got[3]
+    # deterministic across re-runs (integer arithmetic, fixed seed rule)
+    fit2 = kmeans_fit(pts, dim=2, k=2, iters=3)
+    assert sorted(fit.collect()) == sorted(fit2.collect())
+
+
+def test_semantic_dedup_pairs_stay_within_cluster(spark):
+    from etl_cascalog_spark.operators.semantic import semantic_dedup_pairs
+
+    rows = [
+        (0, [0.0, 0.0]), (1, [0.001, 0.0]),      # near-dup pair, group A
+        (2, [10.0, 10.0]), (3, [10.0, 10.001]),  # near-dup pair, group B
+        (4, [5.0, -5.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id: long, embedding: array<double>")
+    pairs = semantic_dedup_pairs(
+        df, "vec_id", "embedding", dim=2, k=2, iters=2,
+        max_dist_units=10_000_000,
+    ).collect()
+    got = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert (0, 1) in got and (2, 3) in got
+    # cross-group pairs are never candidates (different clusters)
+    assert all(not (a < 2 <= b) for a, b in got)
+
+
+def test_pagerank_integer_mass_and_sink_behavior(spark):
+    from etl_cascalog_spark.operators.graph import pagerank_int
+
+    # star: 1..4 all point at 0; 0 points back at 1 only
+    edges = spark.createDataFrame(
+        [(1, 0), (2, 0), (3, 0), (4, 0), (0, 1)], "src: long, dst: long"
+    )
+    r = {row["node"]: row["rank_units"] for row in pagerank_int(edges, iters=3).collect()}
+    assert len(r) == 5
+    # hub 0 collects from four donors; leaf 2/3/4 get base share only
+    assert r[0] > r[1] > r[2]
+    assert r[2] == r[3] == r[4]
+    base = 1_000_000_000_000 // 5
+    assert r[2] == (15 * base) // 100
+
+
+def test_copurchase_edges_cap_drops_mega_basket(spark):
+    from etl_cascalog_spark.operators.graph import copurchase_edges
+
+    rows = [(1, p) for p in range(10)] + [(2, 100), (2, 101)]
+    li = spark.createDataFrame(
+        [(ok, pk) for ok, pk in rows], "l_orderkey: long, l_partkey: long"
+    )
+    edges = copurchase_edges(li, max_order_items=7).collect()
+    got = {(r["src"], r["dst"]) for r in edges}
+    assert got == {(100, 101), (101, 100)}  # basket 1 (10 items) dropped
+
+
+def test_resample_interpolate_exact_integer_points(spark):
+    from etl_cascalog_spark.operators.timeseries import resample_interpolate_daily
+
+    known = spark.createDataFrame(
+        [("a", "2024-01-01", 100), ("a", "2024-01-04", 160),
+         ("b", "2024-01-02", 50)],
+        "key: string, day: string, v: long",
+    ).select("key", F.col("day").cast("date").alias("day"), "v")
+    out = resample_interpolate_daily(known, "key", "day", "v").collect()
+    got = {(r["key"], str(r["day"])): (r["value"], r["src"]) for r in out}
+    assert got[("a", "2024-01-01")] == (100, "actual")
+    assert got[("a", "2024-01-02")] == (120, "interp")
+    assert got[("a", "2024-01-03")] == (140, "interp")
+    assert got[("a", "2024-01-04")] == (160, "actual")
+    # single-point key: spine collapses to the one actual day
+    assert got[("b", "2024-01-02")] == (50, "actual")
+    assert len([k for k in got if k[0] == "b"]) == 1
+
+
+def test_pigeonhole_edit_pairs_recall_and_cap(spark):
+    from etl_cascalog_spark.operators.dedup import pigeonhole_edit_pairs
+
+    rows = [
+        (1, "abcdefghi"),
+        (2, "abcdefghX"),   # 1 sub from id 1
+        (3, "abcdeXghX"),   # 2 subs from id 1, 1 from id 2
+        (4, "XXXdefXhi"),   # 3 subs from id 1 -> beyond max_dist
+        (5, "zzzzzzzzz"),
+    ]
+    df = spark.createDataFrame(rows, "id: long, s: string")
+    pairs = pigeonhole_edit_pairs(df, "id", "s", n_segments=3, max_dist=2)
+    got = {(r["id_a"], r["id_b"]): r["dist"] for r in pairs.collect()}
+    assert got[(1, 2)] == 1
+    assert got[(1, 3)] == 2
+    assert got[(2, 3)] == 1
+    assert (1, 4) not in got  # dist 3 verified out
+    assert (1, 5) not in got  # no shared segment
+    # cap: a posting list over the cap generates no candidates
+    capped = pigeonhole_edit_pairs(
+        df, "id", "s", n_segments=3, max_dist=2, max_posting=1
+    ).collect()
+    assert capped == []
