@@ -383,6 +383,42 @@ def write_seqfile(df: DataFrame, path: str, key_col: str, value_col: str) -> Non
     df.select(key_col, value_col).rdd.map(tuple).saveAsSequenceFile(path)
 
 
+def read_xml(
+    spark: SparkSession,
+    path: str,
+    row_tag: str,
+    schema=None,
+) -> DataFrame:
+    """S7 extension: XML source via Spark 4's BUILT-IN xml data source
+    (spark-xml was merged into core in 4.0 — no external package). One
+    DataFrame row per ``row_tag`` element; attributes surface as
+    ``_attr`` columns, nested elements as structs/arrays.
+
+    Pass ``schema`` in production — inference is a full extra pass, the
+    same rule as :func:`read_csv`. Splittability caveat at scale: XML
+    rows spanning block boundaries make the format the worst of the
+    text sources; land data in parquet/ORC and keep XML for ingestion
+    edges only."""
+    reader = spark.read.format("xml").option("rowTag", row_tag)
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.load(path)
+
+
+def write_xml(
+    df: DataFrame, path: str, row_tag: str = "row", root_tag: str = "rows"
+) -> None:
+    """XML sink twin of :func:`read_xml` (one file per partition, same
+    layout contract as every file sink here)."""
+    (
+        df.write.format("xml")
+        .option("rowTag", row_tag)
+        .option("rootTag", root_tag)
+        .mode("overwrite")
+        .save(path)
+    )
+
+
 def compact(
     spark: SparkSession,
     path: str,

@@ -72,3 +72,93 @@ def running_user_totals(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# Spark 4 transformWithState surface (the successor API)
+# ---------------------------------------------------------------------------
+
+try:  # pragma: no cover - import guard for older/slim runtimes
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    # the transformWithState Python<->JVM state-server protocol is
+    # protobuf-based; a runtime without a working google.protobuf (this
+    # sandbox) crashes the driver worker at query start, so the
+    # capability gate probes BOTH the API and its wire dependency
+    from google.protobuf import descriptor as _pb_descriptor  # noqa: F401
+
+    HAS_TRANSFORM_WITH_STATE = True
+except ImportError:  # pragma: no cover
+    StatefulProcessor = object  # type: ignore[assignment,misc]
+    HAS_TRANSFORM_WITH_STATE = False
+
+
+class RunningTotalsProcessor(StatefulProcessor):
+    """Per-user running totals as a Spark 4 ``StatefulProcessor`` — the
+    ``transformWithStateInPandas`` twin of :func:`running_user_totals`.
+
+    Why both: ``applyInPandasWithState`` is the 3.x-era API (one opaque
+    state tuple, timeout enum); ``transformWithState`` is its successor
+    with COMPOSABLE state primitives (value/list/map state, per-key
+    timers, TTL) behind a handle — the shape arbitrary production
+    stateful operators (cross-batch counters, custom session emission,
+    CDC caches) actually need. State here is one 3-field ValueState per
+    user; the state store scaling story is identical (keyed by group,
+    one shuffle per micro-batch, rescalable/checkpointable).
+    """
+
+    def init(self, handle: "StatefulProcessorHandle") -> None:
+        self._totals = handle.getValueState(
+            "totals", "n bigint, total double, maxv double"
+        )
+
+    def handleInputRows(self, key, rows, timerValues):
+        if self._totals.exists():
+            n, total, maxv = self._totals.get()
+        else:
+            n, total, maxv = 0, 0.0, None
+        for pdf in rows:
+            vals = pdf["value"].dropna()
+            n += len(pdf)
+            total += float(vals.sum())
+            if len(vals):
+                vmax = float(vals.max())
+                maxv = vmax if maxv is None else max(maxv, vmax)
+        self._totals.update((n, total, maxv))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "total_value": [round(total, 2)],
+                "max_value": [maxv],
+            }
+        )
+
+    def close(self) -> None:
+        pass
+
+
+def running_user_totals_tws(events: DataFrame) -> DataFrame:
+    """Per-user running totals via ``transformWithStateInPandas`` (Spark
+    4's arbitrary-stateful API). Output contract is identical to
+    :func:`running_user_totals` — the equivalence test pins both to the
+    same batch twin.
+
+    transformWithState runs ONLY on the RocksDB state store (the
+    HDFS-backed default store lacks the multi-column-family layout its
+    composable state primitives need), so the provider is pinned here;
+    RocksDB is also the store you want at scale (incremental
+    checkpointing, state larger than executor heap)."""
+    events.sparkSession.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    return events.groupBy("user_id").transformWithStateInPandas(
+        RunningTotalsProcessor(),
+        outputStructType=RUNNING_TOTALS_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )

@@ -174,6 +174,7 @@ def interval_join(
     end_col: str,
     watermark: str = "1 hour",
     bucket_seconds: int = 3600,
+    how: str = "inner",
 ) -> DataFrame:
     """Stream-stream interval join — the streaming twin of the batch
     ``operators.joins.range_join``: probe rows land in ``[start, end]`` of
@@ -189,6 +190,13 @@ def interval_join(
     cell, so state stays O(watermark-window of data), not O(stream).
     Inner join → append output; each match emits exactly once (the probe's
     cell is unique, so no dedup pass).
+
+    ``how="left_outer"`` emits unmatched PROBE rows (interval columns
+    NULL) once the interval side's watermark passes the probe's cell —
+    the streaming outer-join contract: the null row is delayed until
+    Spark can prove no future interval can match. Because each probe maps
+    to exactly ONE cell, an unmatched probe emits exactly one null row
+    (no per-cell duplicates).
     """
     step_us = int(bucket_seconds) * 1_000_000
     p = probe.withWatermark(ts_col, watermark).withColumn(
@@ -211,7 +219,7 @@ def interval_join(
         (p["__cell"] == i["__cell"])
         & (p[ts_col] >= i[start_col])
         & (p[ts_col] <= i[end_col]),
-        "inner",
+        how,
     ).drop("__cell")
 
 

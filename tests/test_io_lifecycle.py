@@ -326,3 +326,29 @@ def test_seqfile_round_trip(spark, tmp_path):
     assert {(r.key, r.value) for r in back.collect()} == {
         (f"k{i:03d}", f"v{i}") for i in range(50)
     }
+
+
+def test_xml_round_trip(spark, tmp_path):
+    """S7 XML tap via Spark 4's built-in xml source: typed round-trip
+    (long/double/string incl. CJK + XML-escaped chars) with an explicit
+    read schema — no inference pass."""
+    from etl_cascalog_spark.io import read_xml, write_xml
+
+    src = spark.createDataFrame(
+        [
+            (1, 3.5, "plain"),
+            (2, -0.25, "escape <&> chars"),
+            (3, 1e6, "中文值"),
+        ],
+        "id long, score double, label string",
+    )
+    p = str(tmp_path / "xml")
+    write_xml(src, p, row_tag="rec", root_tag="recs")
+    back = read_xml(
+        spark, p, row_tag="rec", schema="id long, score double, label string"
+    )
+    assert {(r.id, r.score, r.label) for r in back.collect()} == {
+        (1, 3.5, "plain"),
+        (2, -0.25, "escape <&> chars"),
+        (3, 1e6, "中文值"),
+    }

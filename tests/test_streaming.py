@@ -345,3 +345,94 @@ def test_streaming_content_dedup(spark):
         .count()
     )
     assert got == want > 0
+
+
+def test_transform_with_state_matches_apply_in_pandas_with_state(spark):
+    """transformWithStateInPandas (Spark 4 API) running totals: final row
+    per user equals both the batch aggregate and the legacy
+    applyInPandasWithState twin's contract."""
+    from etl_cascalog_spark.io import read_table
+    from etl_cascalog_spark.streaming.stateful import (
+        HAS_TRANSFORM_WITH_STATE,
+        running_user_totals_tws,
+    )
+    from etl_cascalog_spark.streaming.windows import run_to_memory, stream_events
+
+    if not HAS_TRANSFORM_WITH_STATE:
+        import pytest
+
+        pytest.skip("transformWithState unavailable in this runtime")
+
+    out = run_to_memory(
+        running_user_totals_tws(stream_events(spark, SF_SMOKE)),
+        "t_tws",
+        "update",
+    )
+    got = {}
+    for r in out.collect():
+        got[r.user_id] = (r.n_events, round(r.total_value, 2), round(r.max_value, 2))
+
+    events = read_table(spark, SF_SMOKE, "events")
+    want = {
+        r.user_id: (r.n, round(r.total, 2), round(r.maxv, 2))
+        for r in events.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("value").alias("total"),
+            F.max("value").alias("maxv"),
+        )
+        .collect()
+    }
+    assert got == want
+
+
+def test_stream_interval_join_left_outer_emits_unmatched(spark):
+    """left_outer interval join: probes with no covering interval emit
+    exactly one null-extended row once the interval watermark passes;
+    matched pairs are identical to the inner join."""
+    from etl_cascalog_spark.io import read_table
+    from etl_cascalog_spark.operators.joins import range_join
+    from etl_cascalog_spark.streaming.windows import (
+        interval_join,
+        run_to_memory,
+        stream_events,
+    )
+
+    def split(ev):
+        intervals = ev.where(F.col("event_type") == "error").select(
+            F.col("event_id").alias("error_id"),
+            F.col("ts").alias("w_start"),
+            F.expr("ts + INTERVAL 30 MINUTE").alias("w_end"),
+        )
+        clicks = ev.where(F.col("event_type") == "click").select(
+            F.col("event_id").alias("click_id"), F.col("ts").alias("cts")
+        )
+        return intervals, clicks
+
+    s_intervals, s_clicks = split(stream_events(spark, SF_SMOKE))
+    stream = run_to_memory(
+        interval_join(
+            s_clicks, "cts", s_intervals, "w_start", "w_end", how="left_outer"
+        ),
+        "t_interval_join_lo",
+        "append",
+    )
+    rows = stream.collect()
+    matched = sorted(
+        (r.error_id, r.click_id) for r in rows if r.error_id is not None
+    )
+    unmatched = {r.click_id for r in rows if r.error_id is None}
+
+    b_intervals, b_clicks = split(read_table(spark, SF_SMOKE, "events"))
+    batch = range_join(
+        b_clicks, "cts", b_intervals, "w_start", "w_end", bucket_seconds=1800
+    )
+    want = sorted((r.error_id, r.click_id) for r in batch.collect())
+    assert matched == want
+    # null rows emit only once the FINAL watermark passes the probe's
+    # cell — clicks inside the terminal watermark window legitimately
+    # stay buffered, so unmatched is a nonempty SUBSET of the batch
+    # complement, never a superset (no false nulls)
+    all_clicks = {r.click_id for r in b_clicks.collect()}
+    assert unmatched <= all_clicks - {c for _, c in want}
+    assert unmatched  # fixture has clicks outside every error window
