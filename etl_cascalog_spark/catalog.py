@@ -6194,3 +6194,99 @@ def variant_json_shred(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("d").alias("min_day"),
         F.max("d").alias("max_day"),
     )
+
+
+@register(
+    "recursive_hierarchy_rollup",
+    oracle="""
+    WITH RECURSIVE h AS (
+      SELECT s_suppkey AS node, 0 AS depth FROM supplier WHERE s_suppkey = 0
+      UNION ALL
+      SELECT s.s_suppkey, h.depth + 1
+      FROM supplier s JOIN h ON (s.s_suppkey // 10) = h.node
+      WHERE s.s_suppkey != h.node
+    )
+    SELECT CAST(h.depth AS INT) AS depth,
+           CAST(count(*) AS BIGINT) AS n_nodes,
+           CAST(min(h.node) AS BIGINT) AS min_node,
+           CAST(max(h.node) AS BIGINT) AS max_node,
+           CAST(round(sum(CAST(s.s_acctbal AS DECIMAL(12,2))), 2) AS DOUBLE)
+             AS total_bal
+    FROM h JOIN supplier s ON s.s_suppkey = h.node
+    GROUP BY 1
+    """,
+    doc="Hierarchy traversal via Spark 4's native WITH RECURSIVE (the "
+    "org-chart/category-tree closure every warehouse eventually needs; "
+    "pre-4.0 this took a driver-side iteration loop like "
+    "connected_components): decimal-digit parent edges (node div 10) "
+    "walked root-down, per-depth rollup of node counts and exact-decimal "
+    "balances. The recursion's per-step join is an equi-join on the "
+    "derived parent key; depth is bounded by log10(max key), so the "
+    "unrolled plan is ~6 joins at any scale — Catalyst executes each "
+    "step as a normal hash join over the previous frontier.",
+)
+def recursive_hierarchy_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    read_table(spark, sf_dir, "supplier").createOrReplaceTempView("v_supplier")
+    return spark.sql(
+        """
+        WITH RECURSIVE h AS (
+          SELECT s_suppkey AS node, 0 AS depth
+          FROM v_supplier WHERE s_suppkey = 0
+          UNION ALL
+          SELECT s.s_suppkey, h.depth + 1
+          FROM v_supplier s JOIN h ON (s.s_suppkey div 10) = h.node
+          WHERE s.s_suppkey != h.node
+        )
+        SELECT CAST(h.depth AS INT) AS depth,
+               CAST(count(*) AS BIGINT) AS n_nodes,
+               CAST(min(h.node) AS BIGINT) AS min_node,
+               CAST(max(h.node) AS BIGINT) AS max_node,
+               CAST(round(sum(CAST(s.s_acctbal AS DECIMAL(12,2))), 2) AS DOUBLE)
+                 AS total_bal
+        FROM h JOIN v_supplier s ON s.s_suppkey = h.node
+        GROUP BY 1
+        """
+    )
+
+
+@register(
+    "unpivot_metrics_long",
+    oracle="""
+    WITH wide AS (
+      SELECT o_orderpriority AS prio,
+             CAST(count(*) AS DOUBLE) AS n_orders,
+             CAST(round(sum(CAST(o_totalprice AS DECIMAL(12,2))), 2) AS DOUBLE)
+               AS revenue,
+             round(CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100
+                                 AS BIGINT)) AS DOUBLE)
+                   / 100 / count(*), 6) AS avg_price
+      FROM orders GROUP BY 1
+    )
+    SELECT prio, metric, val FROM wide
+    UNPIVOT (val FOR metric IN (n_orders, revenue, avg_price))
+    """,
+    doc="Wide→long melt through the native unpivot operator (the inverse "
+    "of grouped_pivot; metrics-table normalization for generic dashboard "
+    "sinks): per-priority aggregates unpivoted to (key, metric, value) "
+    "rows. Unpivot is an Expand node — pure map-side ×n_metrics row "
+    "generation, no shuffle beyond the feeding aggregate; the oracle is "
+    "DuckDB's UNPIVOT of the same wide frame. avg derives from the "
+    "exact integer-cents sum, so the divide is deterministic on both "
+    "engines.",
+)
+def unpivot_metrics_long(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = read_table(spark, sf_dir, "orders")
+    wide = orders.groupBy(F.col("o_orderpriority").alias("prio")).agg(
+        F.count("*").cast("double").alias("n_orders"),
+        dround(F.sum(money(F.col("o_totalprice")))).alias("revenue"),
+        F.round(
+            F.sum((money(F.col("o_totalprice")) * 100).cast("long"))
+            .cast("double")
+            / 100
+            / F.count("*"),
+            6,
+        ).alias("avg_price"),
+    )
+    return wide.unpivot(
+        "prio", ["n_orders", "revenue", "avg_price"], "metric", "val"
+    )

@@ -1685,3 +1685,86 @@ def test_pigeonhole_edit_pairs_recall_and_cap(spark):
         df, "id", "s", n_segments=3, max_dist=2, max_posting=1
     ).collect()
     assert capped == []
+
+
+def test_round5_plan_shapes(spark):
+    """Plan-shape guard for the round-5 operators: no CartesianProduct
+    anywhere (the k-means assignment is a broadcast nested-loop against
+    the K-row centroid side — NOT a cartesian), no SortMergeJoin where
+    broadcast is expected, pushdown intact on the scans."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tools"))
+    from plan_audit import audit_plan
+
+    from etl_cascalog_spark.catalog import QUERIES
+    from etl_cascalog_spark.session import release_all_blocks
+    from tests.conftest import SF_SMOKE
+
+    def final_audit(name):
+        df = QUERIES[name].build(spark, SF_SMOKE)
+        df.write.format("noop").mode("overwrite").save()
+        a = audit_plan(df._jdf.queryExecution().executedPlan().toString())
+        release_all_blocks(spark)
+        return a
+
+    for name in (
+        "semantic_dedup_kmeans",
+        "kmeans_cluster_profile",
+        "pagerank_copurchase",
+        "resample_interpolate_daily",
+        "pigeonhole_edit_pairs",
+        "unpivot_metrics_long",
+        "recursive_hierarchy_rollup",
+    ):
+        a = final_audit(name)
+        assert a["cart"] == 0, (name, a)
+
+    # resample: the spine-densify join MAY SortMergeJoin on (key, day) —
+    # that sort is exactly the downstream windows' required (key, day)
+    # ordering, so it's the fused plan, not a regression; what must never
+    # appear is a cartesian or an unpartitioned window
+    r = final_audit("resample_interpolate_daily")
+    assert r["smj"] <= 1
+
+    # unpivot is an Expand over one aggregate: at most one exchange
+    u = final_audit("unpivot_metrics_long")
+    assert u["smj"] == 0 and u["bhj"] == 0 and u["exch"] <= 1
+
+
+def test_kmeans_and_pagerank_partition_invariant(spark):
+    """The order-free-integer-arithmetic claim, tested directly: results
+    are IDENTICAL under adversarial repartitioning of the input (the
+    property float summation cannot give, and the reason the oracles can
+    hash-match at all)."""
+    from etl_cascalog_spark.io import read_table
+    from etl_cascalog_spark.operators.graph import copurchase_edges, pagerank_int
+    from etl_cascalog_spark.operators.semantic import (
+        kmeans_fit,
+        quantize_embeddings,
+    )
+    from etl_cascalog_spark.session import release_all_blocks
+    from tests.conftest import SF_SMOKE
+
+    emb = read_table(spark, SF_SMOKE, "embeddings")
+    pts = quantize_embeddings(emb, "vec_id", "embedding")
+    base = sorted(
+        (r["id"], r["cluster"], r["dist"])
+        for r in kmeans_fit(pts, dim=64, k=4, iters=2).collect()
+    )
+    shuffled = sorted(
+        (r["id"], r["cluster"], r["dist"])
+        for r in kmeans_fit(pts.repartition(7), dim=64, k=4, iters=2).collect()
+    )
+    assert base == shuffled
+    release_all_blocks(spark)
+
+    li = read_table(spark, SF_SMOKE, "lineitem")
+    edges = copurchase_edges(li, max_order_items=7)
+    r1 = sorted(map(tuple, pagerank_int(edges, iters=2).collect()))
+    r2 = sorted(
+        map(tuple, pagerank_int(edges.repartition(11), iters=2).collect())
+    )
+    assert r1 == r2
+    release_all_blocks(spark)

@@ -436,3 +436,56 @@ def test_stream_interval_join_left_outer_emits_unmatched(spark):
     all_clicks = {r.click_id for r in b_clicks.collect()}
     assert unmatched <= all_clicks - {c for _, c in want}
     assert unmatched  # fixture has clicks outside every error window
+
+
+def test_synthetic_stream_source_microbatches(spark):
+    """Spark 4 Python streaming DataSource: the deterministic generator as
+    an unbounded source — N micro-batches of rows_per_batch each, rows
+    identical to the batch reader over the same index range (the
+    replayability contract exactly-once recovery relies on)."""
+    from etl_cascalog_spark.sources import SyntheticEventsDataSource
+
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    spark.dataSource.register(SyntheticEventsDataSource)
+    stream = (
+        spark.readStream.format("synthetic_events")
+        .option("seed", 11)
+        .option("rows_per_batch", 500)
+        .load()
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("t_synth_stream")
+        .outputMode("append")
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    try:
+        import time
+
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            n = spark.table("t_synth_stream").count()
+            if n >= 1500:
+                break
+            time.sleep(0.5)
+    finally:
+        q.stop()
+    got = {
+        r.event_id: (r.user_id, r.event_type, r.value)
+        for r in spark.table("t_synth_stream").collect()
+    }
+    assert len(got) >= 1500  # several micro-batches, no duplicate ids
+
+    batch = (
+        spark.read.format("synthetic_events")
+        .option("n_rows", 1500)
+        .option("seed", 11)
+        .load()
+    )
+    want = {
+        r.event_id: (r.user_id, r.event_type, r.value)
+        for r in batch.collect()
+    }
+    for eid, vals in want.items():
+        assert got[eid] == vals  # stream rows == batch rows, same derivation

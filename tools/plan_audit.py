@@ -35,6 +35,7 @@ def audit_plan(plan: str) -> dict[str, int | str]:
         "smj": n(r"SortMergeJoin"),
         "bhj": n(r"BroadcastHashJoin"),
         "bnlj": n(r"BroadcastNestedLoopJoin"),
+        "cart": n(r"CartesianProduct"),
         "exch": n(r"Exchange (hash|range)partitioning|Exchange SinglePartition"),
         "push": "yes"
         if any(re.search(r"PushedFilters: \[[^\]]", ln) for ln in uniq)
@@ -47,17 +48,24 @@ def main() -> None:
     from etl_cascalog_spark.catalog import QUERIES
     from etl_cascalog_spark.session import get_spark
 
+    from etl_cascalog_spark.session import release_all_blocks
+
     spark = get_spark("plan_audit")
-    print("| query | SMJ | BHJ | BNLJ | Exch | Push |")
-    print("|---|---|---|---|---|---|")
+    print("| query | SMJ | BHJ | BNLJ | Cart | Exch | Push |")
+    print("|---|---|---|---|---|---|---|")
     for name in sorted(QUERIES):
         df = QUERIES[name].build(spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()
         plan = df._jdf.queryExecution().executedPlan().toString()
         a = audit_plan(plan)
-        print(f"| {name} | {a['smj']} | {a['bhj']} | {a['bnlj']} | {a['exch']} | {a['push']} |")
+        print(
+            f"| {name} | {a['smj']} | {a['bhj']} | {a['bnlj']} | {a['cart']} "
+            f"| {a['exch']} | {a['push']} |"
+        )
         sys.stdout.flush()
-        spark.catalog.clearCache()
+        # full storage reset (incl. localCheckpoint blocks from iterative
+        # builders) — clearCache alone leaks those across a 131-query sweep
+        release_all_blocks(spark)
     spark.stop()
 
 
