@@ -6290,3 +6290,43 @@ def unpivot_metrics_long(spark: SparkSession, sf_dir: str) -> DataFrame:
     return wide.unpivot(
         "prio", ["n_orders", "revenue", "avg_price"], "metric", "val"
     )
+
+
+@register(
+    "neardup_clusters_star",
+    oracle=f"""
+    WITH RECURSIVE {_SHINGLE_CTE},
+    e AS (
+      SELECT doc_a AS s, doc_b AS t FROM jpairs
+      UNION
+      SELECT doc_b, doc_a FROM jpairs
+    ),
+    reach(s, t) AS (
+      SELECT s, t FROM e
+      UNION
+      SELECT r.s, e2.t FROM reach r JOIN e e2 ON r.t = e2.s
+    )
+    SELECT s AS doc_id, least(s, min(t)) AS cluster_id
+    FROM reach GROUP BY s
+    """,
+    doc="neardup_clusters on the LARGE-COMPONENT algorithm: alternating "
+    "large-star/small-star (Kiveris et al., SoCC 2014) instead of "
+    "min-label propagation — tree heights HALVE per round (O(log n) "
+    "rounds regardless of component diameter), which is the difference "
+    "between 4 rounds and 10⁷ rounds on a chain-shaped component at "
+    "100 TB. Same fixpoint, same oracle (recursive-CTE closure); the "
+    "equivalence is also property-tested on random graphs.",
+)
+def neardup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_cascalog_spark.operators.dedup import (
+        connected_components_star,
+        minhash_lsh_pairs,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(
+        docs, "doc_id", "text", n=3, num_hashes=64, bands=16, threshold=0.7
+    )
+    return connected_components_star(pairs).select(
+        F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
+    )

@@ -959,3 +959,120 @@ def pigeonhole_edit_pairs(
         .where(F.col("dist") <= max_dist)
         .select("id_a", "id_b", "dist")
     )
+
+
+def _symmetric(edges: DataFrame) -> DataFrame:
+    rev = edges.select(F.col("t").alias("s"), F.col("s").alias("t"))
+    return edges.unionByName(rev)
+
+
+def connected_components_star(
+    pairs: DataFrame,
+    id_a: str = "doc_a",
+    id_b: str = "doc_b",
+    max_iter: int = 15,
+) -> DataFrame:
+    """Connected components via alternating large-star / small-star
+    (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    SoCC 2014) — the huge-component twin of :func:`connected_components`.
+
+    Min-label propagation converges in O(component diameter) rounds: fine
+    for shallow near-dup clusters, catastrophic for a 10⁷-node chain. The
+    star operations instead HALVE tree heights per round (O(log² n)
+    worst-case, O(log n) in practice) by rewiring every node directly
+    toward its neighborhood minimum:
+
+    - **large-star** (per node u): every neighbor v > u re-attaches to
+      m = min({u} ∪ N(u));
+    - **small-star** (per node u over edges oriented high→low): every
+      neighbor v ≤ u (and u itself) re-attaches to the minimum.
+
+    Both are one groupBy-min + one equi-join on the node key — partial
+    aggregation absorbs the hub skew that makes high-degree minimums hot.
+    Fixpoint when the edge set stops changing; the surviving edges are
+    exactly (node, component_min) stars. Output matches
+    :func:`connected_components`: ``(node, label)``, label = smallest
+    reachable id, INCLUDING isolated self-labeled nodes of the input
+    pairs. localCheckpoint + retire-previous-round, identical block
+    lifecycle to the propagation variant.
+    """
+    from etl_cascalog_spark.session import persistent_rdd_ids, unpersist_rdd_ids
+
+    spark = pairs.sparkSession
+    before = persistent_rdd_ids(spark)
+    edges = (
+        _symmetric(
+            pairs.select(F.col(id_a).alias("s"), F.col(id_b).alias("t"))
+        )
+        .where(F.col("s") != F.col("t"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    edge_ids = persistent_rdd_ids(spark) - before
+    all_nodes = (
+        edges.select(F.col("s").alias("node")).distinct().localCheckpoint(eager=True)
+    )
+    node_ids = persistent_rdd_ids(spark) - before - edge_ids
+
+    def large_star(e: DataFrame) -> DataFrame:
+        sym = _symmetric(e)
+        m = sym.groupBy("s").agg(
+            F.least(F.min("t"), F.first("s")).alias("m")
+        )
+        return (
+            sym.join(m, "s")
+            .where(F.col("t") > F.col("s"))
+            .select(F.col("t").alias("s"), F.col("m").alias("t"))
+            .where(F.col("s") != F.col("t"))
+            .distinct()
+        )
+
+    def small_star(e: DataFrame) -> DataFrame:
+        # orient high -> low: s > t
+        hi = e.select(
+            F.greatest("s", "t").alias("s"), F.least("s", "t").alias("t")
+        ).distinct()
+        m = hi.groupBy("s").agg(F.min("t").alias("m"))
+        rewired = (
+            hi.join(m, "s")
+            .select(F.col("t").alias("v"), F.col("m"))
+            .unionByName(
+                m.select(F.col("s").alias("v"), F.col("m"))
+            )
+            .where(F.col("v") != F.col("m"))
+            .select(F.col("v").alias("s"), F.col("m").alias("t"))
+            .distinct()
+        )
+        return rewired
+
+    for _ in range(max_iter):
+        seen = persistent_rdd_ids(spark)
+        new_edges = small_star(large_star(edges)).localCheckpoint(eager=True)
+        new_ids = persistent_rdd_ids(spark) - seen
+        changed = (
+            new_edges.unionByName(edges)
+            .groupBy("s", "t")
+            .agg(F.count("*").alias("c"))
+            .where(F.col("c") == 1)
+            .limit(1)
+            .count()
+        )
+        # retire round N-1's edge blocks; all_nodes' blocks stay (the
+        # final label join reads them)
+        unpersist_rdd_ids(spark, edge_ids)
+        edge_ids = new_ids
+        edges = new_edges
+        if changed == 0:
+            break
+    # surviving edges are (node, min) stars; add self-labels for minima
+    labels = (
+        all_nodes.join(
+            edges.select(F.col("s").alias("node"), F.col("t").alias("label")),
+            "node",
+            "left",
+        )
+        .select(
+            "node", F.coalesce("label", F.col("node")).alias("label")
+        )
+    )
+    return labels

@@ -421,3 +421,42 @@ def test_synthetic_source_feeds_engine_operators(spark):
     )
     total = out.agg(F.sum("n").alias("s")).collect()[0].s
     assert total == 5000
+
+
+def test_zorder_write_tightens_file_spans(spark, tmp_path):
+    """write_zordered: after the Morton rewrite, the average per-file span
+    of BOTH dimensions is strictly tighter than a hash-scattered layout —
+    i.e. predicates on either column would prune most files."""
+    from pyspark.sql import functions as F
+
+    from etl_cascalog_spark.io import read_table
+    from etl_cascalog_spark.operators.layout import file_span_stats, write_zordered
+
+    # equal-width dimensions (8 bits each): z-order only balances pruning
+    # across dims of comparable cardinality — with mismatched widths the
+    # top Morton bits all come from the wider dim (documented in zvalue)
+    orders = read_table(spark, SF_SMOKE, "orders").select(
+        "o_orderkey",
+        (F.col("o_custkey") % 256).alias("x"),
+        (
+            F.datediff("o_orderdate", F.lit("1992-01-01").cast("date")) % 256
+        ).alias("y"),
+    )
+    scattered = str(tmp_path / "scattered")
+    orders.repartition(16).write.parquet(scattered)
+    zpath = str(tmp_path / "zordered")
+    write_zordered(orders, zpath, "x", "y", bits=8, n_files=16)
+
+    def mean_spans(path):
+        stats = file_span_stats(spark.read.parquet(path), "x", "y").collect()
+        xs = sum(r.x_max - r.x_min for r in stats) / len(stats)
+        ys = sum(r.y_max - r.y_min for r in stats) / len(stats)
+        return xs, ys, len(stats)
+
+    sx, sy, _ = mean_spans(scattered)
+    zx, zy, nz = mean_spans(zpath)
+    assert nz >= 2
+    # both dimensions tighten (the whole point of interleaving)
+    assert zx < sx * 0.8 and zy < sy * 0.8, (zx, sx, zy, sy)
+    # and content survives the rewrite
+    assert spark.read.parquet(zpath).count() == orders.count()

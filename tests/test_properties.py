@@ -306,3 +306,125 @@ def test_recency_sample_equals_naive(spark, rows, half_life):
         if bucket < int(round(rate * 1_000_000)):
             want.add(i)
     assert kept == want
+
+
+@given(
+    base=st.text(alphabet="ab", min_size=6, max_size=12),
+    subs=st.lists(st.tuples(st.integers(0, 11), st.sampled_from("cd")), min_size=0, max_size=2),
+)
+@_settings
+def test_pigeonhole_recall_for_substitutions(spark, base, subs):
+    """PassJoin contract: for SAME-LENGTH strings within substitution
+    distance n_segments-1, uncapped pigeonhole blocking ALWAYS emits the
+    pair (≥1 aligned segment untouched), with the exact levenshtein."""
+    from etl_cascalog_spark.operators.dedup import pigeonhole_edit_pairs
+
+    mutated = list(base)
+    for pos, ch in subs:
+        if pos < len(mutated):
+            mutated[pos] = ch
+    other = "".join(mutated)
+    n_subs = sum(1 for x, y in zip(base, other) if x != y)
+    df = spark.createDataFrame([(1, base), (2, other)], "id: long, s: string")
+    got = {
+        (r["id_a"], r["id_b"]): r["dist"]
+        for r in pigeonhole_edit_pairs(
+            df, "id", "s", n_segments=3, max_dist=2, max_posting=None
+        ).collect()
+    }
+    if 0 < n_subs <= 2:
+        # levenshtein may be < hamming (shifts), never greater
+        assert (1, 2) in got and got[(1, 2)] <= n_subs
+    elif n_subs == 0:
+        assert got.get((1, 2)) == 0 or (1, 2) in got
+
+
+@given(
+    vals=st.lists(st.integers(0, 10_000), min_size=1, max_size=6),
+    gaps=st.lists(st.integers(1, 5), min_size=0, max_size=5),
+)
+@_settings
+def test_resample_interpolate_equals_naive(spark, vals, gaps):
+    """Interpolated values equal the naive Python recurrence
+    prev + (next-prev)*offset // gap (trunc division) on every spine day."""
+    from datetime import date, timedelta
+
+    from etl_cascalog_spark.operators.timeseries import resample_interpolate_daily
+
+    days, d = [], date(2024, 1, 1)
+    for i, v in enumerate(vals):
+        days.append((d, v))
+        if i < len(gaps):
+            d += timedelta(days=1 + gaps[i])
+        else:
+            d += timedelta(days=1)
+    df = spark.createDataFrame(
+        [("k", dd.isoformat(), vv) for dd, vv in days],
+        "key: string, day: string, v: long",
+    ).select("key", F.col("day").cast("date").alias("day"), "v")
+    got = {
+        r["day"]: (r["value"], r["src"])
+        for r in resample_interpolate_daily(df, "key", "day", "v").collect()
+    }
+    known = dict(days)
+    d0, d1 = days[0][0], days[-1][0]
+    n_days = (d1 - d0).days + 1
+    assert len(got) == n_days
+    cur = d0
+    while cur <= d1:
+        if cur in known:
+            assert got[cur] == (known[cur], "actual"), cur
+        else:
+            prev_d = max(dd for dd in known if dd < cur)
+            next_d = min(dd for dd in known if dd > cur)
+            pv, nv = known[prev_d], known[next_d]
+            off, gap = (cur - prev_d).days, (next_d - prev_d).days
+            # trunc-toward-zero semantics of Spark div on the delta product
+            delta = (nv - pv) * off
+            want = pv + (abs(delta) // gap) * (1 if delta >= 0 else -1)
+            assert got[cur] == (want, "interp"), (cur, got[cur], want)
+        cur += timedelta(days=1)
+
+
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 30), st.integers(0, 30)),
+        min_size=1,
+        max_size=25,
+    )
+)
+@_settings
+def test_star_cc_equals_label_propagation(spark, edges):
+    """Alternating large-star/small-star CC produces EXACTLY the same
+    (node -> component-min) labeling as min-label propagation on random
+    graphs — chains, hubs, self-loops, parallel edges and all."""
+    from etl_cascalog_spark.operators.dedup import (
+        connected_components,
+        connected_components_star,
+    )
+    from etl_cascalog_spark.session import release_all_blocks
+
+    df = spark.createDataFrame(edges, "doc_a: long, doc_b: long")
+    want = {
+        (r.node, r.label) for r in connected_components(df).collect()
+    }
+    got = {
+        (r.node, r.label) for r in connected_components_star(df).collect()
+    }
+    release_all_blocks(spark)
+    # propagation keeps self-loop-only nodes too; star drops pure
+    # self-loops before iterating — compare on the common node set
+    want_nodes = {n for n, _ in want}
+    got_nodes = {n for n, _ in got}
+    if want_nodes == got_nodes:
+        assert got == want
+    else:
+        # difference can only be isolated self-loop nodes, which label
+        # themselves in both conventions
+        only = want_nodes ^ got_nodes
+        assert all(
+            (n, n) in (want | got) for n in only
+        )
+        assert {p for p in want if p[0] not in only} == {
+            p for p in got if p[0] not in only
+        }
