@@ -6330,3 +6330,328 @@ def neardup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components_star(pairs).select(
         F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Q. Product-analytics family: cohorts, paths, graph structure, rules
+# ---------------------------------------------------------------------------
+
+@register(
+    "cohort_retention",
+    oracle="""
+    WITH firsts AS (
+      SELECT o_custkey AS cust,
+             date_trunc('month', min(o_orderdate)) AS cohort
+      FROM orders GROUP BY 1
+    ),
+    activity AS (
+      SELECT DISTINCT o_custkey AS cust,
+             date_trunc('month', o_orderdate) AS m
+      FROM orders
+    ),
+    cohort_sizes AS (
+      SELECT cohort, count(*) AS n_cohort FROM firsts GROUP BY 1
+    ),
+    ret AS (
+      SELECT f.cohort, date_diff('month', f.cohort, a.m) AS k,
+             count(DISTINCT a.cust) AS n_active
+      FROM activity a JOIN firsts f ON a.cust = f.cust
+      WHERE date_diff('month', f.cohort, a.m) BETWEEN 0 AND 5
+      GROUP BY 1, 2
+    )
+    SELECT strftime(r.cohort, '%Y-%m') AS cohort_month,
+           CAST(r.k AS INT) AS k,
+           CAST(r.n_active AS BIGINT) AS n_active,
+           CAST(s.n_cohort AS BIGINT) AS n_cohort,
+           round(CAST(r.n_active AS DOUBLE) / s.n_cohort, 6) AS retention
+    FROM ret r JOIN cohort_sizes s ON r.cohort = s.cohort
+    """,
+    doc="Cohort retention (the product-analytics staple): customers "
+    "bucketed by first-order month, per-cohort share still active k "
+    "months later (k ≤ 5). Two shuffles on the uniform customer key "
+    "(first-month agg, distinct activity), one broadcast of the "
+    "|cohorts|-row size table. Retention ratios divide exact integer "
+    "counts, so the rounding is bit-stable.",
+)
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = read_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("cust"),
+        F.date_trunc("month", "o_orderdate").cast("date").alias("m"),
+    )
+    firsts = orders.groupBy("cust").agg(F.min("m").alias("cohort"))
+    activity = orders.distinct()
+    sizes = firsts.groupBy("cohort").agg(F.count("*").alias("n_cohort"))
+    ret = (
+        activity.join(firsts, "cust")
+        .withColumn(
+            "k",
+            F.months_between(F.col("m"), F.col("cohort")).cast("int"),
+        )
+        .where(F.col("k").between(0, 5))
+        .groupBy("cohort", "k")
+        .agg(F.count_distinct("cust").alias("n_active"))
+    )
+    return (
+        ret.join(F.broadcast(sizes), "cohort")
+        .select(
+            F.date_format("cohort", "yyyy-MM").alias("cohort_month"),
+            F.col("k").cast("int").alias("k"),
+            F.col("n_active").cast("long").alias("n_active"),
+            F.col("n_cohort").cast("long").alias("n_cohort"),
+            F.round(
+                F.col("n_active").cast("double") / F.col("n_cohort"), 6
+            ).alias("retention"),
+        )
+    )
+
+
+@register(
+    "top_event_paths",
+    oracle="""
+    WITH s AS (
+      SELECT user_id, ts, event_id, event_type,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR ts > lag(ts) OVER w + INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    t AS (
+      SELECT user_id, ts, event_id, event_type,
+             sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS sid
+      FROM s
+    ),
+    r AS (
+      SELECT user_id, sid, event_type,
+             row_number() OVER (PARTITION BY user_id, sid
+                                ORDER BY ts, event_id) AS rn
+      FROM t
+    ),
+    paths AS (
+      SELECT user_id, sid,
+             string_agg(event_type, '>' ORDER BY rn) AS path
+      FROM r WHERE rn <= 8 GROUP BY 1, 2
+    ),
+    counted AS (
+      SELECT path, count(*) AS n_sessions FROM paths GROUP BY 1
+    )
+    SELECT path, CAST(n_sessions AS BIGINT) AS n_sessions
+    FROM counted
+    ORDER BY n_sessions DESC, path
+    LIMIT 10
+    """,
+    doc="Top event-sequence paths (funnel discovery): 30-minute "
+    "sessionization, each session's ordered event-type sequence "
+    "(first 8 events, (ts, event_id) tie-break so the string is "
+    "deterministic), global top-10 paths. One user-keyed shuffle for "
+    "the session windows, one path-keyed count agg, TakeOrdered for "
+    "the limit — no global sort materializes.",
+)
+def top_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_cascalog_spark.operators.sessions import sessionize
+
+    events = read_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    s = sessionize(events, ["user_id"], "ts", gap="30 minutes")
+    paths = (
+        s.groupBy("user_id", "session_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("ts", "event_id", "event_type"))
+            ).alias("evs")
+        )
+        .select(
+            F.array_join(
+                F.transform(
+                    F.slice("evs", 1, 8), lambda e: e["event_type"]
+                ),
+                ">",
+            ).alias("path")
+        )
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count("*").cast("long").alias("n_sessions"))
+        .orderBy(F.col("n_sessions").desc(), "path")
+        .limit(10)
+    )
+
+
+@register(
+    "triangle_count",
+    oracle="""
+    WITH baskets AS (
+      SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+    ),
+    sizes AS (SELECT ok, count(*) AS n FROM baskets GROUP BY ok),
+    bounded AS (
+      SELECT b.ok, b.pk FROM baskets b JOIN sizes s ON b.ok = s.ok
+      WHERE s.n <= 5
+    ),
+    und AS (
+      SELECT DISTINCT least(a.pk, b.pk) AS u, greatest(a.pk, b.pk) AS v
+      FROM bounded a JOIN bounded b ON a.ok = b.ok AND a.pk < b.pk
+    ),
+    deg AS (
+      SELECT node, count(*) AS d FROM (
+        SELECT u AS node FROM und UNION ALL SELECT v FROM und
+      ) GROUP BY 1
+    ),
+    kept AS (
+      SELECT e.u, e.v FROM und e
+      JOIN deg du ON du.node = e.u JOIN deg dv ON dv.node = e.v
+      WHERE du.d <= 25 AND dv.d <= 25
+    ),
+    tri AS (
+      SELECT e1.u AS a, e1.v AS b, e2.v AS c
+      FROM kept e1
+      JOIN kept e2 ON e2.u = e1.v
+      JOIN kept e3 ON e3.u = e1.u AND e3.v = e2.v
+    )
+    SELECT CAST((SELECT count(*) FROM (SELECT DISTINCT u AS n FROM kept
+                                       UNION SELECT v FROM kept)) AS BIGINT)
+             AS n_nodes,
+           CAST((SELECT count(*) FROM kept) AS BIGINT) AS n_edges,
+           CAST((SELECT count(*) FROM tri) AS BIGINT) AS n_triangles
+    """,
+    doc="Triangle counting over the co-purchase graph (graph-structure "
+    "metric behind clustering coefficients): edges oriented low-id → "
+    "high-id so each triangle is counted exactly once as u<v<w, wedge "
+    "join closed by an edge probe. Quadratic guards at BOTH grains — "
+    "baskets ≤ 5 items before the pair fan-out, hub nodes (degree > 25) "
+    "dropped before the wedge join — the same max_bucket discipline as "
+    "the LSH joins; wedge volume is then Σ deg² ≤ 625·|V| by "
+    "construction, at any corpus size.",
+)
+def triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem")
+    baskets = li.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
+    ).distinct()
+    sizes = baskets.groupBy("ok").agg(F.count("*").alias("n"))
+    bounded = baskets.join(
+        sizes.where(F.col("n") <= 5), "ok"
+    ).select("ok", "pk")
+    a = bounded.alias("a")
+    b = bounded.alias("b")
+    und = (
+        a.join(b, (F.col("a.ok") == F.col("b.ok")) & (F.col("a.pk") < F.col("b.pk")))
+        .select(
+            F.least("a.pk", "b.pk").alias("u"),
+            F.greatest("a.pk", "b.pk").alias("v"),
+        )
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("u").alias("node"))
+        .unionByName(und.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("d"))
+    )
+    keep_nodes = deg.where(F.col("d") <= 25).select("node")
+    kept = (
+        und.join(F.broadcast(keep_nodes.withColumnRenamed("node", "u")), "u")
+        .join(F.broadcast(keep_nodes.withColumnRenamed("node", "v")), "v")
+        .select("u", "v")
+    )
+    e1 = kept.select(F.col("u").alias("a"), F.col("v").alias("b"))
+    e2 = kept.select(F.col("u").alias("b"), F.col("v").alias("c"))
+    e3 = kept.select(F.col("u").alias("a"), F.col("v").alias("c"))
+    tri = e1.join(e2, "b").join(e3, ["a", "c"])
+    nodes = (
+        kept.select(F.col("u").alias("n"))
+        .unionByName(kept.select(F.col("v").alias("n")))
+        .distinct()
+    )
+    return (
+        nodes.agg(F.count("*").cast("long").alias("n_nodes"))
+        .crossJoin(kept.agg(F.count("*").cast("long").alias("n_edges")))
+        .crossJoin(tri.agg(F.count("*").cast("long").alias("n_triangles")))
+    )
+
+
+@register(
+    "association_rules",
+    oracle="""
+    WITH baskets AS (
+      SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+    ),
+    sizes AS (SELECT ok, count(*) AS n FROM baskets GROUP BY ok),
+    bounded AS (
+      SELECT b.ok, b.pk FROM baskets b JOIN sizes s ON b.ok = s.ok
+      WHERE s.n <= 7
+    ),
+    nb AS (SELECT count(DISTINCT ok) AS n FROM bounded),
+    supp AS (SELECT pk, count(*) AS s FROM bounded GROUP BY 1),
+    pair AS (
+      SELECT a.pk AS ia, b.pk AS ib, count(*) AS s_ab
+      FROM bounded a JOIN bounded b ON a.ok = b.ok AND a.pk < b.pk
+      GROUP BY 1, 2
+    )
+    SELECT p.ia, p.ib,
+           CAST(p.s_ab AS BIGINT) AS supp_ab,
+           CAST(sa.s AS BIGINT) AS supp_a,
+           CAST(sb.s AS BIGINT) AS supp_b,
+           round(CAST(p.s_ab AS DOUBLE) / sa.s, 6) AS conf_a_to_b,
+           round(CAST(p.s_ab AS DOUBLE) * (SELECT n FROM nb)
+                 / (CAST(sa.s AS DOUBLE) * sb.s), 6) AS lift
+    FROM pair p
+    JOIN supp sa ON sa.pk = p.ia
+    JOIN supp sb ON sb.pk = p.ib
+    ORDER BY supp_ab DESC, ia, ib
+    LIMIT 20
+    """,
+    doc="Association rules over co-purchase pairs (support / confidence / "
+    "lift — the Apriori first level): bounded-basket pair fan-out "
+    "(≤7 items, the quadratic guard), one pair-keyed count, item "
+    "supports broadcast back. All ratios divide exact integer counts, "
+    "so rounding is bit-stable; top-20 by (support, pair) via "
+    "TakeOrdered, no global sort.",
+)
+def association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem")
+    baskets = li.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
+    ).distinct()
+    sizes = baskets.groupBy("ok").agg(F.count("*").alias("n"))
+    bounded = baskets.join(sizes.where(F.col("n") <= 7), "ok").select("ok", "pk")
+    n_baskets = bounded.select("ok").distinct().count()  # driver scalar (S5)
+    supp = bounded.groupBy("pk").agg(F.count("*").alias("s"))
+    a = bounded.alias("pa")
+    b = bounded.alias("pb")
+    pair = (
+        a.join(
+            b, (F.col("pa.ok") == F.col("pb.ok")) & (F.col("pa.pk") < F.col("pb.pk"))
+        )
+        .groupBy(F.col("pa.pk").alias("ia"), F.col("pb.pk").alias("ib"))
+        .agg(F.count("*").alias("s_ab"))
+    )
+    return (
+        pair.join(
+            F.broadcast(supp.select(F.col("pk").alias("ia"), F.col("s").alias("sa"))),
+            "ia",
+        )
+        .join(
+            F.broadcast(supp.select(F.col("pk").alias("ib"), F.col("s").alias("sb"))),
+            "ib",
+        )
+        .select(
+            "ia",
+            "ib",
+            F.col("s_ab").cast("long").alias("supp_ab"),
+            F.col("sa").cast("long").alias("supp_a"),
+            F.col("sb").cast("long").alias("supp_b"),
+            F.round(F.col("s_ab").cast("double") / F.col("sa"), 6).alias(
+                "conf_a_to_b"
+            ),
+            F.round(
+                F.col("s_ab").cast("double") * F.lit(n_baskets)
+                / (F.col("sa").cast("double") * F.col("sb")),
+                6,
+            ).alias("lift"),
+        )
+        .orderBy(F.col("supp_ab").desc(), "ia", "ib")
+        .limit(20)
+    )
