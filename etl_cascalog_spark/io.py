@@ -448,3 +448,31 @@ def compact(
     df = spark.read.parquet(path).coalesce(n)
     publish_atomic(df, path)
     return n
+
+
+def write_with_metrics(
+    df: DataFrame,
+    path: str,
+    metric_cols: list[str] | None = None,
+) -> dict:
+    """Parquet write + data-quality metrics from the SAME job via
+    ``Observation`` — row count and per-column null counts come out of
+    the write pass itself, so the QA numbers are exactly the written
+    rows with ZERO extra scan (a follow-up ``count()``/profile re-reads
+    the whole output at 100 TB, and can even disagree with what was
+    written if the input is nondeterministic upstream).
+
+    Returns the metrics dict: ``{"n_rows": N, "nulls_<col>": N, ...}``.
+    The reference's bookkeeping insert (S14 — load-range audit rows,
+    ``operators/validate.py``) consumes these instead of re-scanning.
+    """
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    cols = metric_cols if metric_cols is not None else df.columns
+    obs = Observation("write_metrics")
+    metrics = [F.count(F.lit(1)).alias("n_rows")] + [
+        F.sum(F.col(c).isNull().cast("long")).alias(f"nulls_{c}") for c in cols
+    ]
+    df.observe(obs, *metrics).write.mode("overwrite").parquet(path)
+    return dict(obs.get)

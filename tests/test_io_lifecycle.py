@@ -460,3 +460,19 @@ def test_zorder_write_tightens_file_spans(spark, tmp_path):
     assert zx < sx * 0.8 and zy < sy * 0.8, (zx, sx, zy, sy)
     # and content survives the rewrite
     assert spark.read.parquet(zpath).count() == orders.count()
+
+
+def test_write_with_metrics_single_pass(spark, tmp_path):
+    """write_with_metrics: the metrics describe exactly the written rows
+    (row count + per-column nulls), produced by the write job itself."""
+    from etl_cascalog_spark.io import write_with_metrics
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, "c"), (4, None)], "id long, v string"
+    )
+    p = str(tmp_path / "observed")
+    m = write_with_metrics(df, p, metric_cols=["v"])
+    assert m == {"n_rows": 4, "nulls_v": 2}
+    back = spark.read.parquet(p)
+    assert back.count() == 4
+    assert back.where("v IS NULL").count() == 2

@@ -1768,3 +1768,31 @@ def test_kmeans_and_pagerank_partition_invariant(spark):
     )
     assert r1 == r2
     release_all_blocks(spark)
+
+
+def test_chunk_spans_udtf_lateral_sql(spark):
+    """Python UDTF (Spark 4 table-function surface, SURVEY §2.10 U2 last
+    resort): LATERAL chunk_spans covers every token with the declared
+    window/overlap and terminates exactly at the final token."""
+    from etl_cascalog_spark.functions.udtfs import register_udtfs
+
+    register_udtfs(spark)
+    spark.createDataFrame(
+        [(1, "a b c d e f g"), (2, "x"), (3, None), (4, "")],
+        "id int, text string",
+    ).createOrReplaceTempView("t_udtf_docs")
+    rows = spark.sql(
+        "SELECT d.id, c.* FROM t_udtf_docs d, LATERAL chunk_spans(d.text, 5, 2) c"
+    ).collect()
+    by_id = {}
+    for r in rows:
+        by_id.setdefault(r.id, []).append((r.chunk_id, r.start_tok, r.end_tok, r.piece))
+    assert by_id[1] == [(0, 0, 5, "a b c d e"), (1, 3, 7, "d e f g")]
+    assert by_id[2] == [(0, 0, 1, "x")]
+    assert 3 not in by_id and 4 not in by_id  # null/empty rows emit nothing
+    # coverage: chunks tile the token range with stride = window - overlap
+    spans = by_id[1]
+    covered = set()
+    for _cid, s, e, _p in spans:
+        covered |= set(range(s, e))
+    assert covered == set(range(7))
