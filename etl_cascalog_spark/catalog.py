@@ -6655,3 +6655,147 @@ def association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("supp_ab").desc(), "ia", "ib")
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# S. Sketch-accelerated pipelines (beyond-reference; operators/sketches.py)
+# ---------------------------------------------------------------------------
+
+@register(
+    "gopher_quality_filter",
+    oracle="""
+    WITH g AS (
+      SELECT source,
+             len(string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) AS words,
+             length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS alpha_chars,
+             len(list_filter(string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' '),
+                             w -> regexp_matches(w, '[A-Za-z]'))) AS alpha_words,
+             len(regexp_extract_all(text, '#')) + len(regexp_extract_all(text, '\\.\\.\\.')) AS symbols,
+             (CASE WHEN regexp_matches(lower(text), '\\bthe\\b') THEN 1 ELSE 0 END
+            + CASE WHEN regexp_matches(lower(text), '\\bbe\\b') THEN 1 ELSE 0 END
+            + CASE WHEN regexp_matches(lower(text), '\\bto\\b') THEN 1 ELSE 0 END
+            + CASE WHEN regexp_matches(lower(text), '\\bof\\b') THEN 1 ELSE 0 END
+            + CASE WHEN regexp_matches(lower(text), '\\band\\b') THEN 1 ELSE 0 END
+            + CASE WHEN regexp_matches(lower(text), '\\bthat\\b') THEN 1 ELSE 0 END
+            + CASE WHEN regexp_matches(lower(text), '\\bhave\\b') THEN 1 ELSE 0 END
+            + CASE WHEN regexp_matches(lower(text), '\\bwith\\b') THEN 1 ELSE 0 END) AS stop_hits
+      FROM documents
+    ), r AS (
+      SELECT source,
+             (words BETWEEN 50 AND 100000) AS r_word_count,
+             (alpha_chars >= words * 3 AND alpha_chars <= words * 10) AS r_mean_word_len,
+             (alpha_words * 5 >= words * 4) AS r_alpha_words,
+             (symbols * 10 <= words) AS r_symbol_ratio,
+             (stop_hits >= 2) AS r_stopwords
+      FROM g
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(*) FILTER (WHERE r_word_count AND r_mean_word_len AND r_alpha_words
+                                   AND r_symbol_ratio AND r_stopwords) AS BIGINT) AS n_pass,
+           CAST(count(*) FILTER (WHERE NOT r_word_count) AS BIGINT) AS n_fail_word_count,
+           CAST(count(*) FILTER (WHERE NOT r_mean_word_len) AS BIGINT) AS n_fail_mean_len,
+           CAST(count(*) FILTER (WHERE NOT r_stopwords) AS BIGINT) AS n_fail_stopwords
+    FROM r GROUP BY source
+    """,
+    doc="LLM corpus curation: the published Gopher rule-based quality "
+    "filter (Rae et al. 2021, App. A1.1 — word-count bounds, mean word "
+    "length 3-10, alpha-word fraction ≥0.8, symbol ratio, ≥2 stopwords) "
+    "as pure codegen Column exprs, rolled up to a per-source rule-level "
+    "rejection report — the dashboard a curation run ships. Map-side "
+    "except one metadata-sized source agg; embarrassingly parallel at "
+    "100 TB. Integer-comparison forms (alpha*5 >= words*4) keep every "
+    "rule exact across engines — no float ratios.",
+)
+def gopher_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_cascalog_spark.operators.text import gopher_rules
+
+    docs = read_table(spark, sf_dir, "documents")
+    r = gopher_rules(F.col("text"))
+    flagged = docs.select(
+        "source",
+        r["r_word_count"].alias("r_word_count"),
+        r["r_mean_word_len"].alias("r_mean_word_len"),
+        r["pass"].alias("ok"),
+        r["r_stopwords"].alias("r_stopwords"),
+    )
+    return flagged.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.count_if(F.col("ok")).cast("long").alias("n_pass"),
+        F.count_if(~F.col("r_word_count")).cast("long").alias("n_fail_word_count"),
+        F.count_if(~F.col("r_mean_word_len")).cast("long").alias("n_fail_mean_len"),
+        F.count_if(~F.col("r_stopwords")).cast("long").alias("n_fail_stopwords"),
+    )
+
+
+@register(
+    "cms_heavy_hitters",
+    oracle="""
+    SELECT user_id, CAST(count(*) AS BIGINT) AS n_events
+    FROM events GROUP BY user_id HAVING count(*) >= 80
+    """,
+    doc="Sketch-gated exact heavy hitters: a count-min sketch "
+    "(depth 4 × width 512 — KBs regardless of input size) estimates "
+    "per-user event counts; keys with estimate ≥ T form a candidate set "
+    "that PROVABLY contains every true heavy hitter (CMS never "
+    "undercounts); one exact count over only candidate-key rows removes "
+    "the false positives. Output is EXACT (oracle is the plain GROUP BY "
+    "HAVING) — the sketch bounds the expensive aggregation to the "
+    "candidate keys. At 100 TB: the sketch pass partial-aggregates to "
+    "≤ depth×width rows per partition (metadata shuffle), the exact pass "
+    "shuffles only heavy-key rows. operators/sketches.py.",
+)
+def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_cascalog_spark.operators.sketches import cms_heavy_hitter_candidates
+
+    ev = read_table(spark, sf_dir, "events")
+    cand = cms_heavy_hitter_candidates(ev, "user_id", threshold=80)
+    return (
+        ev.join(F.broadcast(cand.select("user_id")), "user_id")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+        .where(F.col("n_events") >= 80)
+    )
+
+
+@register(
+    "bloom_prejoin_revenue",
+    oracle="""
+    SELECT n_name AS nation,
+           CAST(round(sum(o_totalprice), 2) AS DOUBLE) AS building_revenue,
+           CAST(count(*) AS BIGINT) AS n_orders
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    WHERE c_mktsegment = 'BUILDING'
+    GROUP BY n_name
+    """,
+    doc="Runtime bloom-filter join pruning, explicit: a 16384-bit Bloom "
+    "filter built (distributed bit_or fold; only the finished 2 KB "
+    "bitmap reaches the driver) over BUILDING-segment customer keys "
+    "prunes orders rows BEFORE the join — the same shape as Spark's "
+    "runtime.bloomFilter rewrite, made plan-visible. No false negatives "
+    "(bitmap holds every true key), so prefilter → exact join ≡ exact "
+    "join: the oracle is the plain 3-way join. At 100 TB the ~80% of "
+    "fact rows that fail the probe never pay shuffle/join cost; probe "
+    "is k=3 xxhash64+mask ops in codegen. operators/sketches.py.",
+)
+def bloom_prejoin_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_cascalog_spark.operators.sketches import bloom_build, bloom_probe
+
+    orders = read_table(spark, sf_dir, "orders")
+    cust = read_table(spark, sf_dir, "customer")
+    nat = read_table(spark, sf_dir, "nation")
+    building = cust.where(F.col("c_mktsegment") == "BUILDING")
+    m_bits = 1 << 14
+    bitmap = bloom_build(building, "c_custkey", m_bits=m_bits, k=3)
+    pruned = orders.where(bloom_probe(F.col("o_custkey"), bitmap, m_bits, k=3))
+    return (
+        pruned.join(building, pruned["o_custkey"] == building["c_custkey"])
+        .join(F.broadcast(nat), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            dround(F.sum(money(F.col("o_totalprice")))).alias("building_revenue"),
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+        )
+    )

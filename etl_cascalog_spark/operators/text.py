@@ -84,6 +84,49 @@ def quality_score(col: Column) -> Column:
     )
 
 
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_rules(col: Column) -> dict[str, Column]:
+    """Gopher-style document quality rules (Rae et al. 2021, "Scaling
+    Language Models: … Gopher", Appendix A1.1) as boolean Columns — the
+    standard rule-based pre-filter of LLM corpus pipelines. Every rule is
+    a deterministic regex/arithmetic expression (codegen, zero Python):
+
+    - ``r_word_count``: 50 ≤ whitespace word count ≤ 100 000
+    - ``r_mean_word_len``: mean word length in [3, 10]
+    - ``r_alpha_words``: ≥ 80% of words contain an alphabetic character
+    - ``r_symbol_ratio``: (# + …) per word ≤ 0.1
+    - ``r_stopwords``: ≥ 2 distinct Gopher stopwords present
+
+    Thresholds are the published constants (word-count floor lowered from
+    50 only by callers that chunk first). ``pass`` = conjunction.
+    """
+    words = token_count_ws(col)
+    alpha_words = F.size(
+        F.filter(whitespace_tokens(col), lambda w: w.rlike("[A-Za-z]"))
+    ).cast("long")
+    symbols = (F.regexp_count(col, F.lit("#")) + F.regexp_count(col, F.lit(r"\.\.\."))).cast("long")
+    stop_hits = None
+    for sw in GOPHER_STOPWORDS:
+        hit = F.when(F.lower(col).rlike(rf"\b{sw}\b"), 1).otherwise(0)
+        stop_hits = hit if stop_hits is None else stop_hits + hit
+    rules = {
+        "r_word_count": (words >= 50) & (words <= 100_000),
+        "r_mean_word_len": (
+            (F.length(F.regexp_replace(col, r"[^A-Za-z]", "")) >= words * 3)
+            & (F.length(F.regexp_replace(col, r"[^A-Za-z]", "")) <= words * 10)
+        ),
+        "r_alpha_words": alpha_words * 5 >= words * 4,
+        "r_symbol_ratio": symbols * 10 <= words,
+        "r_stopwords": stop_hits >= 2,
+    }
+    rules["pass"] = F.lit(True)
+    for name in ("r_word_count", "r_mean_word_len", "r_alpha_words", "r_symbol_ratio", "r_stopwords"):
+        rules["pass"] = rules["pass"] & rules[name]
+    return rules
+
+
 def lang_scores(col: Column) -> dict[str, Column]:
     """Per-language marker hit counts (regexp_count — portable)."""
     return {lang: F.regexp_count(col, F.lit(pat)).cast("long") for lang, pat in LANG_MARKERS.items()}

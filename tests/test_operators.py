@@ -1796,3 +1796,79 @@ def test_chunk_spans_udtf_lateral_sql(spark):
     for _cid, s, e, _p in spans:
         covered |= set(range(s, e))
     assert covered == set(range(7))
+
+
+def test_cms_one_sided_and_exact_composition(spark):
+    """Count-min sketch contract: estimates NEVER undercount (one-sided
+    error), and the sketch-gated candidate set is a superset of the true
+    heavy hitters — so candidates → exact recount reproduces the exact
+    HAVING answer. operators/sketches.py."""
+    from etl_cascalog_spark.operators.sketches import (
+        cms_build,
+        cms_estimate,
+        cms_heavy_hitter_candidates,
+    )
+
+    rows = [(f"hot{i % 3}",) for i in range(300)] + [(f"cold{i}",) for i in range(50)]
+    df = spark.createDataFrame(rows, "k string")
+    truth = {r.k: r.n for r in df.groupBy("k").agg(F.count(F.lit(1)).alias("n")).collect()}
+
+    sketch = cms_build(df, "k", depth=4, width=256)
+    # sketch is bounded: ≤ depth × width rows no matter the input
+    assert sketch.count() <= 4 * 256
+    est = {r.k: r.est for r in cms_estimate(sketch, df, "k", depth=4, width=256).collect()}
+    assert set(est) == set(truth)
+    for k, n in truth.items():
+        assert est[k] >= n  # never undercounts
+
+    cand = {r.k for r in cms_heavy_hitter_candidates(df, "k", threshold=100, depth=4, width=256).collect()}
+    true_heavy = {k for k, n in truth.items() if n >= 100}
+    assert true_heavy <= cand  # provable recall
+
+
+def test_bloom_no_false_negatives_and_fpr(spark):
+    """Bloom filter contract: every build-side key probes true (no false
+    negatives ⇒ prefilter→join ≡ join), and the false-positive rate on
+    disjoint keys stays near the (1−e^{−kn/m})^k design point."""
+    from etl_cascalog_spark.operators.sketches import bloom_build, bloom_probe
+
+    m_bits, k = 1 << 13, 3
+    build = spark.range(500).select((F.col("id") * 7 + 1).alias("key"))
+    bitmap = bloom_build(build, "key", m_bits=m_bits, k=k)
+    assert len(bitmap) == m_bits // 64
+
+    hits = build.where(bloom_probe(F.col("key"), bitmap, m_bits, k=k)).count()
+    assert hits == 500  # zero false negatives
+
+    probe = spark.range(1_000_000, 1_002_000).select(F.col("id").alias("key"))
+    fp = probe.where(bloom_probe(F.col("key"), bitmap, m_bits, k=k)).count()
+    # design FPR ≈ (1 − e^(−3·500/8192))^3 ≈ 0.5%; allow generous slack
+    assert fp / 2000 < 0.05
+
+
+def test_bloom_build_rejects_bad_m(spark):
+    from etl_cascalog_spark.operators.sketches import bloom_build
+
+    with pytest.raises(ValueError, match="multiple of 64"):
+        bloom_build(spark.range(1), "id", m_bits=100)
+
+
+def test_gopher_rules_micro(spark):
+    """Gopher quality rules on handcrafted pass/fail docs (Rae et al.
+    2021 App. A1.1 thresholds)."""
+    from etl_cascalog_spark.operators.text import gopher_rules
+
+    good = "the quick brown fox jumps over that lazy dog and keeps running " * 5  # 60 words, stopwords
+    short = "too short to pass"
+    symbol = ("the and that have with words okay fine good here " * 5) + "# " * 30
+    df = spark.createDataFrame([(1, good), (2, short), (3, symbol)], "id int, text string")
+    r = gopher_rules(F.col("text"))
+    out = {
+        row.id: row
+        for row in df.select(
+            "id", r["pass"].alias("ok"), r["r_word_count"].alias("wc"), r["r_symbol_ratio"].alias("sym")
+        ).collect()
+    }
+    assert out[1].ok is True
+    assert out[2].ok is False and out[2].wc is False
+    assert out[3].sym is False and out[3].ok is False
