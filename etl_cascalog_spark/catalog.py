@@ -6799,3 +6799,10 @@ def bloom_prejoin_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("long").alias("n_orders"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Adapted TPC-H suite (Q3-Q22) — registers tpch_q* entries on import.
+# Bottom-of-module import: plans.tpch needs register/money/dround above.
+# ---------------------------------------------------------------------------
+from etl_cascalog_spark.plans import tpch as _tpch  # noqa: E402,F401
