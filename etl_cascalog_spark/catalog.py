@@ -6801,6 +6801,268 @@ def bloom_prejoin_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_HLL_ALPHA_M2_SCALE = repr(0.7213 / (1.0 + 1.079 / 256) * 256 * 256 * float(1 << 25))
+
+
+@register(
+    "hll_distinct_users",
+    oracle=f"""
+    WITH h0 AS (
+      SELECT event_type, CAST(user_id AS BIGINT) % 4294967296 AS h FROM events
+    ),
+    h1 AS (SELECT event_type, (xor(h >> 16, h) * 73244475) % 4294967296 AS h FROM h0),
+    h2 AS (SELECT event_type, (xor(h >> 16, h) * 73244475) % 4294967296 AS h FROM h1),
+    h AS (SELECT event_type, xor(h >> 16, h) AS hv FROM h2),
+    r AS (SELECT event_type, hv >> 24 AS reg, hv % 16777216 AS w FROM h),
+    rr AS (
+      SELECT event_type, reg,
+             max(CASE WHEN w = 0 THEN 25 ELSE 25 - length(bin(w)) END) AS mj
+      FROM r GROUP BY 1, 2
+    ),
+    pg AS (
+      SELECT event_type, count(*) AS n_present,
+             sum(CAST(1 AS BIGINT) << (25 - mj)) AS s_present
+      FROM rr GROUP BY 1
+    ),
+    est AS (
+      SELECT event_type, n_present,
+             {_HLL_ALPHA_M2_SCALE}
+               / CAST(s_present + (256 - n_present) * 33554432 AS DOUBLE) AS e_raw
+      FROM pg
+    ),
+    ex AS (SELECT event_type, count(DISTINCT user_id) AS exact_distinct FROM events GROUP BY 1)
+    SELECT est.event_type, ex.exact_distinct,
+           CAST(n_present AS BIGINT) AS n_registers_hit,
+           CAST(round(CASE WHEN e_raw <= 640.0 AND n_present < 256
+                           THEN 256.0 * ln(256.0 / (256 - n_present))
+                           ELSE e_raw END, 2) AS DOUBLE) AS est_distinct
+    FROM est JOIN ex ON est.event_type = ex.event_type
+    """,
+    doc="Explicit HyperLogLog distinct-users estimate per event_type, next "
+    "to the exact count for error inspection — the mergeable distinct "
+    "sketch completing the CMS/Bloom family (operators/sketches.py). "
+    "Portable integer register math (two-round xor-multiply avalanche "
+    "hash with overflow-safe products, top-bit registers, bitlen rho, "
+    "exact-BIGINT harmonic sum) means DuckDB running the same arithmetic "
+    "hash-matches the ESTIMATE itself, not just row counts — unlike "
+    "approx_count_distinct whose HLL++ state is engine-private. At "
+    "100 TB only register maxes (≤256 rows/group/partition) cross the "
+    "shuffle, and stored registers re-merge associatively for "
+    "incremental refresh.",
+)
+def hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_cascalog_spark.operators.sketches import hll_distinct
+
+    ev = read_table(spark, sf_dir, "events")
+    est = hll_distinct(ev, "user_id", ["event_type"], p=8)
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_distinct")
+    )
+    return exact.join(F.broadcast(est), "event_type").select(
+        "event_type", "exact_distinct", "n_registers_hit", "est_distinct"
+    )
+
+
+@register(
+    "compaction_binpack_plan",
+    oracle="""
+    WITH files AS (
+      SELECT event_type, strftime(ts, '%Y-%m-%d') AS file_day,
+             1024 + sum(strlen(props)) AS bytes
+      FROM events GROUP BY 1, 2
+    ),
+    planned AS (
+      SELECT event_type, file_day, bytes,
+             CAST(floor(coalesce(sum(bytes) OVER (
+               PARTITION BY event_type
+               ORDER BY bytes DESC, file_day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ), 0) / 16384.0) AS BIGINT) AS bin_id
+      FROM files
+    )
+    SELECT event_type, bin_id,
+           count(*) AS n_files,
+           CAST(sum(bytes) AS BIGINT) AS bin_bytes
+    FROM planned GROUP BY 1, 2
+    """,
+    doc="Small-files compaction planning (beyond-reference layout op, next "
+    "to z-order): one row per (event_type, day) 'file' with its byte "
+    "size, binpacked largest-first into ~16 KB output bins via an "
+    "exclusive running sum — floor(cumsum/target) — per partition "
+    "(operators/layout.py binpack_plan). Pure metadata pass: even at "
+    "100 TB the file listing is a few million rows, and the rewrite "
+    "itself is a separate repartition-by-bin write. Deterministic "
+    "next-fit-decreasing with file_day tie-breaks.",
+)
+def compaction_binpack_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_cascalog_spark.operators.layout import binpack_plan
+
+    ev = read_table(spark, sf_dir, "events")
+    files = ev.groupBy(
+        "event_type", F.date_format("ts", "yyyy-MM-dd").alias("file_day")
+    ).agg((F.lit(1024) + F.sum(F.octet_length("props"))).alias("bytes"))
+    planned = binpack_plan(
+        files, ["event_type"], "bytes", ["file_day"], target_bytes=16384
+    )
+    return planned.groupBy("event_type", "bin_id").agg(
+        F.count(F.lit(1)).alias("n_files"),
+        F.sum("bytes").cast("long").alias("bin_bytes"),
+    )
+
+
+@register(
+    "khop_related_parts",
+    oracle="""
+    WITH RECURSIVE op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    sized AS (
+      SELECT l_orderkey FROM op GROUP BY 1 HAVING count(*) <= 7
+    ),
+    bop AS (SELECT op.* FROM op JOIN sized USING (l_orderkey)),
+    e AS (
+      SELECT a.l_partkey AS s, b.l_partkey AS t
+      FROM bop a JOIN bop b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+      GROUP BY 1, 2 HAVING count(*) >= 2
+    ),
+    seeds AS (SELECT p_partkey AS node FROM part WHERE p_brand = 'Brand#13'),
+    reach(node, d) AS (
+      SELECT node, 0 FROM seeds
+      UNION
+      SELECT e.t, r.d + 1 FROM reach r JOIN e ON r.node = e.s WHERE r.d < 3
+    ),
+    md AS (SELECT node, CAST(min(d) AS INT) AS min_hops FROM reach GROUP BY 1)
+    SELECT min_hops, count(*) AS n_parts
+    FROM md GROUP BY 1
+    """,
+    doc="Bounded 3-hop BFS over the co-purchase graph (edges = part pairs "
+    "co-ordered >= 2 times, basket-size quadratic guard <= 7): minimum "
+    "hop distance from the Brand#13 seed set, histogrammed. k is a "
+    "plan-time constant, so the traversal UNROLLS into 3 chained "
+    "equi-joins with a distinct-collapsed frontier between hops (<= |V| "
+    "rows into every join regardless of path count) — one declarative "
+    "plan, no iteration machinery (operators/graph.py khop_min_dist). "
+    "Oracle is DuckDB's recursive CTE with UNION dedup.",
+)
+def khop_related_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_cascalog_spark.operators.graph import khop_min_dist
+
+    op = (
+        read_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    sizes = op.groupBy("l_orderkey").agg(F.count("*").alias("__n"))
+    bop = op.join(sizes.where(F.col("__n") <= 7), "l_orderkey")
+    a = bop.select("l_orderkey", F.col("l_partkey").alias("src"))
+    b = bop.select("l_orderkey", F.col("l_partkey").alias("dst"))
+    edges = (
+        a.join(b, "l_orderkey")
+        .where(F.col("src") != F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .where(F.col("__c") >= 2)
+        .select("src", "dst")
+    )
+    seeds = (
+        read_table(spark, sf_dir, "part")
+        .where(F.col("p_brand") == "Brand#13")
+        .select("p_partkey")
+    )
+    md = khop_min_dist(edges, seeds, k=3)
+    return md.groupBy("min_hops").agg(F.count(F.lit(1)).alias("n_parts"))
+
+
+@register(
+    "fs_linkage_scores",
+    oracle="""
+    WITH pairs AS (
+      SELECT levenshtein(a.c_name, b.c_name) <= 3 AS ag_name,
+             abs(CAST(a.c_acctbal AS DECIMAL(12,2)) - CAST(b.c_acctbal AS DECIMAL(12,2))) <= 500 AS ag_bal,
+             substr(a.c_name, 1, 8) = substr(b.c_name, 1, 8) AS ag_prefix
+      FROM customer a JOIN customer b
+        ON a.c_nationkey = b.c_nationkey AND a.c_mktsegment = b.c_mktsegment
+       AND a.c_custkey < b.c_custkey
+    ),
+    u AS (
+      SELECT CAST(sum(CASE WHEN ag_name THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS u_name,
+             CAST(sum(CASE WHEN ag_bal THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS u_bal,
+             CAST(sum(CASE WHEN ag_prefix THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS u_prefix
+      FROM pairs
+    ),
+    scored AS (
+      SELECT CAST(floor(
+          (CASE WHEN ag_name   THEN log2(0.9 / u_name)   ELSE log2(0.1 / (1 - u_name))   END)
+        + (CASE WHEN ag_bal    THEN log2(0.7 / u_bal)    ELSE log2(0.3 / (1 - u_bal))    END)
+        + (CASE WHEN ag_prefix THEN log2(0.8 / u_prefix) ELSE log2(0.2 / (1 - u_prefix)) END)
+      ) AS BIGINT) AS score_band
+      FROM pairs, u
+    )
+    SELECT score_band, count(*) AS n_pairs
+    FROM scored GROUP BY 1
+    """,
+    doc="Fellegi-Sunter probabilistic record linkage over blocked customer "
+    "pairs (block = nation x segment, the entity_blocking_pairs "
+    "discipline): per-field agreement (name edit distance, balance "
+    "proximity, name prefix), u-probabilities estimated EXACTLY from the "
+    "blocked-pair agreement rates (the all-pairs ~ non-match "
+    "approximation), fixed m-priors, match weight = sum of log2 "
+    "likelihood ratios, histogrammed by integer band. At 100 TB the "
+    "block-key shuffle bounds the quadratic fan-out; the u-estimate is "
+    "one scalar agg broadcast back — no EM iteration, no collect.",
+)
+def fs_linkage_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = read_table(spark, sf_dir, "customer")
+    a = cust.select(
+        F.col("c_custkey").alias("ka"),
+        F.col("c_nationkey").alias("blk_n"),
+        F.col("c_mktsegment").alias("blk_s"),
+        F.col("c_name").alias("name_a"),
+        money(F.col("c_acctbal")).alias("bal_a"),
+    )
+    b = cust.select(
+        F.col("c_custkey").alias("kb"),
+        F.col("c_nationkey").alias("blk_n"),
+        F.col("c_mktsegment").alias("blk_s"),
+        F.col("c_name").alias("name_b"),
+        money(F.col("c_acctbal")).alias("bal_b"),
+    )
+    pairs = (
+        a.join(b, ["blk_n", "blk_s"])
+        .where(F.col("ka") < F.col("kb"))
+        .select(
+            (F.levenshtein("name_a", "name_b") <= 3).alias("ag_name"),
+            (F.abs(F.col("bal_a") - F.col("bal_b")) <= 500).alias("ag_bal"),
+            (F.substring("name_a", 1, 8) == F.substring("name_b", 1, 8)).alias(
+                "ag_prefix"
+            ),
+        )
+    )
+    one, zero = F.lit(1), F.lit(0)
+    u = pairs.agg(
+        (F.sum(F.when(F.col("ag_name"), one).otherwise(zero)).cast("double") / F.count("*")).alias("u_name"),
+        (F.sum(F.when(F.col("ag_bal"), one).otherwise(zero)).cast("double") / F.count("*")).alias("u_bal"),
+        (F.sum(F.when(F.col("ag_prefix"), one).otherwise(zero)).cast("double") / F.count("*")).alias("u_prefix"),
+    )
+    log2 = lambda c: F.log2(c)  # noqa: E731
+    weight = (
+        F.when(F.col("ag_name"), log2(F.lit(0.9) / F.col("u_name"))).otherwise(
+            log2(F.lit(0.1) / (F.lit(1) - F.col("u_name")))
+        )
+        + F.when(F.col("ag_bal"), log2(F.lit(0.7) / F.col("u_bal"))).otherwise(
+            log2(F.lit(0.3) / (F.lit(1) - F.col("u_bal")))
+        )
+        + F.when(F.col("ag_prefix"), log2(F.lit(0.8) / F.col("u_prefix"))).otherwise(
+            log2(F.lit(0.2) / (F.lit(1) - F.col("u_prefix")))
+        )
+    )
+    return (
+        pairs.join(F.broadcast(u))
+        .select(F.floor(weight).cast("long").alias("score_band"))
+        .groupBy("score_band")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # Adapted TPC-H suite (Q3-Q22) — registers tpch_q* entries on import.
 # Bottom-of-module import: plans.tpch needs register/money/dround above.

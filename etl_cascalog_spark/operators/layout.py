@@ -15,7 +15,7 @@ the z-value at write time.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -154,4 +154,43 @@ def file_span_stats(df_with_file: DataFrame, x_col: str, y_col: str) -> DataFram
             F.min(y_col).alias("y_min"),
             F.max(y_col).alias("y_max"),
         )
+    )
+
+
+def binpack_plan(
+    files: DataFrame,
+    partition_cols: list[str],
+    size_col: str,
+    file_key_cols: list[str],
+    target_bytes: int,
+) -> DataFrame:
+    """Compaction planning for the small-files problem: assign each input
+    file to an output bin of ~``target_bytes``, per table partition — the
+    planning half of ``OPTIMIZE``-style binpack compaction (Delta/Iceberg
+    expose the same operation; here it is plain DataFrame algebra over the
+    file-listing frame).
+
+    Sequential next-fit over files ordered largest-first (the classic
+    decreasing heuristic, made deterministic with ``file_key_cols`` as the
+    tie-break): ``bin = floor(exclusive_running_sum / target)``.  One
+    window per partition — no driver loop, no collect.
+
+    Scale posture: this runs over file METADATA (one row per file — even
+    100 TB is a few million rows), so the per-partition window sort is
+    metadata-sized; the expensive half (actually rewriting each bin's rows)
+    is a separate repartition-by-bin write that never touches the planner.
+    Files already >= ``target_bytes`` land alone in their bin (the
+    exclusive cumsum jumps past a whole target per such file), which is
+    exactly the "leave big files alone" behavior compaction wants.
+
+    Returns the input columns plus ``bin_id`` (0-based within partition).
+    """
+    w = (
+        Window.partitionBy(*partition_cols)
+        .orderBy(F.col(size_col).desc(), *[F.col(c) for c in file_key_cols])
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum_excl = F.coalesce(F.sum(size_col).over(w), F.lit(0))
+    return files.withColumn(
+        "bin_id", F.floor(cum_excl / F.lit(target_bytes)).cast("long")
     )

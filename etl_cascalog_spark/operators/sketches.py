@@ -154,3 +154,105 @@ def bloom_probe(col: Column, bitmap: list[int], m_bits: int, k: int = 3) -> Colu
             == 1
         )
     return cond
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog (explicit, engine-portable)
+# ---------------------------------------------------------------------------
+
+
+def hll_distinct(
+    df: DataFrame,
+    key_col: str,
+    group_cols: list[str],
+    p: int = 8,
+) -> DataFrame:
+    """Explicit HyperLogLog distinct-count estimate per group — the
+    mergeable-sketch sibling of Spark's built-in ``approx_count_distinct``
+    (HLL++), written as portable integer Column math so an independent
+    engine running the same arithmetic produces the IDENTICAL estimate
+    (``approx_count_distinct`` itself is implementation-defined and can
+    only be rows-only-checked; catalog.hll_distinct_users hash-matches
+    this one against DuckDB).
+
+    Flajolet et al.'s original estimator, ``m = 2**p`` registers:
+
+    - hash: the public-domain 32-bit avalanche mixer
+      ``h = ((h>>16)^h) * 0x45d9f3b mod 2^32`` twice, then ``(h>>16)^h``
+      (Hash Prospector's low-bias constant) — every product is
+      ``< 2^32 * 0x45d9f3b < 2^63``, so the whole hash is EXACT BIGINT
+      math in any engine, no wrapping multiply and no engine-private
+      hash. A single multiplicative (Knuth) hash is NOT enough: its low
+      bits inherit key stride (a stride-26 key set hits exactly half the
+      registers and estimates 177 for 2000), and even its top bits leave
+      ~2x bias on sequential ids; the two xor-multiply rounds bring all
+      tested key patterns (strided / sequential / random) within ~5%;
+    - register ``j`` = TOP ``p`` bits (best-mixed); ``w`` = low
+      ``W = 32 - p`` bits; ``rho = W - bitlen(w) + 1`` (``W+1`` for
+      ``w = 0``) via the binary-string length, identical in Spark and
+      ANSI-ish SQL;
+    - per-register max, then the harmonic mean. The 2^-M_j sum is scaled
+      by ``2^(W+1)`` into an EXACT BIGINT (``S = Σ 2^(W+1-M_j)``, absent
+      registers contribute ``2^(W+1)`` each), so the only float op is the
+      final ``alpha * m² * 2^(W+1) / S`` division — deterministic given
+      equal S. Small-range correction: linear counting ``m·ln(m/V)`` when
+      ``E <= 2.5m`` and some register is empty.
+
+    100 TB posture: the groupBy partial-aggregates to ≤ m rows per group
+    per partition BEFORE the exchange (register state is the only thing
+    shuffled — KBs per group at any input size), and register maxes merge
+    associatively, so the same pass serves incremental refresh: store the
+    register frame, union new data's registers, re-max. That mergeability
+    is the reason to carry an explicit HLL next to the exact
+    count-distinct (whose Expand-based distinct must re-shuffle raw keys
+    every refresh).
+
+    Returns ``group_cols + (n_registers_hit, est_distinct)`` with
+    ``est_distinct`` rounded to 2 dp.
+    """
+    m = 1 << p
+    w_bits = 32 - p
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+
+    h0 = F.pmod(F.col(key_col).cast("long"), F.lit(1 << 32))
+    mixed = df.select(*group_cols, h0.alias("__h"))
+    for _ in range(2):
+        mixed = mixed.withColumn(
+            "__h",
+            F.pmod(
+                F.expr("shiftrightunsigned(__h, 16)").bitwiseXOR(F.col("__h"))
+                * F.lit(0x45D9F3B),
+                F.lit(1 << 32),
+            ),
+        )
+    mixed = mixed.withColumn(
+        "__h", F.expr("shiftrightunsigned(__h, 16)").bitwiseXOR(F.col("__h"))
+    )
+    reg = F.expr(f"shiftrightunsigned(__h, {w_bits})")  # top p bits
+    w = F.pmod(F.col("__h"), F.lit(1 << w_bits))
+    rho = F.when(w == 0, F.lit(w_bits + 1)).otherwise(
+        F.lit(w_bits) + 1 - F.length(F.bin(w))
+    )
+
+    regs = (
+        mixed.select(*group_cols, reg.alias("__reg"), rho.alias("__rho"))
+        .groupBy(*group_cols, "__reg")
+        .agg(F.max("__rho").alias("__mj"))
+    )
+    scale = w_bits + 1  # terms 2^(scale - mj) are exact BIGINTs, mj <= scale
+    per_group = regs.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("__n_present"),
+        F.sum(F.expr(f"shiftleft(1L, {scale} - __mj)")).alias("__s_present"),
+    )
+    v = F.lit(m) - F.col("__n_present")  # empty registers
+    s = F.col("__s_present") + v * F.lit(1 << scale)
+    e_raw = F.lit(alpha * m * m * float(1 << scale)) / s.cast("double")
+    e = F.when(
+        (e_raw <= F.lit(2.5 * m)) & (v > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / v.cast("double")),
+    ).otherwise(e_raw)
+    return per_group.select(
+        *group_cols,
+        F.col("__n_present").cast("long").alias("n_registers_hit"),
+        F.round(e, 2).cast("double").alias("est_distinct"),
+    )

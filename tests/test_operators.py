@@ -1872,3 +1872,58 @@ def test_gopher_rules_micro(spark):
     assert out[1].ok is True
     assert out[2].ok is False and out[2].wc is False
     assert out[3].sym is False and out[3].ok is False
+
+
+def test_hll_distinct_accuracy_and_merge(spark):
+    """The explicit HLL: (a) estimate within ~3 standard errors (m=256 →
+    ±~6.5% σ) of truth; (b) register mergeability — the sketch of A ∪ B
+    equals max-merging A's and B's registers (the property that makes the
+    pass incremental-refresh-safe)."""
+    from etl_cascalog_spark.operators.sketches import hll_distinct
+
+    df = spark.range(4000).select(
+        (F.col("id") % 2).cast("string").alias("g"), (F.col("id") * 13 + 7).alias("k")
+    )
+    out = {r.g: r for r in hll_distinct(df, "k", ["g"]).collect()}
+    for g in ("0", "1"):
+        assert abs(out[g].est_distinct - 2000) / 2000 < 0.2
+
+    # merge property: union's estimate == estimate over concatenated input
+    a = spark.range(0, 1500).select(F.lit("x").alias("g"), F.col("id").alias("k"))
+    b = spark.range(1000, 2500).select(F.lit("x").alias("g"), F.col("id").alias("k"))
+    whole = hll_distinct(a.unionByName(b), "k", ["g"]).collect()[0]
+    again = hll_distinct(b.unionByName(a), "k", ["g"]).collect()[0]
+    assert whole.est_distinct == again.est_distinct
+    assert whole.n_registers_hit == again.n_registers_hit
+
+
+def test_binpack_plan_shapes(spark):
+    """Bin packing: files fill ~target-sized bins largest-first; an
+    oversized file occupies its bin alone (leave-big-files-alone)."""
+    from etl_cascalog_spark.operators.layout import binpack_plan
+
+    rows = [("p", f"f{i}", 40) for i in range(10)] + [("p", "big", 1000)]
+    files = spark.createDataFrame(rows, "part string, f string, bytes long")
+    out = binpack_plan(files, ["part"], "bytes", ["f"], target_bytes=100).collect()
+    by_bin = {}
+    for r in out:
+        by_bin.setdefault(r.bin_id, []).append(r)
+    # 'big' sorts first (desc) → exclusive cumsum 0 → bin 0, alone in it
+    big_bin = [r.bin_id for r in out if r.f == "big"][0]
+    assert len(by_bin[big_bin]) == 1
+    # the ten 40-byte files land >=2 per bin (target 100)
+    small_bins = [b for b, rs in by_bin.items() if b != big_bin]
+    assert all(len(by_bin[b]) >= 2 for b in small_bins)
+
+
+def test_khop_min_dist_chain(spark):
+    """BFS distances on a directed chain with a shortcut: min() semantics
+    pick the shorter route, nodes beyond k are absent."""
+    from etl_cascalog_spark.operators.graph import khop_min_dist
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (1, 4)], "src long, dst long"
+    )
+    seeds = spark.createDataFrame([(1,)], "node long")
+    got = {r.node: r.min_hops for r in khop_min_dist(edges, seeds, k=2).collect()}
+    assert got == {1: 0, 2: 1, 4: 1, 3: 2, 5: 2}
