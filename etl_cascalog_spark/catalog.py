@@ -7063,6 +7063,113 @@ def fs_linkage_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+from etl_cascalog_spark.operators.sketches import portable_hash32_sql as _ph32_sql  # noqa: E402
+
+
+@register(
+    "hash_sample_estimate",
+    oracle=f"""
+    WITH h AS (
+      SELECT o_orderpriority, o_totalprice,
+             ({_ph32_sql('o_orderkey')}) % 100 < 10 AS in_sample
+      FROM orders
+    )
+    SELECT o_orderpriority,
+           count(*) AS n_exact,
+           CAST(round(sum(CAST(o_totalprice AS DECIMAL(12,2))), 2) AS DOUBLE) AS rev_exact,
+           sum(CASE WHEN in_sample THEN 1 ELSE 0 END) AS n_sampled,
+           sum(CASE WHEN in_sample THEN 1 ELSE 0 END) * 10 AS n_est,
+           CAST(round(sum(CASE WHEN in_sample THEN CAST(o_totalprice AS DECIMAL(12,2))
+                               ELSE CAST(0 AS DECIMAL(12,2)) END) * 10, 2) AS DOUBLE) AS rev_est
+    FROM h GROUP BY 1
+    """,
+    doc="Deterministic 10% hash sampling (portable_hash32 on the order "
+    "key, sketches.py) with scaled estimates next to exact values — the "
+    "repeatable-experiment sampling primitive: the sample is a pure "
+    "function of the key, so reruns, engines, and downstream joins all "
+    "select the SAME rows (unlike rand()-based sampling, which cannot be "
+    "oracle-checked at all). Map-side filter + one agg; at 100 TB the "
+    "sample predicate rides the scan and costs nothing.",
+)
+def hash_sample_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_cascalog_spark.operators.sketches import portable_hash32
+
+    orders = read_table(spark, sf_dir, "orders")
+    price = money(F.col("o_totalprice"))
+    zero = F.lit(0).cast("decimal(12,2)")
+    in_sample = F.pmod(portable_hash32(F.col("o_orderkey")), F.lit(100)) < 10
+    return (
+        orders.select("o_orderpriority", price.alias("p"), in_sample.alias("s"))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_exact"),
+            dround(F.sum("p")).alias("rev_exact"),
+            F.sum(F.when(F.col("s"), 1).otherwise(0)).alias("n_sampled"),
+            (F.sum(F.when(F.col("s"), 1).otherwise(0)) * 10).alias("n_est"),
+            dround(F.sum(F.when(F.col("s"), F.col("p")).otherwise(zero)) * 10).alias(
+                "rev_est"
+            ),
+        )
+    )
+
+
+@register(
+    "order_interval_concurrency",
+    oracle="""
+    WITH iv AS (
+      SELECT o.o_orderkey,
+             CAST(o.o_orderdate AS DATE) AS open_day,
+             CAST(max(l.l_shipdate) AS DATE) + 1 AS close_day
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      GROUP BY 1, 2
+    ),
+    deltas AS (
+      SELECT open_day AS day, CAST(1 AS BIGINT) AS d FROM iv
+      UNION ALL
+      SELECT close_day, -1 FROM iv
+    ),
+    daily AS (SELECT day, sum(d) AS net FROM deltas GROUP BY day),
+    run AS (
+      SELECT day, sum(net) OVER (ORDER BY day
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS open_now
+      FROM daily
+    )
+    SELECT strftime(day, '%Y-%m') AS month,
+           CAST(max(open_now) AS BIGINT) AS peak_open_orders
+    FROM run GROUP BY 1
+    """,
+    doc="Sweep-line interval concurrency: peak simultaneously-open orders "
+    "per month (open = orderdate, close = last lineitem shipdate). The "
+    "classic +1/-1 event encoding replaces the quadratic interval "
+    "self-join; after the per-day net agg only |distinct days| rows "
+    "remain (~2.5k regardless of input size — bounded by the calendar, "
+    "not the data), so the single-partition running-sum window is "
+    "metadata-sized at any scale. The fact tables only pay one "
+    "orderkey-grouped max and one day-grouped sum.",
+)
+def order_interval_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = read_table(spark, sf_dir, "orders")
+    li = read_table(spark, sf_dir, "lineitem")
+    iv = (
+        li.groupBy("l_orderkey")
+        .agg(F.max("l_shipdate").alias("close_ts"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(
+            F.to_date("o_orderdate").alias("open_day"),
+            F.date_add(F.to_date("close_ts"), 1).alias("close_day"),
+        )
+    )
+    deltas = iv.select(F.col("open_day").alias("day"), F.lit(1).alias("d")).unionByName(
+        iv.select(F.col("close_day").alias("day"), F.lit(-1).alias("d"))
+    )
+    daily = deltas.groupBy("day").agg(F.sum("d").alias("net"))
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    run = daily.select("day", F.sum("net").over(w).alias("open_now"))
+    return run.groupBy(F.date_format("day", "yyyy-MM").alias("month")).agg(
+        F.max("open_now").cast("long").alias("peak_open_orders")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Adapted TPC-H suite (Q3-Q22) — registers tpch_q* entries on import.
 # Bottom-of-module import: plans.tpch needs register/money/dround above.

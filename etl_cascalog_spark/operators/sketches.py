@@ -156,6 +156,37 @@ def bloom_probe(col: Column, bitmap: list[int], m_bits: int, k: int = 3) -> Colu
     return cond
 
 
+def portable_hash32(col: Column) -> Column:
+    """32-bit avalanche hash as portable EXACT integer Column math — the
+    shared mixing primitive of :func:`hll_distinct` and the deterministic
+    hash-sampling queries. Two rounds of ``h = ((h >> 16) ^ h) * 0x45d9f3b
+    mod 2^32`` then a final fold (the public Hash Prospector low-bias
+    constant). Every intermediate product is ``< 2^32 * 0x45d9f3b < 2^63``,
+    so any engine with BIGINT xor/shift/multiply reproduces it bit-for-bit
+    — no wrapping-multiply semantics and no engine-private hash function.
+    """
+    h = F.pmod(col.cast("long"), F.lit(1 << 32))
+    for _ in range(2):
+        h = F.pmod(
+            (F.call_function("shiftrightunsigned", h, F.lit(16)).bitwiseXOR(h))
+            * F.lit(0x45D9F3B),
+            F.lit(1 << 32),
+        )
+    return F.call_function("shiftrightunsigned", h, F.lit(16)).bitwiseXOR(h)
+
+
+def portable_hash32_sql(expr: str) -> str:
+    """The DuckDB/ANSI rendering of :func:`portable_hash32` for oracle SQL.
+    The input expression is textually duplicated per round (SQL has no
+    let-binding outside CTEs); callers with long inputs should pre-bind a
+    CTE column.
+    """
+    h = f"(CAST({expr} AS BIGINT) % 4294967296)"
+    for _ in range(2):
+        h = f"((xor({h} >> 16, {h}) * 73244475) % 4294967296)"
+    return f"xor({h} >> 16, {h})"
+
+
 # ---------------------------------------------------------------------------
 # HyperLogLog (explicit, engine-portable)
 # ---------------------------------------------------------------------------
@@ -214,20 +245,7 @@ def hll_distinct(
     w_bits = 32 - p
     alpha = 0.7213 / (1.0 + 1.079 / m)
 
-    h0 = F.pmod(F.col(key_col).cast("long"), F.lit(1 << 32))
-    mixed = df.select(*group_cols, h0.alias("__h"))
-    for _ in range(2):
-        mixed = mixed.withColumn(
-            "__h",
-            F.pmod(
-                F.expr("shiftrightunsigned(__h, 16)").bitwiseXOR(F.col("__h"))
-                * F.lit(0x45D9F3B),
-                F.lit(1 << 32),
-            ),
-        )
-    mixed = mixed.withColumn(
-        "__h", F.expr("shiftrightunsigned(__h, 16)").bitwiseXOR(F.col("__h"))
-    )
+    mixed = df.select(*group_cols, portable_hash32(F.col(key_col)).alias("__h"))
     reg = F.expr(f"shiftrightunsigned(__h, {w_bits})")  # top p bits
     w = F.pmod(F.col("__h"), F.lit(1 << w_bits))
     rho = F.when(w == 0, F.lit(w_bits + 1)).otherwise(
