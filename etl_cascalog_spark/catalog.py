@@ -7170,6 +7170,177 @@ def order_interval_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "rolling_distinct_users_hll",
+    oracle=f"""
+    WITH act AS (
+      SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events
+    ),
+    days AS (SELECT DISTINCT day FROM act),
+    sevens AS (SELECT unnest([0, 1, 2, 3, 4, 5, 6]) AS i),
+    exact AS (
+      SELECT a.day + s.i AS day, count(DISTINCT a.user_id) AS exact_rolling7
+      FROM act a CROSS JOIN sevens s
+      GROUP BY 1
+    ),
+    h AS (
+      SELECT day, ({_ph32_sql('user_id')}) AS hv FROM act
+    ),
+    regs AS (
+      SELECT day, hv >> 24 AS reg,
+             max(CASE WHEN hv % 16777216 = 0 THEN 25
+                      ELSE 25 - length(bin(hv % 16777216)) END) AS mj
+      FROM h GROUP BY 1, 2
+    ),
+    merged AS (
+      SELECT r.day + s.i AS day, r.reg, max(r.mj) AS mj
+      FROM regs r CROSS JOIN sevens s
+      GROUP BY 1, 2
+    ),
+    pg AS (
+      SELECT day, count(*) AS n_present,
+             sum(CAST(1 AS BIGINT) << (25 - mj)) AS s_present
+      FROM merged GROUP BY 1
+    ),
+    est AS (
+      SELECT day, n_present,
+             {_HLL_ALPHA_M2_SCALE}
+               / CAST(s_present + (256 - n_present) * 33554432 AS DOUBLE) AS e_raw
+      FROM pg
+    )
+    SELECT strftime(d.day, '%Y-%m-%d') AS day,
+           e.exact_rolling7,
+           CAST(est.n_present AS BIGINT) AS n_registers_hit,
+           CAST(round(CASE WHEN est.e_raw <= 640.0 AND est.n_present < 256
+                           THEN 256.0 * ln(256.0 / (256 - est.n_present))
+                           ELSE est.e_raw END, 2) AS DOUBLE) AS est_rolling7
+    FROM days d
+    JOIN exact e ON e.day = d.day
+    JOIN est    ON est.day = d.day
+    """,
+    doc="Rolling 7-day distinct users via HLL REGISTER MERGE: daily "
+    "register frames (hll_registers) are expanded to the 7 windows each "
+    "day covers and re-maxed per (window, register), then estimated "
+    "(hll_estimate) — the mergeability payoff: each day's raw keys are "
+    "hashed ONCE, and a 7-day distinct needs only a 256-row-per-day "
+    "register union, where exact rolling distinct must re-touch every "
+    "raw key per window (here the exact twin runs beside it for error "
+    "inspection; at 100 TB you'd store the daily registers and never "
+    "re-scan). All math portable — DuckDB reproduces estimates "
+    "bit-for-bit. Output restricted to days present in the data.",
+)
+def rolling_distinct_users_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_cascalog_spark.operators.sketches import hll_estimate, hll_registers
+
+    ev = read_table(spark, sf_dir, "events")
+    act = ev.select(F.to_date("ts").alias("day"), "user_id").distinct()
+    days = act.select("day").distinct()
+    seven = F.explode(F.sequence(F.lit(0), F.lit(6))).alias("i")
+
+    exact = (
+        act.select("day", "user_id", seven)
+        .groupBy(F.date_add("day", F.col("i")).alias("day"))
+        .agg(F.countDistinct("user_id").alias("exact_rolling7"))
+    )
+    regs = hll_registers(act, "user_id", ["day"], p=8)
+    merged = (
+        regs.select("day", "__reg", "__mj", seven)
+        .groupBy(F.date_add("day", F.col("i")).alias("day"), "__reg")
+        .agg(F.max("__mj").alias("__mj"))
+    )
+    est = hll_estimate(merged, ["day"], p=8)
+    return (
+        days.join(exact, "day")
+        .join(est, "day")
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "exact_rolling7",
+            "n_registers_hit",
+            F.col("est_distinct").alias("est_rolling7"),
+        )
+    )
+
+
+@register(
+    "ivm_aggregate_maintenance",
+    oracle=f"""
+    WITH tagged AS (
+      SELECT o_orderkey, o_orderpriority,
+             CAST(o_totalprice AS DECIMAL(12,2)) AS price,
+             ({_ph32_sql('o_orderkey')}) % 10 AS bucket
+      FROM orders
+    ),
+    final_state AS (
+      SELECT o_orderkey, o_orderpriority,
+             CASE WHEN bucket = 0 THEN price + 100 ELSE price END AS price
+      FROM tagged
+      UNION ALL
+      SELECT o_orderkey + 100000000, o_orderpriority, price
+      FROM tagged WHERE bucket = 1
+    )
+    SELECT o_orderpriority,
+           count(*) AS n_orders,
+           CAST(round(sum(price), 2) AS DOUBLE) AS total_price
+    FROM final_state GROUP BY 1
+    """,
+    doc="Incremental view maintenance for algebraic aggregates: the "
+    "stored per-priority (count, sum) state is MAINTAINED from a CDC "
+    "delta — restatements contribute (new - old) to the sum and nothing "
+    "to the count, inserts contribute (+1, +new) — never rescanning the "
+    "base fact. The oracle RECOMPUTES the aggregate from the fully "
+    "applied table, so the hash match is a proof that maintenance ≡ "
+    "recomputation (count/sum are abelian-group aggregates; min/max "
+    "would need the delete-rescan path). The delta derives "
+    "deterministically from portable_hash32 buckets: bucket 0 rows are "
+    "price restatements (+100), bucket 1 rows spawn new orders under "
+    "shifted keys. At 100 TB this is the difference between touching "
+    "|delta| rows and re-aggregating the world every refresh.",
+)
+def ivm_aggregate_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_cascalog_spark.operators.sketches import portable_hash32
+
+    orders = read_table(spark, sf_dir, "orders")
+    tagged = orders.select(
+        "o_orderkey",
+        "o_orderpriority",
+        money(F.col("o_totalprice")).alias("price"),
+        F.pmod(portable_hash32(F.col("o_orderkey")), F.lit(10)).alias("bucket"),
+    )
+    # stored aggregate state over the base fact (built once, then kept)
+    base_state = tagged.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n"), F.sum("price").alias("s")
+    )
+    # CDC delta, aggregated to per-group (dn, ds) contributions:
+    #   restatement (bucket 0): dn = 0, ds = new - old = +100
+    #   insert      (bucket 1): dn = +1, ds = +new
+    hundred = F.lit(100).cast("decimal(12,2)")
+    zero_d = F.lit(0).cast("decimal(12,2)")
+    delta = (
+        tagged.where(F.col("bucket").isin(0, 1))
+        .select(
+            "o_orderpriority",
+            F.when(F.col("bucket") == 1, 1).otherwise(0).alias("dn"),
+            F.when(F.col("bucket") == 0, hundred)
+            .otherwise(F.col("price").cast("decimal(12,2)"))
+            .alias("ds"),
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.sum("dn").alias("dn"), F.sum(F.col("ds")).alias("ds"))
+    )
+    merged = (
+        base_state.join(delta, "o_orderpriority", "left")
+        .select(
+            "o_orderpriority",
+            (F.col("n") + F.coalesce(F.col("dn"), F.lit(0))).alias("n_orders"),
+            dround(
+                F.col("s").cast("decimal(22,2)")
+                + F.coalesce(F.col("ds"), zero_d).cast("decimal(22,2)")
+            ).alias("total_price"),
+        )
+    )
+    return merged
+
+
 # ---------------------------------------------------------------------------
 # Adapted TPC-H suite (Q3-Q22) — registers tpch_q* entries on import.
 # Bottom-of-module import: plans.tpch needs register/money/dround above.

@@ -241,22 +241,45 @@ def hll_distinct(
     Returns ``group_cols + (n_registers_hit, est_distinct)`` with
     ``est_distinct`` rounded to 2 dp.
     """
-    m = 1 << p
-    w_bits = 32 - p
-    alpha = 0.7213 / (1.0 + 1.079 / m)
+    return hll_estimate(hll_registers(df, key_col, group_cols, p), group_cols, p)
 
+
+def hll_registers(
+    df: DataFrame,
+    key_col: str,
+    group_cols: list[str],
+    p: int = 8,
+) -> DataFrame:
+    """The sketch STATE half of :func:`hll_distinct`: per-group register
+    maxes ``group_cols + (__reg, __mj)``. Exposed separately because the
+    state is the mergeable object — union register frames from different
+    groups/partitions/time windows, re-``max`` per register, then
+    :func:`hll_estimate`; catalog.rolling_distinct_users_hll merges daily
+    registers into rolling 7-day sketches this way, which an exact
+    count-distinct can only do by re-scanning raw keys.
+    """
+    w_bits = 32 - p
     mixed = df.select(*group_cols, portable_hash32(F.col(key_col)).alias("__h"))
     reg = F.expr(f"shiftrightunsigned(__h, {w_bits})")  # top p bits
     w = F.pmod(F.col("__h"), F.lit(1 << w_bits))
     rho = F.when(w == 0, F.lit(w_bits + 1)).otherwise(
         F.lit(w_bits) + 1 - F.length(F.bin(w))
     )
-
-    regs = (
+    return (
         mixed.select(*group_cols, reg.alias("__reg"), rho.alias("__rho"))
         .groupBy(*group_cols, "__reg")
         .agg(F.max("__rho").alias("__mj"))
     )
+
+
+def hll_estimate(regs: DataFrame, group_cols: list[str], p: int = 8) -> DataFrame:
+    """The estimator half: collapse a ``(group_cols, __reg, __mj)``
+    register frame (from :func:`hll_registers`, possibly after merging)
+    into ``group_cols + (n_registers_hit, est_distinct)``.
+    """
+    m = 1 << p
+    w_bits = 32 - p
+    alpha = 0.7213 / (1.0 + 1.079 / m)
     scale = w_bits + 1  # terms 2^(scale - mj) are exact BIGINTs, mj <= scale
     per_group = regs.groupBy(*group_cols).agg(
         F.count(F.lit(1)).alias("__n_present"),

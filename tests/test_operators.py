@@ -1927,3 +1927,39 @@ def test_khop_min_dist_chain(spark):
     seeds = spark.createDataFrame([(1,)], "node long")
     got = {r.node: r.min_hops for r in khop_min_dist(edges, seeds, k=2).collect()}
     assert got == {1: 0, 2: 1, 4: 1, 3: 2, 5: 2}
+
+
+def test_tpch_plan_shapes(spark):
+    """Plan-shape guard for the adapted TPC-H suite: the shapes the
+    SCALE.md round-7 notes promise. Dims broadcast (no SortMergeJoin
+    anywhere in these), no CartesianProduct, pushdown reaches the scans,
+    and the agg-heavy queries keep their exchange budget."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tools"))
+    from plan_audit import audit_plan
+
+    from etl_cascalog_spark.catalog import QUERIES
+    from tests.conftest import SF_SMOKE
+
+    def final_audit(name):
+        df = QUERIES[name].build(spark, SF_SMOKE)
+        df.write.format("noop").mode("overwrite").save()
+        a = audit_plan(df._jdf.queryExecution().executedPlan().toString())
+        spark.catalog.clearCache()
+        return a
+
+    for name in ("tpch_q3", "tpch_q5", "tpch_q8", "tpch_q10", "tpch_q21"):
+        a = final_audit(name)
+        assert a["smj"] == 0, f"{name}: dims must broadcast, got SMJ\n{a}"
+        assert a["cart"] == 0, f"{name}: cartesian product\n{a}"
+
+    q6 = final_audit("tpch_q6")  # scan-side predicates, single-row agg
+    assert q6["exch"] <= 1 and q6["bhj"] == 0 and q6["push"] == "yes"
+
+    q17 = final_audit("tpch_q17")  # per-part agg join-back, no window funnel
+    assert q17["smj"] == 0 and q17["exch"] <= 2
+
+    q18 = final_audit("tpch_q18")  # HAVING-pruned side joins broadcast
+    assert q18["smj"] == 0 and q18["cart"] == 0
