@@ -7341,6 +7341,114 @@ def ivm_aggregate_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merged
 
 
+@register(
+    "seasonal_anomaly_days",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    keyed AS (
+      SELECT event_type, day, n,
+             date_diff('day', DATE '1970-01-01', day) % 7 AS dow
+      FROM daily
+    ),
+    base AS (
+      SELECT event_type, dow,
+             count(*) AS cnt, sum(n) AS s, sum(n * n) AS ss
+      FROM keyed GROUP BY 1, 2
+    )
+    SELECT k.event_type, strftime(k.day, '%Y-%m-%d') AS day, k.n,
+           (k.n * b.cnt - b.s) * (k.n * b.cnt - b.s)
+             > 4 * (b.cnt * b.ss - b.s * b.s) AS anomalous
+    FROM keyed k JOIN base b
+      ON k.event_type = b.event_type AND k.dow = b.dow
+    """,
+    doc="Seasonal anomaly detection: each (event_type, day) count vs its "
+    "day-of-week baseline, flagged when it sits more than 2 population "
+    "standard deviations out. The z-test is cross-multiplied into EXACT "
+    "BIGINT: (n*cnt - sum)^2 > 4*(cnt*sumsq - sum^2) — no float mean, "
+    "no float stddev, no rounding boundary, so both engines agree "
+    "bit-for-bit on every flag. Day-of-week derives from epoch-day % 7 "
+    "(portable; calendar dow functions disagree on week start across "
+    "engines — measured gotcha). Two metadata-sized aggs; the fact pays "
+    "one (type, day) groupBy.",
+)
+def seasonal_anomaly_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.count("*").cast("long").alias("n"))
+    keyed = daily.withColumn(
+        "dow", F.pmod(F.datediff("day", F.lit("1970-01-01").cast("date")), F.lit(7))
+    )
+    base = keyed.groupBy("event_type", "dow").agg(
+        F.count("*").alias("cnt"),
+        F.sum("n").alias("s"),
+        F.sum(F.col("n") * F.col("n")).alias("ss"),
+    )
+    dev = F.col("n") * F.col("cnt") - F.col("s")
+    var_scaled = F.col("cnt") * F.col("ss") - F.col("s") * F.col("s")
+    return keyed.join(F.broadcast(base), ["event_type", "dow"]).select(
+        "event_type",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "n",
+        (dev * dev > F.lit(4) * var_scaled).alias("anomalous"),
+    )
+
+
+@register(
+    "join_size_estimate",
+    oracle="""
+    WITH h AS (
+      SELECT l_partkey, count(*) AS c FROM lineitem GROUP BY 1
+    ),
+    tot AS (
+      SELECT sum(c * c) AS est_selfjoin_rows,
+             count(*) AS n_keys,
+             sum(c) AS n_rows
+      FROM h
+    ),
+    top AS (
+      SELECT l_partkey AS heaviest_key, c * c AS heaviest_contrib
+      FROM h ORDER BY c DESC, l_partkey LIMIT 1
+    )
+    SELECT CAST(tot.est_selfjoin_rows AS BIGINT) AS est_selfjoin_rows,
+           CAST(tot.n_keys AS BIGINT) AS n_keys,
+           CAST(tot.n_rows AS BIGINT) AS n_rows,
+           top.heaviest_key,
+           CAST(top.heaviest_contrib AS BIGINT) AS heaviest_contrib
+    FROM tot CROSS JOIN top
+    """,
+    doc="Join-size pre-flight: the EXACT output cardinality of the "
+    "l_partkey self-join (the co-occurrence/pair-mining shape) computed "
+    "from the per-key histogram — sum(c_k^2) — at groupBy cost, before "
+    "any join runs, plus the heaviest key's contribution (the skew "
+    "alarm). This is the planning probe behind every quadratic guard in "
+    "the dedup/graph family: if est_selfjoin_rows or heaviest_contrib "
+    "blows past budget, you cap/salt BEFORE paying the shuffle. "
+    "Metadata-sized everything after the one key groupBy.",
+)
+def join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem")
+    h = li.groupBy("l_partkey").agg(F.count("*").alias("c"))
+    tot = h.agg(
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("est_selfjoin_rows"),
+        F.count("*").cast("long").alias("n_keys"),
+        F.sum("c").cast("long").alias("n_rows"),
+    )
+    top = (
+        h.orderBy(F.col("c").desc(), F.col("l_partkey"))
+        .limit(1)
+        .select(
+            F.col("l_partkey").alias("heaviest_key"),
+            (F.col("c") * F.col("c")).cast("long").alias("heaviest_contrib"),
+        )
+    )
+    return tot.join(F.broadcast(top))
+
+
 # ---------------------------------------------------------------------------
 # Adapted TPC-H suite (Q3-Q22) — registers tpch_q* entries on import.
 # Bottom-of-module import: plans.tpch needs register/money/dround above.
