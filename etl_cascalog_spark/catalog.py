@@ -7007,8 +7007,11 @@ def khop_related_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     "blocked-pair agreement rates (the all-pairs ~ non-match "
     "approximation), fixed m-priors, match weight = sum of log2 "
     "likelihood ratios, histogrammed by integer band. At 100 TB the "
-    "block-key shuffle bounds the quadratic fan-out; the u-estimate is "
-    "one scalar agg broadcast back — no EM iteration, no collect.",
+    "block-key shuffle bounds the quadratic fan-out, and the pair frame "
+    "collapses to its 2^3 agreement patterns in ONE pass — u-rates, "
+    "weights and the histogram are all 8-row metadata after that, so "
+    "the Levenshtein comparison is never recomputed. No EM iteration, "
+    "no collect.",
 )
 def fs_linkage_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = read_table(spark, sf_dir, "customer")
@@ -7037,11 +7040,28 @@ def fs_linkage_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
-    one, zero = F.lit(1), F.lit(0)
-    u = pairs.agg(
-        (F.sum(F.when(F.col("ag_name"), one).otherwise(zero)).cast("double") / F.count("*")).alias("u_name"),
-        (F.sum(F.when(F.col("ag_bal"), one).otherwise(zero)).cast("double") / F.count("*")).alias("u_bal"),
-        (F.sum(F.when(F.col("ag_prefix"), one).otherwise(zero)).cast("double") / F.count("*")).alias("u_prefix"),
+    # ONE pass over the (levenshtein-bearing) pair frame: collapse to the
+    # 2^3 agreement patterns. Everything after — u-rates, weights, the
+    # band histogram — is 8-row metadata, so the expensive comparison
+    # never runs twice (a naive scalar-agg u + join-back recomputes the
+    # whole blocked self-join for each consumer).
+    patterns = pairs.groupBy("ag_name", "ag_bal", "ag_prefix").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    tot = F.sum("c").over(Window.partitionBy())
+    agree_rate = lambda col: (  # noqa: E731
+        F.sum(F.when(F.col(col), F.col("c")).otherwise(0)).over(Window.partitionBy())
+        .cast("double")
+        / tot.cast("double")
+    )
+    with_u = patterns.select(
+        "ag_name",
+        "ag_bal",
+        "ag_prefix",
+        "c",
+        agree_rate("ag_name").alias("u_name"),
+        agree_rate("ag_bal").alias("u_bal"),
+        agree_rate("ag_prefix").alias("u_prefix"),
     )
     log2 = lambda c: F.log2(c)  # noqa: E731
     weight = (
@@ -7056,10 +7076,9 @@ def fs_linkage_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return (
-        pairs.join(F.broadcast(u))
-        .select(F.floor(weight).cast("long").alias("score_band"))
+        with_u.select(F.floor(weight).cast("long").alias("score_band"), "c")
         .groupBy("score_band")
-        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .agg(F.sum("c").alias("n_pairs"))
     )
 
 
