@@ -194,3 +194,34 @@ def binpack_plan(
     return files.withColumn(
         "bin_id", F.floor(cum_excl / F.lit(target_bytes)).cast("long")
     )
+
+
+def compact_rewrite(
+    rows: DataFrame,
+    plan: DataFrame,
+    partition_cols: list[str],
+    file_key_cols: list[str],
+    path: str,
+) -> None:
+    """Execute a :func:`binpack_plan`: rewrite the rows so each planned bin
+    becomes exactly ONE output file.
+
+    The row frame joins its (partition, file-key) to the plan's ``bin_id``,
+    repartitions on (partition, bin) — hash distribution puts each bin
+    wholly inside one task — and writes ``partitionBy(partition, bin)``,
+    so every bin directory receives exactly one part file from its one
+    task. This is the only data-sized step of compaction; the planner
+    itself only ever touched file metadata. The join is a broadcast (the
+    plan is the file listing — metadata-sized even at 100 TB).
+    """
+    keys = partition_cols + file_key_cols
+    joined = rows.join(
+        F.broadcast(plan.select(*keys, "bin_id")), on=keys, how="inner"
+    )
+    part_keys = [*partition_cols, "bin_id"]
+    (
+        joined.repartition(*[F.col(c) for c in part_keys])
+        .write.partitionBy(*part_keys)
+        .mode("overwrite")
+        .parquet(path)
+    )

@@ -476,3 +476,35 @@ def test_write_with_metrics_single_pass(spark, tmp_path):
     back = spark.read.parquet(p)
     assert back.count() == 4
     assert back.where("v IS NULL").count() == 2
+
+
+def test_binpack_compact_rewrite_one_file_per_bin(spark, tmp_path):
+    """binpack planner + rewrite round-trip: every planned bin becomes
+    exactly one parquet part file, and no row is lost or duplicated."""
+    from pyspark.sql import functions as F
+
+    from etl_cascalog_spark.io import read_table
+    from etl_cascalog_spark.operators.layout import binpack_plan, compact_rewrite
+
+    ev = read_table(spark, SF_SMOKE, "events")
+    rows = ev.select(
+        "event_id", "event_type", F.date_format("ts", "yyyy-MM-dd").alias("file_day")
+    )
+    files = rows.groupBy("event_type", "file_day").agg(
+        (F.lit(1024) + F.count("*") * 64).alias("bytes")
+    )
+    plan = binpack_plan(files, ["event_type"], "bytes", ["file_day"], target_bytes=8192)
+    out = str(tmp_path / "compacted")
+    compact_rewrite(rows, plan, ["event_type"], ["file_day"], out)
+
+    import glob
+
+    n_bins = plan.select("event_type", "bin_id").distinct().count()
+    part_files = glob.glob(f"{out}/event_type=*/bin_id=*/part-*.parquet")
+    bin_dirs = {p.rsplit("/", 1)[0] for p in part_files}
+    assert len(bin_dirs) == n_bins
+    assert len(part_files) == n_bins, "one part file per bin"
+
+    back = spark.read.parquet(out)
+    assert back.count() == rows.count()
+    assert back.select("event_id").distinct().count() == rows.count()
