@@ -7468,6 +7468,52 @@ def join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tot.join(F.broadcast(top))
 
 
+@register(
+    "keyset_pagination_page2",
+    oracle="""
+    WITH ranked AS (
+      SELECT o_orderkey, o_totalprice,
+             row_number() OVER (ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      FROM orders
+    )
+    SELECT o_orderkey, o_totalprice
+    FROM ranked WHERE rn BETWEEN 11 AND 20
+    """,
+    doc="Keyset (cursor) pagination: page 2 of the (totalprice DESC, "
+    "orderkey) listing fetched as cursor-predicate + top-10 — strictly "
+    "after page 1's last row via the lexicographic keyset condition "
+    "(p < c) OR (p = c AND k > ck) — NOT as OFFSET 10. The oracle IS "
+    "the offset/row_number formulation, so the hash match proves the "
+    "keyset page equals the offset page. Scale story: offset-N makes "
+    "every page scan and sort N+page rows (page 10^6 touches 10^7), "
+    "while the keyset predicate pushes into the scan and each page is "
+    "a constant-cost TakeOrderedAndProject — the only pagination that "
+    "survives a 100 TB listing. Cursor derives in-plan (rank-10 row, "
+    "single-row broadcast), no driver round-trip.",
+)
+def keyset_pagination_page2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = read_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    page1 = orders.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey")).limit(10)
+    cursor = (
+        page1.orderBy(F.col("o_totalprice").asc(), F.col("o_orderkey").desc())
+        .limit(1)
+        .select(
+            F.col("o_totalprice").alias("c_price"), F.col("o_orderkey").alias("c_key")
+        )
+    )
+    after_cursor = (F.col("o_totalprice") < F.col("c_price")) | (
+        (F.col("o_totalprice") == F.col("c_price"))
+        & (F.col("o_orderkey") > F.col("c_key"))
+    )
+    return (
+        orders.join(F.broadcast(cursor))
+        .where(after_cursor)
+        .select("o_orderkey", "o_totalprice")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(10)
+    )
+
+
 # ---------------------------------------------------------------------------
 # Adapted TPC-H suite (Q3-Q22) — registers tpch_q* entries on import.
 # Bottom-of-module import: plans.tpch needs register/money/dround above.

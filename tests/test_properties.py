@@ -428,3 +428,36 @@ def test_star_cc_equals_label_propagation(spark, edges):
         assert {p for p in want if p[0] not in only} == {
             p for p in got if p[0] not in only
         }
+
+
+@given(
+    st.lists(st.integers(min_value=0, max_value=60), min_size=1, max_size=40),
+    st.integers(min_value=0, max_value=60),
+)
+@settings(deadline=None, max_examples=200)
+def test_tpch_q17_cross_multiplied_predicate_is_exact(qtys, probe):
+    """The TPC-H Q17 rewrite `5*qty*cnt < sum` must agree with the exact
+    rational predicate `qty < 0.2 * avg(qty)` on EVERY input — including
+    the boundary cases where a float avg would round the wrong way. Pure
+    arithmetic property (no Spark): Fraction is the ground truth."""
+    from fractions import Fraction
+
+    cnt, s = len(qtys), sum(qtys)
+    exact = Fraction(probe) < Fraction(1, 5) * Fraction(s, cnt)
+    rewritten = 5 * probe * cnt < s
+    assert rewritten == exact
+
+
+@given(
+    st.lists(st.integers(min_value=1, max_value=10**6), min_size=1, max_size=40),
+    st.integers(min_value=0, max_value=10**6),
+)
+@settings(deadline=None, max_examples=200)
+def test_tpch_q22_cross_multiplied_predicate_is_exact(bals, probe):
+    """Q22's `bal * n > sum` ≡ `bal > avg(bal)` over exact rationals."""
+    from fractions import Fraction
+
+    n, s = len(bals), sum(bals)
+    exact = Fraction(probe) > Fraction(s, n)
+    rewritten = probe * n > s
+    assert rewritten == exact
