@@ -7514,6 +7514,64 @@ def keyset_pagination_page2(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "split_leakage_audit",
+    oracle=f"""
+    WITH {_SHINGLE_CTE},
+    splits AS (
+      SELECT doc_id,
+             CASE WHEN b < 8000 THEN 'train'
+                  WHEN b < 9000 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM (SELECT doc_id,
+                   CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'v1'), 1, 8) AS BIGINT)
+                   % 10000 AS b
+            FROM documents)
+    )
+    SELECT sa.split AS split_a, sb.split AS split_b,
+           count(*) AS n_pairs,
+           sa.split <> sb.split AS leaky
+    FROM jpairs p
+    JOIN splits sa ON sa.doc_id = p.doc_a
+    JOIN splits sb ON sb.doc_id = p.doc_b
+    GROUP BY 1, 2, 4
+    """,
+    doc="Train/test split LEAKAGE AUDIT: exact-Jaccard near-dup pairs "
+    "(the ngram_jaccard_dedup baseline, j >= 0.7) joined to the "
+    "deterministic hash_split assignment on both sides, counted per "
+    "(split_a, split_b) cell — every off-diagonal cell is an eval "
+    "contamination channel (a test doc whose near-duplicate was "
+    "trained on). This is the audit that motivates keying hash_split "
+    "on the dedup CLUSTER id rather than the raw doc id "
+    "(train_split_assignment doc); run it after any split to prove the "
+    "off-diagonal is empty — or how bad it is. Split lookup broadcasts "
+    "(ids only); the pair pass is the audited LSH/shingle machinery.",
+)
+def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_cascalog_spark.operators.dedup import jaccard_pairs
+    from etl_cascalog_spark.operators.sessions import hash_split
+
+    docs = read_table(spark, sf_dir, "documents")
+    pairs = jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.7)
+    splits = hash_split(
+        docs.select("doc_id"), "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1},
+        salt="v1",
+    )
+    sa = splits.select(F.col("doc_id").alias("doc_a"), F.col("split").alias("split_a"))
+    sb = splits.select(F.col("doc_id").alias("doc_b"), F.col("split").alias("split_b"))
+    return (
+        pairs.join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
+        .groupBy(
+            "split_a",
+            "split_b",
+            (F.col("split_a") != F.col("split_b")).alias("leaky"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .select("split_a", "split_b", "n_pairs", "leaky")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Adapted TPC-H suite (Q3-Q22) — registers tpch_q* entries on import.
 # Bottom-of-module import: plans.tpch needs register/money/dround above.
