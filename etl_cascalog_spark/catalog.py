@@ -7572,6 +7572,84 @@ def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "cluster_keyed_split_audit",
+    oracle=f"""
+    WITH RECURSIVE {_SHINGLE_CTE},
+    e AS (
+      SELECT doc_a AS s, doc_b AS t FROM jpairs
+      UNION
+      SELECT doc_b, doc_a FROM jpairs
+    ),
+    reach(s, t) AS (
+      SELECT s, t FROM e
+      UNION
+      SELECT r.s, e2.t FROM reach r JOIN e e2 ON r.t = e2.s
+    ),
+    labels AS (
+      SELECT s AS doc_id, least(s, min(t)) AS cluster_id FROM reach GROUP BY s
+    ),
+    keys AS (
+      SELECT d.doc_id, coalesce(l.cluster_id, d.doc_id) AS k
+      FROM documents d LEFT JOIN labels l ON l.doc_id = d.doc_id
+    ),
+    splits AS (
+      SELECT doc_id,
+             CASE WHEN b < 8000 THEN 'train'
+                  WHEN b < 9000 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM (SELECT doc_id,
+                   CAST('0x' || substr(md5(CAST(k AS VARCHAR) || 'v1'), 1, 8) AS BIGINT)
+                   % 10000 AS b
+            FROM keys)
+    )
+    SELECT sa.split AS split_a, sb.split AS split_b,
+           count(*) AS n_pairs,
+           sa.split <> sb.split AS leaky
+    FROM jpairs p
+    JOIN splits sa ON sa.doc_id = p.doc_a
+    JOIN splits sb ON sb.doc_id = p.doc_b
+    GROUP BY 1, 2, 4
+    """,
+    doc="The FIX for split_leakage_audit, proven by re-audit: hash_split "
+    "keyed on the connected-component CLUSTER id (raw doc_id only for "
+    "singletons), so every near-dup pair shares a split key by "
+    "construction and the off-diagonal of the leakage matrix is exactly "
+    "empty — the hash match against the recursive-CTE oracle certifies "
+    "it. This is the leakage-safe production split recipe the "
+    "train_split_assignment doc promises; same plan machinery as "
+    "dedup_cluster_sizes plus two broadcast id-only joins.",
+)
+def cluster_keyed_split_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_cascalog_spark.operators.dedup import connected_components, jaccard_pairs
+    from etl_cascalog_spark.operators.sessions import hash_split
+
+    docs = read_table(spark, sf_dir, "documents")
+    pairs = jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.7)
+    labels = connected_components(pairs).select(
+        F.col("node").alias("doc_id"), F.col("label")
+    )
+    keyed = docs.select("doc_id").join(F.broadcast(labels), "doc_id", "left").select(
+        "doc_id", F.coalesce("label", "doc_id").alias("split_key")
+    )
+    splits = hash_split(
+        keyed, "split_key", {"train": 0.8, "val": 0.1, "test": 0.1}, salt="v1"
+    ).select("doc_id", "split")
+    sa = splits.select(F.col("doc_id").alias("doc_a"), F.col("split").alias("split_a"))
+    sb = splits.select(F.col("doc_id").alias("doc_b"), F.col("split").alias("split_b"))
+    return (
+        pairs.join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
+        .groupBy(
+            "split_a",
+            "split_b",
+            (F.col("split_a") != F.col("split_b")).alias("leaky"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .select("split_a", "split_b", "n_pairs", "leaky")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Adapted TPC-H suite (Q3-Q22) — registers tpch_q* entries on import.
 # Bottom-of-module import: plans.tpch needs register/money/dround above.
