@@ -7650,6 +7650,88 @@ def cluster_keyed_split_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "per_group_sample",
+    oracle=f"""
+    WITH h AS (
+      SELECT source, doc_id,
+             ({_ph32_sql('doc_id')}) AS hv
+      FROM documents
+    ),
+    ranked AS (
+      SELECT source, doc_id,
+             row_number() OVER (PARTITION BY source ORDER BY hv, doc_id) AS rn
+      FROM h
+    )
+    SELECT source, doc_id, CAST(rn AS INT) AS rn
+    FROM ranked WHERE rn <= 3
+    """,
+    doc="Deterministic per-group sample: 3 documents per source, picked "
+    "by ranking on portable_hash32(doc_id) — uniform-ish like "
+    "ORDER BY random() LIMIT but stable across reruns/engines (and so "
+    "oracle-checkable) and leakage-free for inspection pipelines that "
+    "must re-visit the SAME sample. One group-key window; at 100 TB "
+    "swap row_number for the per-partition top-k + merge pattern "
+    "(top_n_per_group) if groups are few and huge.",
+)
+def per_group_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_cascalog_spark.operators.sketches import portable_hash32
+
+    docs = read_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        portable_hash32(F.col("doc_id")), F.col("doc_id")
+    )
+    return (
+        docs.select("source", "doc_id", F.row_number().over(w).alias("rn"))
+        .where(F.col("rn") <= 3)
+        .select("source", "doc_id", F.col("rn").cast("int").alias("rn"))
+    )
+
+
+@register(
+    "last_touch_attribution",
+    oracle="""
+    SELECT p.event_id AS purchase_id,
+           CAST(t.event_id AS BIGINT) AS touch_id,
+           t.event_type AS touch_type
+    FROM events p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type <> 'purchase') t
+      ON p.user_id = t.user_id AND t.ts < p.ts
+    WHERE p.event_type = 'purchase'
+    """,
+    doc="Marketing last-touch attribution: each purchase attributed to "
+    "the user's most recent PRIOR non-purchase event — the as-of join "
+    "(operators/joins.asof_join, strict <) whose union+single-window "
+    "formulation shuffles each side once on user_id; DuckDB's native "
+    "ASOF LEFT JOIN is the oracle. Ties inside a timestamp resolve by "
+    "event_id (total order). Purchases with no prior touch keep NULLs "
+    "(left-outer).",
+)
+def last_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_cascalog_spark.operators.joins import asof_join
+
+    ev = read_table(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id", "ts"
+    )
+    touches = ev.where(F.col("event_type") != "purchase").select(
+        "user_id",
+        F.col("ts").alias("touch_ts"),
+        F.col("event_id").alias("touch_id"),
+        F.col("event_type").alias("touch_type"),
+    )
+    return asof_join(
+        purchases,
+        touches,
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="touch_ts",
+        value_cols=["touch_id", "touch_type"],
+        tiebreak="touch_id",
+        allow_exact=False,
+    ).select("purchase_id", "touch_id", "touch_type")
+
+
 # ---------------------------------------------------------------------------
 # Adapted TPC-H suite (Q3-Q22) — registers tpch_q* entries on import.
 # Bottom-of-module import: plans.tpch needs register/money/dround above.
