@@ -10,8 +10,10 @@ DuckDB running the same SQL.
 
 Adaptations (the driver's tables are trimmed vs the spec — TESTDATA.md):
 
-- no ``partsupp`` table -> Q2/Q11 omitted; Q16/Q20 use ``lineitem`` as the
-  part-supplier relation (which supplier actually shipped which part);
+- no ``partsupp`` table -> Q16/Q20 use ``lineitem`` as the part-supplier
+  relation (which supplier actually shipped which part), and Q2/Q11 run
+  over a DERIVED partsupp (distinct shipped pairs + deterministic
+  hash-derived DECIMAL supply cost — see the Q2/Q11 banner below);
 - ``lineitem`` has no commit/receipt dates or shipmode -> Q4/Q12/Q21 measure
   lateness as ``l_shipdate`` vs ``o_orderdate + N days``;
 - no comment/phone/address/container/mfgr columns -> exclusion predicates
@@ -924,5 +926,170 @@ def tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").alias("numcust"),
             dround(F.sum(money(F.col("c_acctbal")))).alias("totacctbal"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q2 / Q11 — the two partsupp queries, over a DERIVED part-supplier
+# relation: the distinct (l_partkey, l_suppkey) pairs actually shipped,
+# with a deterministic hash-derived supply cost (portable_hash32 cents),
+# so both engines build the identical synthetic partsupp.
+# ---------------------------------------------------------------------------
+
+from etl_cascalog_spark.catalog import register as _register  # noqa: E402
+from etl_cascalog_spark.operators.sketches import (  # noqa: E402
+    portable_hash32,
+    portable_hash32_sql,
+)
+
+_PS_COST_SQL = f"""(
+      SELECT DISTINCT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+             ({portable_hash32_sql('l_partkey * 1000003 + l_suppkey')} % 10000)
+               * CAST(0.01 AS DECIMAL(3,2)) AS ps_supplycost
+      FROM lineitem
+    )"""
+
+
+def _partsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem")
+    cost = (
+        F.pmod(
+            portable_hash32(F.col("l_partkey") * 1000003 + F.col("l_suppkey")),
+            F.lit(10000),
+        )
+        * F.lit("0.01").cast("decimal(3,2)")
+    )
+    return (
+        li.select("l_partkey", "l_suppkey")
+        .distinct()
+        .select(
+            F.col("l_partkey").alias("ps_partkey"),
+            F.col("l_suppkey").alias("ps_suppkey"),
+            cost.alias("ps_supplycost"),
+        )
+    )
+
+
+@_register(
+    "tpch_q2",
+    oracle=f"""
+    WITH ps AS {_PS_COST_SQL},
+    candidates AS (
+      SELECT p.p_partkey, p.p_retailprice, s.s_suppkey, s.s_name,
+             n.n_name AS nation, ps.ps_supplycost
+      FROM part p
+      JOIN ps        ON ps.ps_partkey = p.p_partkey
+      JOIN supplier s ON s.s_suppkey = ps.ps_suppkey
+      JOIN nation n   ON s.s_nationkey = n.n_nationkey
+      JOIN region r   ON n.n_regionkey = r.r_regionkey
+      WHERE p.p_size = 15 AND p.p_type = 'STANDARD' AND r.r_name = 'EUROPE'
+    ),
+    best AS (
+      SELECT p_partkey, min(ps_supplycost) AS min_cost
+      FROM candidates GROUP BY 1
+    )
+    SELECT c.p_partkey, c.p_retailprice, c.s_suppkey, c.s_name, c.nation,
+           CAST(c.ps_supplycost AS DOUBLE) AS supplycost
+    FROM candidates c JOIN best b
+      ON c.p_partkey = b.p_partkey AND c.ps_supplycost = b.min_cost
+    """,
+    doc="TPC-H Q2 minimum-cost supplier (partsupp derived from shipped "
+    "pairs, hash-derived DECIMAL cost — docstring at module Q2/Q11 "
+    "banner). The correlated MIN subquery is a per-part aggregate "
+    "joined back on (part, exact-DECIMAL cost equality) — ties keep "
+    "all minimal suppliers, identically in both engines. Every "
+    "non-partsupp relation broadcasts; partsupp shuffles once on its "
+    "own distinct.",
+)
+def tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ps = _partsupp(spark, sf_dir)
+    part = read_table(spark, sf_dir, "part").where(
+        (F.col("p_size") == 15) & (F.col("p_type") == "STANDARD")
+    )
+    supp = read_table(spark, sf_dir, "supplier")
+    nat = read_table(spark, sf_dir, "nation")
+    reg = read_table(spark, sf_dir, "region").where(F.col("r_name") == "EUROPE")
+    cand = (
+        ps.join(F.broadcast(part), F.col("ps_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(supp), F.col("ps_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(reg), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select(
+            "p_partkey",
+            "p_retailprice",
+            "s_suppkey",
+            "s_name",
+            F.col("n_name").alias("nation"),
+            "ps_supplycost",
+        )
+    )
+    best = cand.groupBy(F.col("p_partkey").alias("bp")).agg(
+        F.min("ps_supplycost").alias("min_cost")
+    )
+    return (
+        cand.join(
+            F.broadcast(best),
+            (F.col("p_partkey") == F.col("bp"))
+            & (F.col("ps_supplycost") == F.col("min_cost")),
+        )
+        .select(
+            "p_partkey",
+            "p_retailprice",
+            "s_suppkey",
+            "s_name",
+            "nation",
+            F.col("ps_supplycost").cast("double").alias("supplycost"),
+        )
+    )
+
+
+@_register(
+    "tpch_q11",
+    oracle=f"""
+    WITH ps AS {_PS_COST_SQL},
+    local AS (
+      SELECT ps.ps_partkey, ps.ps_supplycost
+      FROM ps
+      JOIN supplier s ON s.s_suppkey = ps.ps_suppkey
+      JOIN nation n   ON s.s_nationkey = n.n_nationkey
+      WHERE n.n_name = 'NATION_3'
+    ),
+    per_part AS (
+      SELECT ps_partkey, sum(ps_supplycost) AS value_dec
+      FROM local GROUP BY 1
+    ),
+    tot AS (SELECT sum(value_dec) AS total FROM per_part)
+    SELECT p.ps_partkey,
+           CAST(round(p.value_dec, 2) AS DOUBLE) AS stock_value
+    FROM per_part p CROSS JOIN tot
+    WHERE p.value_dec * 2000 > tot.total
+    """,
+    doc="TPC-H Q11 important stock (no availqty — value = summed derived "
+    "supply cost of NATION_3's shipped part-supplier pairs). The "
+    "HAVING-fraction threshold is cross-multiplied into exact DECIMAL "
+    "(value * 2000 > total, i.e. value > 0.05% of total) — the same "
+    "no-rounded-average discipline as Q17/Q22; the global total rides "
+    "a single-row broadcast.",
+)
+def tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ps = _partsupp(spark, sf_dir)
+    supp = read_table(spark, sf_dir, "supplier")
+    nat = read_table(spark, sf_dir, "nation").where(F.col("n_name") == "NATION_3")
+    local = (
+        ps.join(F.broadcast(supp), F.col("ps_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("ps_partkey", "ps_supplycost")
+    )
+    per_part = local.groupBy("ps_partkey").agg(
+        F.sum("ps_supplycost").alias("value_dec")
+    )
+    tot = per_part.agg(F.sum("value_dec").alias("total"))
+    return (
+        per_part.join(F.broadcast(tot))
+        .where(F.col("value_dec") * 2000 > F.col("total"))
+        .select(
+            "ps_partkey",
+            F.round("value_dec", 2).cast("double").alias("stock_value"),
         )
     )
