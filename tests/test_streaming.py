@@ -538,3 +538,39 @@ def test_idempotent_upsert_sink_exactly_once(spark, tmp_path):
     )
     assert got.count() == n_users
     assert got.select("user_id").distinct().count() == n_users
+
+
+def test_streaming_hll_matches_batch(spark):
+    """Streaming HLL register state across micro-batches == batch
+    hll_distinct over the same rows, bit-for-bit (same portable hash,
+    same estimator). The last update-mode emission per key is the final
+    sketch state's estimate."""
+    from etl_cascalog_spark.io import read_table
+    from etl_cascalog_spark.operators.sketches import hll_distinct
+    from etl_cascalog_spark.streaming.sketch_state import running_distinct_users_hll
+    from etl_cascalog_spark.streaming.windows import stream_events
+
+    q = (
+        running_distinct_users_hll(stream_events(spark, SF_SMOKE))
+        .writeStream.format("memory")
+        .queryName("hll_stream")
+        .outputMode("update")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    # last emission per key wins (update mode re-emits per micro-batch)
+    got_rows = spark.sql(
+        "SELECT event_type, n_registers_hit, est_distinct FROM hll_stream"
+    ).collect()
+    got = {}
+    for r in got_rows:  # memory sink preserves arrival order
+        got[r.event_type] = (r.n_registers_hit, r.est_distinct)
+
+    want = {
+        r.event_type: (r.n_registers_hit, r.est_distinct)
+        for r in hll_distinct(
+            read_table(spark, SF_SMOKE, "events"), "user_id", ["event_type"]
+        ).collect()
+    }
+    assert got == want and len(want) > 0
