@@ -7732,6 +7732,107 @@ def last_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("purchase_id", "touch_id", "touch_type")
 
 
+@register(
+    "gdpr_erasure_maintenance",
+    oracle=f"""
+    WITH erased AS (
+      SELECT user_id FROM events
+      GROUP BY 1 HAVING ({_ph32_sql('user_id')}) % 20 = 0
+    )
+    SELECT e.event_type,
+           count(*) AS n_events,
+           CAST(round(sum(CAST(e.value AS DECIMAL(18,6))), 4) AS DOUBLE) AS total_value
+    FROM events e
+    WHERE NOT EXISTS (SELECT 1 FROM erased x WHERE x.user_id = e.user_id)
+    GROUP BY 1
+    """,
+    doc="Right-to-be-forgotten propagation into derived aggregates, the "
+    "DELETE direction of ivm_aggregate_maintenance: the stored "
+    "per-event-type (count, sum) state minus the erased users' "
+    "per-group contributions — the base fact is never re-aggregated, "
+    "only |erasure-list ⋈ fact| rows are touched (and at 100 TB that "
+    "join is a bloom/broadcast prune of the fact scan). The oracle "
+    "recomputes from the scrubbed table, so the hash match proves "
+    "subtract-maintenance ≡ delete-and-recompute for abelian "
+    "aggregates. Erasure list = a deterministic 5% hash cohort.",
+)
+def gdpr_erasure_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_cascalog_spark.operators.sketches import portable_hash32
+
+    ev = read_table(spark, sf_dir, "events").select(
+        "event_type", "user_id", F.col("value").cast("decimal(18,6)").alias("v")
+    )
+    erased = (
+        ev.select("user_id")
+        .distinct()
+        .where(F.pmod(portable_hash32(F.col("user_id")), F.lit(20)) == 0)
+    )
+    # stored aggregate state (built once over the base fact)
+    state = ev.groupBy("event_type").agg(
+        F.count("*").alias("n"), F.sum("v").alias("s")
+    )
+    # erased users' contributions: only the erasure-semi-joined slice of
+    # the fact is touched
+    removed = (
+        ev.join(F.broadcast(erased), "user_id", "left_semi")
+        .groupBy("event_type")
+        .agg(F.count("*").alias("dn"), F.sum("v").alias("ds"))
+    )
+    zero_d = F.lit(0).cast("decimal(18,6)")
+    return (
+        state.join(removed, "event_type", "left")
+        .select(
+            "event_type",
+            (F.col("n") - F.coalesce(F.col("dn"), F.lit(0))).alias("n_events"),
+            F.round(
+                (
+                    F.col("s").cast("decimal(28,6)")
+                    - F.coalesce(F.col("ds"), zero_d).cast("decimal(28,6)")
+                ),
+                4,
+            )
+            .cast("double")
+            .alias("total_value"),
+        )
+    )
+
+
+@register(
+    "top_n_per_group_scaled",
+    oracle="""
+    SELECT * FROM (
+      SELECT c_nationkey, c_custkey, c_acctbal,
+             row_number() OVER (PARTITION BY c_nationkey
+                                ORDER BY c_acctbal DESC, c_custkey) AS rn
+      FROM customer
+    ) WHERE rn <= 3
+    """,
+    doc="The skew-proof twin of top_n_per_group: salted two-phase ranking "
+    "(aggregates.top_k_per_group_scaled) — each group splits into hash "
+    "sub-partitions, phase 1 keeps top-k per slice (any global top-k "
+    "row is top-k in its slice), phase 2 ranks the <= k*buckets "
+    "survivors. The heaviest task sorts |group|/buckets rows instead of "
+    "|group| — the form that survives one mega-group at 100 TB. The "
+    "oracle is the SINGLE-window formulation, so the hash match proves "
+    "the two-phase rewrite exact (also property-tested under heavy "
+    "ties).",
+)
+def top_n_per_group_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_cascalog_spark.operators.aggregates import top_k_per_group_scaled
+
+    cust = read_table(spark, sf_dir, "customer").select(
+        "c_nationkey", "c_custkey", "c_acctbal"
+    )
+    return top_k_per_group_scaled(
+        cust,
+        ["c_nationkey"],
+        [F.col("c_acctbal").desc(), F.col("c_custkey")],
+        k=3,
+        salt_col="c_custkey",
+        salt_buckets=8,
+    )
+
+
 # ---------------------------------------------------------------------------
 # Adapted TPC-H suite (Q3-Q22) — registers tpch_q* entries on import.
 # Bottom-of-module import: plans.tpch needs register/money/dround above.

@@ -289,3 +289,45 @@ def winsorized_stats(
         F.min("__hi").alias("p_hi_val"),
         F.sum("__clip").alias("clipped_sum"),
     )
+
+
+def top_k_per_group_scaled(
+    df,
+    group_cols: list[str],
+    order_cols,
+    k: int,
+    salt_col,
+    salt_buckets: int = 32,
+):
+    """Skew-proof top-k per group: two-phase ranking that never sorts a
+    whole group in one task.
+
+    The single-window form (``top_n_per_group``) partitions by the group
+    key — one mega-group means one task sorts everything. Here each group
+    first splits into ``salt_buckets`` sub-partitions (salt = hash of a
+    row-unique column), phase 1 keeps the top-k of each (group, salt)
+    slice — correct because any global top-k row is top-k within
+    whichever slice holds it — and phase 2 ranks only the ≤ k·buckets
+    survivors per group. The heaviest task sorts |group|/buckets rows,
+    dialable by ``salt_buckets``; the same structure is how TakeOrdered
+    handles the global (group-less) case.
+
+    ``order_cols``: ordering Column expressions (include a total
+    tie-break — both phases must agree on a total order for exact
+    equivalence with the single-window form, which is property-tested).
+    """
+    from pyspark.sql import Window
+
+    from etl_cascalog_spark.operators.sketches import portable_hash32
+
+    salt = F.pmod(portable_hash32(F.col(salt_col)), F.lit(salt_buckets))
+    w1 = Window.partitionBy(*group_cols, "__salt").orderBy(*order_cols)
+    w2 = Window.partitionBy(*group_cols).orderBy(*order_cols)
+    return (
+        df.withColumn("__salt", salt)
+        .withColumn("__rn1", F.row_number().over(w1))
+        .where(F.col("__rn1") <= k)
+        .withColumn("rn", F.row_number().over(w2))
+        .where(F.col("rn") <= k)
+        .drop("__salt", "__rn1")
+    )

@@ -461,3 +461,38 @@ def test_tpch_q22_cross_multiplied_predicate_is_exact(bals, probe):
     exact = Fraction(probe) > Fraction(s, n)
     rewritten = probe * n > s
     assert rewritten == exact
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=3),   # group
+            st.integers(min_value=0, max_value=50),  # value (ties likely)
+        ),
+        min_size=1,
+        max_size=60,
+    ),
+    st.integers(min_value=1, max_value=4),
+)
+@settings(deadline=None, max_examples=25, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_top_k_scaled_equals_single_window(spark, rows, k):
+    """The salted two-phase top-k must equal the single-window form on
+    every input, including heavy ties (the row id is the total
+    tie-break both forms share)."""
+    from pyspark.sql import Window
+
+    from etl_cascalog_spark.operators.aggregates import top_k_per_group_scaled
+
+    data = [(g, v, i) for i, (g, v) in enumerate(rows)]
+    df = spark.createDataFrame(data, "g int, v int, id int")
+    order = [F.col("v").desc(), F.col("id")]
+    got = {
+        (r.g, r.v, r.id, r.rn)
+        for r in top_k_per_group_scaled(df, ["g"], order, k, "id", salt_buckets=4).collect()
+    }
+    w = Window.partitionBy("g").orderBy(*order)
+    want = {
+        (r.g, r.v, r.id, r.rn)
+        for r in df.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= k).collect()
+    }
+    assert got == want
