@@ -7833,6 +7833,57 @@ def top_n_per_group_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "id_gap_audit",
+    oracle=f"""
+    WITH loaded AS (
+      SELECT o_orderkey FROM orders
+      WHERE ({_ph32_sql('o_orderkey')}) % 20 <> 7
+    ),
+    seq AS (
+      SELECT o_orderkey,
+             lead(o_orderkey) OVER (ORDER BY o_orderkey) AS nxt
+      FROM loaded
+    ),
+    gaps AS (
+      SELECT o_orderkey AS gap_after, nxt - o_orderkey - 1 AS missing
+      FROM seq WHERE nxt - o_orderkey > 1
+    )
+    SELECT count(*) AS n_gaps,
+           CAST(coalesce(sum(missing), 0) AS BIGINT) AS n_missing_ids,
+           CAST(coalesce(max(missing), 0) AS BIGINT) AS widest_gap
+    FROM gaps
+    """,
+    doc="Load-reconciliation sequence audit: gaps in a monotonic id "
+    "sequence via a lead() window — the cheap detector for silently "
+    "dropped loads. The driver's orders table is gap-free, so the "
+    "audit runs against a deterministic simulated loss (a 5% hash "
+    "slice withheld) and FINDS it — missing-id count ≈ the withheld "
+    "rows. The global-order window is the noted anti-pattern at "
+    "100 TB; the scale recipe is the exact-percentiles range-bucket "
+    "trick (window within id buckets, stitch boundaries) — at bench "
+    "scale the single window keeps the oracle 1:1.",
+)
+def id_gap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_cascalog_spark.operators.sketches import portable_hash32
+
+    orders = (
+        read_table(spark, sf_dir, "orders")
+        .select("o_orderkey")
+        .where(F.pmod(portable_hash32(F.col("o_orderkey")), F.lit(20)) != 7)
+    )
+    w = Window.orderBy("o_orderkey")
+    seq = orders.withColumn("nxt", F.lead("o_orderkey").over(w))
+    gaps = seq.where(F.col("nxt") - F.col("o_orderkey") > 1).select(
+        (F.col("nxt") - F.col("o_orderkey") - 1).alias("missing")
+    )
+    return gaps.agg(
+        F.count("*").alias("n_gaps"),
+        F.coalesce(F.sum("missing"), F.lit(0)).cast("long").alias("n_missing_ids"),
+        F.coalesce(F.max("missing"), F.lit(0)).cast("long").alias("widest_gap"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Adapted TPC-H suite (Q3-Q22) — registers tpch_q* entries on import.
 # Bottom-of-module import: plans.tpch needs register/money/dround above.
