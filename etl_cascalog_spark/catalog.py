@@ -7884,6 +7884,100 @@ def id_gap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_MMR_DOT = (
+    "list_sum(list_transform(list_zip({a}, {b}), "
+    "p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))"
+)
+_MMR_NORM = "sqrt(list_sum(list_transform({v}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+
+
+@register(
+    "mmr_diversified_topk",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id AS qid, embedding AS qv,
+             {_MMR_NORM.format(v='embedding')} AS nq
+      FROM embeddings WHERE vec_id % 50 = 0
+    ),
+    c AS (
+      SELECT vec_id AS cid, embedding AS cv,
+             {_MMR_NORM.format(v='embedding')} AS nc
+      FROM embeddings
+    ),
+    scored AS (
+      SELECT qid, cid, cv, nc,
+             {_MMR_DOT.format(a='qv', b='cv')} / (nq * nc) AS rel
+      FROM c CROSS JOIN q WHERE qid != cid
+    ),
+    cands AS (
+      SELECT qid, cid, cv, nc, rel FROM (
+        SELECT *, row_number() OVER (PARTITION BY qid ORDER BY rel DESC, cid) AS crank
+        FROM scored
+      ) WHERE crank <= 10
+    ),
+    sims AS (
+      SELECT a.qid, a.cid AS a, b.cid AS b,
+             {_MMR_DOT.format(a='a.cv', b='b.cv')} / (a.nc * b.nc) AS sim
+      FROM cands a JOIN cands b ON a.qid = b.qid AND a.cid != b.cid
+    ),
+    s1 AS (
+      SELECT qid, cid AS s1, rel AS score1 FROM (
+        SELECT *, row_number() OVER (PARTITION BY qid ORDER BY rel DESC, cid) AS r
+        FROM cands
+      ) WHERE r = 1
+    ),
+    m2 AS (
+      SELECT c.qid, c.cid, c.rel, s1.s1,
+             c.rel - 0.5 * s.sim AS mmr
+      FROM cands c
+      JOIN s1 ON s1.qid = c.qid AND c.cid != s1.s1
+      JOIN sims s ON s.qid = c.qid AND s.b = c.cid AND s.a = s1.s1
+    ),
+    s2 AS (
+      SELECT qid, s1, cid AS s2, mmr AS score2 FROM (
+        SELECT *, row_number() OVER (PARTITION BY qid ORDER BY mmr DESC, cid) AS r
+        FROM m2
+      ) WHERE r = 1
+    ),
+    m3 AS (
+      SELECT c.qid, c.cid,
+             c.rel - 0.5 * greatest(sa.sim, sb.sim) AS mmr
+      FROM cands c
+      JOIN s2 ON s2.qid = c.qid AND c.cid != s2.s1 AND c.cid != s2.s2
+      JOIN sims sa ON sa.qid = c.qid AND sa.b = c.cid AND sa.a = s2.s1
+      JOIN sims sb ON sb.qid = c.qid AND sb.b = c.cid AND sb.a = s2.s2
+    ),
+    s3 AS (
+      SELECT qid, cid AS s3, mmr AS score3 FROM (
+        SELECT *, row_number() OVER (PARTITION BY qid ORDER BY mmr DESC, cid) AS r
+        FROM m3
+      ) WHERE r = 1
+    )
+    SELECT qid AS query_id, CAST(1 AS INT) AS rank, s1 AS neighbor_id, round(score1, 4) AS score FROM s1
+    UNION ALL
+    SELECT qid, 2, s2, round(score2, 4) FROM s2
+    UNION ALL
+    SELECT qid, 3, s3, round(score3, 4) FROM s3
+    """,
+    doc="MMR diversified top-k (Carbonell-Goldstein maximal marginal "
+    "relevance, lambda=0.5): greedy selection of 3 from each query's "
+    "top-10 cosine candidates, UNROLLED into 3 declarative argmax steps "
+    "(similarity.mmr_rerank) — the khop discipline applied to a "
+    "sequential retrieval heuristic, no pandas state, candidate-pair "
+    "sims bounded at |C|^2 per query. Selections AND scores hash-match "
+    "DuckDB running the same algebra (sequential-fold dots, one "
+    "multiply-subtract per step — bit-portable). This is the RAG "
+    "context-assembly de-dup step downstream of every ann_*_topk "
+    "retriever.",
+)
+def mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_cascalog_spark.operators.similarity import mmr_rerank
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") % 50 == 0)
+    return mmr_rerank(queries, emb, n_candidates=10, k=3, lam=0.5)
+
+
 # ---------------------------------------------------------------------------
 # Adapted TPC-H suite (Q3-Q22) — registers tpch_q* entries on import.
 # Bottom-of-module import: plans.tpch needs register/money/dround above.

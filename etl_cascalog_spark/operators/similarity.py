@@ -958,3 +958,137 @@ def hard_negatives_lsh(
             F.round(F.col("cos"), 4).alias("cos_sim"),
         )
     )
+
+
+def mmr_rerank(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_candidates: int = 10,
+    k: int = 3,
+    lam: float = 0.5,
+) -> DataFrame:
+    """Maximal-marginal-relevance diversified re-rank (Carbonell &
+    Goldstein 1998): from each query's top-``n_candidates`` cosine
+    candidates, greedily select ``k`` maximizing
+    ``rel - lam * max_sim_to_already_selected`` — the standard retrieval
+    trick for de-duplicating near-identical hits in RAG/context assembly.
+
+    The greedy loop is SEQUENTIAL by nature, but ``k`` is a plan-time
+    constant and the candidate set is bounded, so — same discipline as
+    ``graph.khop_min_dist`` — the selection UNROLLS into ``k`` declarative
+    steps (argmax via rank-1 window, next step's diversity term via a
+    ``greatest`` over joins to the already-picked rows). No Python loop
+    over data, no pandas state; candidate-pair sims are |C|² per query,
+    bounded by construction.
+
+    All float math (sequential-fold dot products, one multiply-subtract
+    per step) is bit-portable, so a SQL engine running the same algebra
+    reproduces the SELECTIONS exactly — catalog.mmr_diversified_topk
+    hash-matches selections and scores against DuckDB.
+
+    Output: (query_id, rank 1..k, neighbor_id, score) — score is the
+    relevance for rank 1 and the MMR value for later ranks, rounded 4dp
+    at the edge only (selection compares raw doubles).
+    """
+    if k != 3:
+        raise ValueError("mmr_rerank: unrolled form currently fixes k=3")
+    lam_c = F.lit(lam)
+
+    q = queries.select(
+        F.col(id_col).alias("qid"),
+        F.col(vec_col).alias("qv"),
+        norm(F.col(vec_col)).alias("nq"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("cid"),
+        F.col(vec_col).alias("cv"),
+        norm(F.col(vec_col)).alias("nc"),
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .where(F.col("qid") != F.col("cid"))
+        .select(
+            "qid",
+            "cid",
+            "cv",
+            "nc",
+            (dot(F.col("qv"), F.col("cv")) / (F.col("nq") * F.col("nc"))).alias("rel"),
+        )
+    )
+    wq = Window.partitionBy("qid").orderBy(F.col("rel").desc(), F.col("cid"))
+    cands = (
+        scored.withColumn("crank", F.row_number().over(wq))
+        .where(F.col("crank") <= n_candidates)
+        .select("qid", "cid", "cv", "nc", "rel")
+        .cache()  # feeds sims + three selection steps
+    )
+    a = cands.select(
+        "qid", F.col("cid").alias("a"), F.col("cv").alias("av"), F.col("nc").alias("na")
+    )
+    b = cands.select(
+        "qid", F.col("cid").alias("b"), F.col("cv").alias("bv"), F.col("nc").alias("nb")
+    )
+    sims = (
+        a.join(b, "qid")
+        .where(F.col("a") != F.col("b"))
+        .select(
+            "qid",
+            "a",
+            "b",
+            (dot(F.col("av"), F.col("bv")) / (F.col("na") * F.col("nb"))).alias("sim"),
+        )
+    )
+
+    s1 = cands.withColumn("r", F.row_number().over(wq)).where(F.col("r") == 1).select(
+        "qid", F.col("cid").alias("s1"), F.col("rel").alias("score1")
+    )
+
+    sim1 = sims.select("qid", F.col("b").alias("cid"), F.col("a").alias("s1_key"), F.col("sim").alias("sim_s1"))
+    m2 = (
+        cands.join(F.broadcast(s1), "qid")
+        .where(F.col("cid") != F.col("s1"))
+        .join(F.broadcast(sim1), ["qid", "cid"])
+        .where(F.col("s1_key") == F.col("s1"))
+        .select("qid", "cid", "rel", "s1", (F.col("rel") - lam_c * F.col("sim_s1")).alias("mmr"))
+    )
+    w2 = Window.partitionBy("qid").orderBy(F.col("mmr").desc(), F.col("cid"))
+    s2 = m2.withColumn("r", F.row_number().over(w2)).where(F.col("r") == 1).select(
+        "qid", F.col("s1"), F.col("cid").alias("s2"), F.col("mmr").alias("score2")
+    )
+
+    sim2 = sims.select("qid", F.col("b").alias("cid"), F.col("a").alias("s2_key"), F.col("sim").alias("sim_s2"))
+    m3 = (
+        cands.join(F.broadcast(s2), "qid")
+        .where((F.col("cid") != F.col("s1")) & (F.col("cid") != F.col("s2")))
+        .join(F.broadcast(sim1), ["qid", "cid"])
+        .where(F.col("s1_key") == F.col("s1"))
+        .join(F.broadcast(sim2), ["qid", "cid"])
+        .where(F.col("s2_key") == F.col("s2"))
+        .select(
+            "qid",
+            "cid",
+            (F.col("rel") - lam_c * F.greatest("sim_s1", "sim_s2")).alias("mmr"),
+        )
+    )
+    w3 = Window.partitionBy("qid").orderBy(F.col("mmr").desc(), F.col("cid"))
+    s3 = m3.withColumn("r", F.row_number().over(w3)).where(F.col("r") == 1).select(
+        "qid", F.col("cid").alias("s3"), F.col("mmr").alias("score3")
+    )
+
+    out = (
+        s1.select("qid", F.col("s1").alias("neighbor_id"), F.lit(1).alias("rank"), F.col("score1").alias("score"))
+        .unionByName(
+            s2.select("qid", F.col("s2").alias("neighbor_id"), F.lit(2).alias("rank"), F.col("score2").alias("score"))
+        )
+        .unionByName(
+            s3.select("qid", F.col("s3").alias("neighbor_id"), F.lit(3).alias("rank"), F.col("score3").alias("score"))
+        )
+    )
+    return out.select(
+        F.col("qid").alias("query_id"),
+        F.col("rank").cast("int").alias("rank"),
+        "neighbor_id",
+        F.round("score", 4).alias("score"),
+    )

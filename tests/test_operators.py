@@ -1963,3 +1963,30 @@ def test_tpch_plan_shapes(spark):
 
     q18 = final_audit("tpch_q18")  # HAVING-pruned side joins broadcast
     assert q18["smj"] == 0 and q18["cart"] == 0
+
+
+def test_mmr_rerank_diversifies(spark):
+    """MMR sanity: 3 distinct picks per query; rank-1 equals pure cosine
+    rank-1 (no diversity penalty yet); and for at least one query the
+    diversified set differs from plain cosine top-3 (lambda bites)."""
+    from etl_cascalog_spark.io import read_table
+    from etl_cascalog_spark.operators.similarity import cosine_topk, mmr_rerank
+    from tests.conftest import SF_SMOKE
+
+    emb = read_table(spark, SF_SMOKE, "embeddings")
+    queries = emb.where(F.col("vec_id") % 50 == 0)
+    got = mmr_rerank(queries, emb, n_candidates=10, k=3, lam=0.5).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r.query_id, {})[r.rank] = r.neighbor_id
+    assert all(len(set(v.values())) == 3 for v in by_q.values())
+
+    plain = cosine_topk(queries, emb, k=3).collect()
+    plain_by_q = {}
+    for r in plain:
+        plain_by_q.setdefault(r.query_id, {})[r.rank] = r.neighbor_id
+    assert all(by_q[q][1] == plain_by_q[q][1] for q in by_q)
+    assert any(
+        set(by_q[q].values()) != set(plain_by_q[q].values()) for q in by_q
+    ), "lambda=0.5 should alter at least one query's selection"
+    spark.catalog.clearCache()
