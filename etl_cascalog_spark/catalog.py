@@ -7978,6 +7978,167 @@ def mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mmr_rerank(queries, emb, n_candidates=10, k=3, lam=0.5)
 
 
+@register(
+    "cusum_changepoint",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS x
+      FROM events GROUP BY 1, 2
+    ),
+    tot AS (
+      SELECT event_type, count(*) AS n, sum(x) AS s
+      FROM daily GROUP BY 1
+    ),
+    walk AS (
+      SELECT d.event_type, d.day, t.n, t.s,
+             sum(d.x) OVER (PARTITION BY d.event_type ORDER BY d.day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cx,
+             row_number() OVER (PARTITION BY d.event_type ORDER BY d.day) AS t_idx
+      FROM daily d JOIN tot t ON t.event_type = d.event_type
+    ),
+    scored AS (
+      SELECT event_type, day,
+             abs(n * cx - t_idx * s) AS dev_scaled
+      FROM walk
+    ),
+    best AS (
+      SELECT event_type, day AS change_day, dev_scaled,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY dev_scaled DESC, day) AS r
+      FROM scored
+    )
+    SELECT event_type, strftime(change_day, '%Y-%m-%d') AS change_day,
+           CAST(dev_scaled AS BIGINT) AS dev_scaled
+    FROM best WHERE r = 1
+    """,
+    doc="CUSUM change-point detection per event_type: the day where the "
+    "cumulative deviation from the series mean peaks — the level-shift "
+    "detector complementing seasonal_anomaly_days' pointwise flags. "
+    "The statistic is scaled into EXACT integers (n*cumsum - t*total "
+    "avoids the mean division entirely), so argmax day and score are "
+    "bit-identical in any engine. The per-day agg bounds the window "
+    "input to calendar cardinality at any input size.",
+)
+def cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    daily = ev.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        F.count("*").alias("x")
+    )
+    tot = daily.groupBy("event_type").agg(
+        F.count("*").alias("n"), F.sum("x").alias("s")
+    )
+    wcum = Window.partitionBy("event_type").orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    widx = Window.partitionBy("event_type").orderBy("day")
+    walk = (
+        daily.join(F.broadcast(tot), "event_type")
+        .withColumn("cx", F.sum("x").over(wcum))
+        .withColumn("t_idx", F.row_number().over(widx))
+    )
+    scored = walk.select(
+        "event_type",
+        "day",
+        F.abs(F.col("n") * F.col("cx") - F.col("t_idx") * F.col("s")).alias(
+            "dev_scaled"
+        ),
+    )
+    wbest = Window.partitionBy("event_type").orderBy(
+        F.col("dev_scaled").desc(), F.col("day")
+    )
+    return (
+        scored.withColumn("r", F.row_number().over(wbest))
+        .where(F.col("r") == 1)
+        .select(
+            "event_type",
+            F.date_format("day", "yyyy-MM-dd").alias("change_day"),
+            F.col("dev_scaled").cast("long").alias("dev_scaled"),
+        )
+    )
+
+
+@register(
+    "table_manifest",
+    oracle="""
+    SELECT 'region' AS table_name, count(*) AS n_rows,
+           CAST(coalesce(sum(r_regionkey), 0) AS BIGINT) AS key_sum,
+           CAST(coalesce(max(r_regionkey), -1) AS BIGINT) AS key_max
+    FROM region
+    UNION ALL
+    SELECT 'nation', count(*),
+           CAST(coalesce(sum(n_nationkey), 0) AS BIGINT),
+           CAST(coalesce(max(n_nationkey), -1) AS BIGINT) FROM nation
+    UNION ALL
+    SELECT 'customer', count(*),
+           CAST(coalesce(sum(c_custkey), 0) AS BIGINT),
+           CAST(coalesce(max(c_custkey), -1) AS BIGINT) FROM customer
+    UNION ALL
+    SELECT 'supplier', count(*),
+           CAST(coalesce(sum(s_suppkey), 0) AS BIGINT),
+           CAST(coalesce(max(s_suppkey), -1) AS BIGINT) FROM supplier
+    UNION ALL
+    SELECT 'part', count(*),
+           CAST(coalesce(sum(p_partkey), 0) AS BIGINT),
+           CAST(coalesce(max(p_partkey), -1) AS BIGINT) FROM part
+    UNION ALL
+    SELECT 'orders', count(*),
+           CAST(coalesce(sum(o_orderkey), 0) AS BIGINT),
+           CAST(coalesce(max(o_orderkey), -1) AS BIGINT) FROM orders
+    UNION ALL
+    SELECT 'lineitem', count(*),
+           CAST(coalesce(sum(l_orderkey * 10 + l_linenumber), 0) AS BIGINT),
+           CAST(coalesce(max(l_orderkey * 10 + l_linenumber), -1) AS BIGINT) FROM lineitem
+    UNION ALL
+    SELECT 'events', count(*),
+           CAST(coalesce(sum(event_id), 0) AS BIGINT),
+           CAST(coalesce(max(event_id), -1) AS BIGINT) FROM events
+    UNION ALL
+    SELECT 'documents', count(*),
+           CAST(coalesce(sum(doc_id), 0) AS BIGINT),
+           CAST(coalesce(max(doc_id), -1) AS BIGINT) FROM documents
+    UNION ALL
+    SELECT 'embeddings', count(*),
+           CAST(coalesce(sum(vec_id), 0) AS BIGINT),
+           CAST(coalesce(max(vec_id), -1) AS BIGINT) FROM embeddings
+    """,
+    doc="Cross-table reconciliation manifest: one row per source table "
+    "with (row count, key checksum, key max) — the receipt a load "
+    "compares against the upstream's manifest to catch silent "
+    "truncation before any downstream job runs (the cheap 100 TB "
+    "practice: additive integer checksums parallelize perfectly and "
+    "need one agg per table, no sort, no join; composite keys fold to "
+    "one BIGINT first). All ten driver tables in one unioned pass.",
+)
+def table_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    keys = {
+        "region": F.col("r_regionkey"),
+        "nation": F.col("n_nationkey"),
+        "customer": F.col("c_custkey"),
+        "supplier": F.col("s_suppkey"),
+        "part": F.col("p_partkey"),
+        "orders": F.col("o_orderkey"),
+        "lineitem": F.col("l_orderkey") * 10 + F.col("l_linenumber"),
+        "events": F.col("event_id"),
+        "documents": F.col("doc_id"),
+        "embeddings": F.col("vec_id"),
+    }
+    parts = []
+    for t, key in keys.items():
+        df = read_table(spark, sf_dir, t)
+        parts.append(
+            df.agg(
+                F.lit(t).alias("table_name"),
+                F.count("*").alias("n_rows"),
+                F.coalesce(F.sum(key), F.lit(0)).cast("long").alias("key_sum"),
+                F.coalesce(F.max(key), F.lit(-1)).cast("long").alias("key_max"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 # ---------------------------------------------------------------------------
 # Adapted TPC-H suite (Q3-Q22) — registers tpch_q* entries on import.
 # Bottom-of-module import: plans.tpch needs register/money/dround above.
