@@ -8139,6 +8139,142 @@ def table_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+@register(
+    "markov_event_transitions",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS next_type
+      FROM events
+    ),
+    pairs AS (
+      SELECT event_type AS cur, next_type AS nxt, count(*) AS c
+      FROM seq WHERE next_type IS NOT NULL
+      GROUP BY 1, 2
+    ),
+    totals AS (SELECT cur, sum(c) AS tot FROM pairs GROUP BY 1)
+    SELECT p.cur, p.nxt, CAST(p.c AS BIGINT) AS n_transitions,
+           CAST(round(CAST(p.c AS DOUBLE) / t.tot, 6) AS DOUBLE) AS prob
+    FROM pairs p JOIN totals t ON t.cur = p.cur
+    """,
+    doc="First-order Markov transition matrix over per-user event "
+    "sequences: P(next | current) from exact pair counts (one lead "
+    "window per user, one pair groupBy; the division happens once per "
+    "output cell). The behavioral-model summary behind top_event_paths' "
+    "raw sequences — 25 cells regardless of input size. (ts, event_id) "
+    "total order pins lead() across engines.",
+)
+def markov_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type", F.lead("event_type").over(w).alias("next_type")
+    ).where(F.col("next_type").isNotNull())
+    pairs = seq.groupBy(
+        F.col("event_type").alias("cur"), F.col("next_type").alias("nxt")
+    ).agg(F.count("*").alias("c"))
+    totals = pairs.groupBy("cur").agg(F.sum("c").alias("tot"))
+    return pairs.join(F.broadcast(totals), "cur").select(
+        "cur",
+        "nxt",
+        F.col("c").cast("long").alias("n_transitions"),
+        F.round(F.col("c").cast("double") / F.col("tot"), 6)
+        .cast("double")
+        .alias("prob"),
+    )
+
+
+@register(
+    "kneser_ney_bigram_lm",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, pos, tok
+      FROM (
+        SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok,
+               generate_subscripts(string_split(lower(text), ' '), 1) AS pos
+        FROM documents
+      ) WHERE tok <> ''
+    ),
+    bi AS (
+      SELECT a.tok AS w1, b.tok AS w2, count(*) AS c
+      FROM toks a JOIN toks b
+        ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+      GROUP BY 1, 2
+    ),
+    uni AS (SELECT w1, sum(c) AS cw1 FROM bi GROUP BY 1),
+    fan AS (SELECT w1, count(*) AS n_follow FROM bi GROUP BY 1),
+    cont AS (SELECT w2, count(*) AS n_prec FROM bi GROUP BY 1),
+    types AS (SELECT count(*) AS n_types FROM bi),
+    kn AS (
+      SELECT bi.w1, bi.w2, bi.c,
+             CAST(round(
+               greatest(bi.c - CAST(0.75 AS DOUBLE), 0) / uni.cw1
+               + CAST(0.75 AS DOUBLE) * fan.n_follow / uni.cw1
+                 * cont.n_prec / types.n_types, 6) AS DOUBLE) AS p_kn
+      FROM bi
+      JOIN uni  ON uni.w1 = bi.w1
+      JOIN fan  ON fan.w1 = bi.w1
+      JOIN cont ON cont.w2 = bi.w2
+      CROSS JOIN types
+    )
+    SELECT w1, w2, CAST(c AS BIGINT) AS n_bigram, p_kn
+    FROM kn
+    ORDER BY n_bigram DESC, w1, w2
+    LIMIT 50
+    """,
+    doc="Kneser-Ney smoothed bigram LM (d=0.75, interpolated) over "
+    "whitespace tokens — the LM behind perplexity-based quality "
+    "filtering done properly: the backoff weighs a word by HOW MANY "
+    "contexts precede it (continuation count), not raw frequency. "
+    "Every input to the formula is an exact integer aggregate (bigram "
+    "count, left-fanout, right-continuation, type count — three "
+    "groupBys over the bigram frame + one broadcast scalar), and the "
+    "float formula is one fixed expression per row, so DuckDB "
+    "hash-matches the probabilities. Top-50 by count with total "
+    "tie-break; unigram_lm_surprisal is the unsmoothed sibling.",
+)
+def kneser_ney_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    toks = (
+        docs.select(
+            "doc_id",
+            F.posexplode(F.split(F.lower(F.col("text")), " ")).alias("pos0", "tok"),
+        )
+        .where(F.col("tok") != "")
+        .select("doc_id", (F.col("pos0") + 1).alias("pos"), "tok")
+    )
+    a = toks.select("doc_id", "pos", F.col("tok").alias("w1"))
+    b = toks.select(
+        "doc_id", (F.col("pos") - 1).alias("pos"), F.col("tok").alias("w2")
+    )
+    bi = (
+        a.join(b, ["doc_id", "pos"])
+        .groupBy("w1", "w2")
+        .agg(F.count("*").alias("c"))
+    )
+    uni = bi.groupBy("w1").agg(F.sum("c").alias("cw1"))
+    fan = bi.groupBy("w1").agg(F.count("*").alias("n_follow"))
+    cont = bi.groupBy("w2").agg(F.count("*").alias("n_prec"))
+    types = bi.agg(F.count("*").alias("n_types"))
+    d = F.lit(0.75)
+    p_kn = F.round(
+        F.greatest(F.col("c") - d, F.lit(0)) / F.col("cw1")
+        + d * F.col("n_follow") / F.col("cw1")
+        * F.col("n_prec") / F.col("n_types"),
+        6,
+    ).cast("double")
+    return (
+        bi.join(uni, "w1")
+        .join(fan, "w1")
+        .join(cont, "w2")
+        .join(F.broadcast(types))
+        .select("w1", "w2", F.col("c").cast("long").alias("n_bigram"), p_kn.alias("p_kn"))
+        .orderBy(F.col("n_bigram").desc(), "w1", "w2")
+        .limit(50)
+    )
+
+
 # ---------------------------------------------------------------------------
 # Adapted TPC-H suite (Q3-Q22) — registers tpch_q* entries on import.
 # Bottom-of-module import: plans.tpch needs register/money/dround above.
