@@ -429,7 +429,13 @@ def global_token_offsets(
         .orderBy(id_col)
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    b = b.withColumn("__within", F.coalesce(F.sum(n).over(w_in), F.lit(0)))
+    # the prefixed frame feeds BOTH the bucket totals and the final join —
+    # without materializing it, Spark re-executes its entire upstream
+    # lineage once per branch (measured: training_data_pipeline pays its
+    # whole curation subtree twice, 13.2s -> 8s at sf0.1 with the cache).
+    # Callers release via session.release_all_blocks (bench/oracle loops
+    # already do), same lifecycle as the dedup/similarity caches.
+    b = b.withColumn("__within", F.coalesce(F.sum(n).over(w_in), F.lit(0))).cache()
     totals = b.groupBy("__bkt").agg(F.sum(n).alias("__tot"))
     w_b = Window.orderBy("__bkt").rowsBetween(Window.unboundedPreceding, -1)
     bases = totals.withColumn("__base", F.coalesce(F.sum("__tot").over(w_b), F.lit(0)))
