@@ -6616,7 +6616,10 @@ def association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
     ).distinct()
     sizes = baskets.groupBy("ok").agg(F.count("*").alias("n"))
-    bounded = baskets.join(sizes.where(F.col("n") <= 7), "ok").select("ok", "pk")
+    # bounded feeds four consumers (the S5 count action, item supports,
+    # and both self-join sides) — cache or its distinct+join lineage
+    # executes per branch (released by the loops' release_all_blocks)
+    bounded = baskets.join(sizes.where(F.col("n") <= 7), "ok").select("ok", "pk").cache()
     n_baskets = bounded.select("ok").distinct().count()  # driver scalar (S5)
     supp = bounded.groupBy("pk").agg(F.count("*").alias("s"))
     a = bounded.alias("pa")
@@ -7625,7 +7628,10 @@ def cluster_keyed_split_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_cascalog_spark.operators.sessions import hash_split
 
     docs = read_table(spark, sf_dir, "documents")
-    pairs = jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.7)
+    # pairs feed connected_components AND the final leakage matrix join:
+    # cache, or the whole shingle self-join executes twice (released by
+    # the bench/oracle loops' release_all_blocks)
+    pairs = jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.7).cache()
     labels = connected_components(pairs).select(
         F.col("node").alias("doc_id"), F.col("label")
     )

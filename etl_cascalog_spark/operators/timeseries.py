@@ -36,11 +36,16 @@ def resample_interpolate_daily(
     ``value`` must be integral (cents); output column ``src`` marks
     ``actual`` vs ``interp`` rows. Exact on actual days by construction.
     """
+    # materialized: this frame feeds BOTH the per-key min/max spine agg
+    # and the densify join — uncached, the caller's (often aggregated)
+    # upstream lineage executes once per branch (the same double-execution
+    # the packing prefix fix removed). Released by the callers'
+    # release_all_blocks epilogue. ≤ |keys × observed days| rows.
     k = known.select(
         F.col(key_col).alias("key"),
         F.col(date_col).cast("date").alias("day"),
         F.col(value_col).cast("long").alias("v"),
-    )
+    ).cache()
     # per-key daily spine: one row per key → sequence() explode, map-side
     # after the (tiny) min/max agg
     spine = (
