@@ -8281,6 +8281,81 @@ def kneser_ney_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "pmi_copurchase",
+    oracle="""
+    WITH baskets AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+    sizes AS (SELECT ok FROM baskets GROUP BY ok HAVING count(*) <= 7),
+    bounded AS (SELECT b.* FROM baskets b JOIN sizes USING (ok)),
+    nb AS (SELECT count(DISTINCT ok) AS n FROM bounded),
+    supp AS (SELECT pk, count(*) AS s FROM bounded GROUP BY 1),
+    pair AS (
+      SELECT a.pk AS ia, b.pk AS ib, count(*) AS s_ab
+      FROM bounded a JOIN bounded b ON a.ok = b.ok AND a.pk < b.pk
+      GROUP BY 1, 2 HAVING count(*) >= 3
+    )
+    SELECT p.ia, p.ib, CAST(p.s_ab AS BIGINT) AS supp_ab,
+           CAST(round(ln(CAST(p.s_ab AS DOUBLE) * nb.n / (sa.s * sb.s)), 6) AS DOUBLE) AS pmi
+    FROM pair p
+    JOIN supp sa ON sa.pk = p.ia
+    JOIN supp sb ON sb.pk = p.ib
+    CROSS JOIN nb
+    ORDER BY pmi DESC, p.ia, p.ib
+    LIMIT 30
+    """,
+    doc="Pointwise mutual information over co-purchase pairs — the "
+    "association-strength statistic word2vec/item2vec SGNS training "
+    "data is built from (PMI normalizes away item popularity, which "
+    "raw co-counts and even confidence cannot). Every input to the log "
+    "is an exact integer (pair count, item supports, basket total), so "
+    "the one ln() per surviving pair is bit-portable; support floor "
+    ">= 3 prunes noise pairs BEFORE the expensive joins. Same bounded-"
+    "basket quadratic guard as the rest of the graph family.",
+)
+def pmi_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem")
+    baskets = li.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
+    ).distinct()
+    sizes = baskets.groupBy("ok").agg(F.count("*").alias("n"))
+    bounded = (
+        baskets.join(sizes.where(F.col("n") <= 7), "ok").select("ok", "pk").cache()
+    )
+    n_baskets = bounded.select("ok").distinct().count()
+    supp = bounded.groupBy("pk").agg(F.count("*").alias("s"))
+    a = bounded.alias("pa")
+    b = bounded.alias("pb")
+    pair = (
+        a.join(
+            b, (F.col("pa.ok") == F.col("pb.ok")) & (F.col("pa.pk") < F.col("pb.pk"))
+        )
+        .groupBy(F.col("pa.pk").alias("ia"), F.col("pb.pk").alias("ib"))
+        .agg(F.count("*").alias("s_ab"))
+        .where(F.col("s_ab") >= 3)
+    )
+    pmi = F.round(
+        F.log(
+            F.col("s_ab").cast("double")
+            * F.lit(n_baskets)
+            / (F.col("sa") * F.col("sb"))
+        ),
+        6,
+    ).cast("double")
+    return (
+        pair.join(
+            F.broadcast(supp.select(F.col("pk").alias("ia"), F.col("s").alias("sa"))),
+            "ia",
+        )
+        .join(
+            F.broadcast(supp.select(F.col("pk").alias("ib"), F.col("s").alias("sb"))),
+            "ib",
+        )
+        .select("ia", "ib", F.col("s_ab").cast("long").alias("supp_ab"), pmi.alias("pmi"))
+        .orderBy(F.col("pmi").desc(), "ia", "ib")
+        .limit(30)
+    )
+
+
 # ---------------------------------------------------------------------------
 # Adapted TPC-H suite (Q3-Q22) — registers tpch_q* entries on import.
 # Bottom-of-module import: plans.tpch needs register/money/dround above.
