@@ -8356,6 +8356,92 @@ def pmi_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "k_anonymity_profile",
+    oracle="""
+    WITH classes AS (
+      SELECT c_nationkey, c_mktsegment,
+             count(*) AS class_size,
+             count(DISTINCT CAST(floor(c_acctbal / 1000) AS BIGINT)) AS l_distinct
+      FROM customer
+      GROUP BY 1, 2
+    )
+    SELECT count(*) AS n_classes,
+           CAST(min(class_size) AS BIGINT) AS min_class_size,
+           sum(CASE WHEN class_size < 5 THEN 1 ELSE 0 END) AS k5_violations,
+           sum(CASE WHEN l_distinct < 2 THEN 1 ELSE 0 END) AS l2_violations,
+           sum(CASE WHEN class_size < 5 THEN class_size ELSE 0 END) AS rows_at_risk
+    FROM classes
+    """,
+    doc="k-anonymity / l-diversity privacy profile over the "
+    "quasi-identifier (nation, segment): equivalence-class sizes, "
+    "k=5 violations (classes small enough to re-identify members), "
+    "l=2 diversity violations on the banded sensitive attribute "
+    "(acctbal thousands — a class where everyone shares one band leaks "
+    "the value even when k holds), and the row count at risk. The "
+    "release-gate companion to gdpr_erasure_maintenance: one groupBy "
+    "over the quasi-identifier + one metadata-sized rollup, exact "
+    "integer everything.",
+)
+def k_anonymity_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = read_table(spark, sf_dir, "customer")
+    band = F.floor(F.col("c_acctbal") / 1000).cast("long")
+    classes = cust.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count("*").alias("class_size"),
+        F.countDistinct(band).alias("l_distinct"),
+    )
+    one, zero = F.lit(1), F.lit(0)
+    return classes.agg(
+        F.count("*").alias("n_classes"),
+        F.min("class_size").cast("long").alias("min_class_size"),
+        F.sum(F.when(F.col("class_size") < 5, one).otherwise(zero)).alias(
+            "k5_violations"
+        ),
+        F.sum(F.when(F.col("l_distinct") < 2, one).otherwise(zero)).alias(
+            "l2_violations"
+        ),
+        F.sum(
+            F.when(F.col("class_size") < 5, F.col("class_size")).otherwise(zero)
+        ).alias("rows_at_risk"),
+    )
+
+
+@register(
+    "window_rank_suite",
+    oracle="""
+    SELECT s_suppkey,
+           CAST(rank()       OVER w AS INT) AS rnk,
+           CAST(dense_rank() OVER w AS INT) AS drnk,
+           CAST(round(percent_rank() OVER w, 6) AS DOUBLE) AS prnk,
+           CAST(round(cume_dist()    OVER w, 6) AS DOUBLE) AS cdist,
+           CAST(ntile(4) OVER (ORDER BY s_acctbal DESC, s_suppkey) AS INT) AS quartile
+    FROM supplier
+    WINDOW w AS (ORDER BY CAST(floor(s_acctbal / 1000) AS BIGINT) DESC)
+    """,
+    doc="The remaining W4 ranking-function corner in one query: rank / "
+    "dense_rank / percent_rank / cume_dist over a deliberately TIED "
+    "ordering (acctbal thousands-band) — the tie semantics are exactly "
+    "what distinguishes the four — plus ntile quartiles on a total "
+    "order (ntile on a tied order would hash-diverge; the deciles "
+    "query documents the same rule). percent_rank/cume_dist emit "
+    "round-6 doubles; everything is one window over one small "
+    "dimension table.",
+)
+def window_rank_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    supp = read_table(spark, sf_dir, "supplier")
+    band = F.floor(F.col("s_acctbal") / 1000).cast("long")
+    w = Window.orderBy(band.desc())
+    wt = Window.orderBy(F.col("s_acctbal").desc(), F.col("s_suppkey"))
+    return supp.select(
+        "s_suppkey",
+        F.rank().over(w).cast("int").alias("rnk"),
+        F.dense_rank().over(w).cast("int").alias("drnk"),
+        F.round(F.percent_rank().over(w), 6).cast("double").alias("prnk"),
+        F.round(F.cume_dist().over(w), 6).cast("double").alias("cdist"),
+        F.ntile(4).over(wt).cast("int").alias("quartile"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Adapted TPC-H suite (Q3-Q22) — registers tpch_q* entries on import.
 # Bottom-of-module import: plans.tpch needs register/money/dround above.
