@@ -8442,6 +8442,73 @@ def window_rank_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "gini_revenue_concentration",
+    oracle="""
+    WITH cents AS (
+      SELECT n.n_name AS nation,
+             o.o_orderkey,
+             CAST(CAST(o.o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS x
+      FROM orders o
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    ),
+    ranked AS (
+      SELECT nation, x,
+             row_number() OVER (PARTITION BY nation
+                                ORDER BY x, o_orderkey) AS i
+      FROM cents
+    ),
+    agg AS (
+      SELECT nation, count(*) AS n, sum(x) AS s, sum(i * x) AS ix
+      FROM ranked GROUP BY 1
+    )
+    SELECT nation, CAST(n AS BIGINT) AS n_orders,
+           CAST(round(CAST(2 * ix - (n + 1) * s AS DOUBLE) / (n * s), 6) AS DOUBLE) AS gini
+    FROM agg
+    """,
+    doc="Gini coefficient of order-revenue concentration per nation — "
+    "the inequality statistic (same math that flags corpus domain "
+    "concentration: a source whose token mass has gini→1 is one "
+    "mega-document in disguise). Sorted-rank formula G = (2·Σi·x_i − "
+    "(n+1)·Σx) / (n·Σx) with EXACT integer numerator and denominator "
+    "(cents, ranks with a total tie-break): the single division per "
+    "group is the only float op, so both engines agree bit-for-bit. "
+    "One per-nation window + one agg; at 100 TB the window keys on "
+    "the group, so parallelism = |groups| — for ONE giant group use "
+    "the range-bucket prefix-sum construction (exact_group_percentiles "
+    "doc).",
+)
+def gini_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = read_table(spark, sf_dir, "orders")
+    cust = read_table(spark, sf_dir, "customer")
+    nat = read_table(spark, sf_dir, "nation")
+    cents = (
+        orders.join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nat), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select(
+            F.col("n_name").alias("nation"),
+            "o_orderkey",
+            (money(F.col("o_totalprice")) * 100).cast("long").alias("x"),
+        )
+    )
+    w = Window.partitionBy("nation").orderBy("x", "o_orderkey")
+    ranked = cents.withColumn("i", F.row_number().over(w))
+    agg = ranked.groupBy("nation").agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("s"),
+        F.sum(F.col("i") * F.col("x")).alias("ix"),
+    )
+    gini = F.round(
+        (F.lit(2) * F.col("ix") - (F.col("n") + 1) * F.col("s")).cast("double")
+        / (F.col("n") * F.col("s")),
+        6,
+    ).cast("double")
+    return agg.select(
+        "nation", F.col("n").cast("long").alias("n_orders"), gini.alias("gini")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Adapted TPC-H suite (Q3-Q22) — registers tpch_q* entries on import.
 # Bottom-of-module import: plans.tpch needs register/money/dround above.
