@@ -3310,12 +3310,13 @@ def scd2_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT s AS doc_id, least(s, min(t)) AS cluster_id
     FROM reach GROUP BY s
     """,
-    doc="Near-dup CLUSTERS from verified MinHash pairs via iterative "
-    "min-label propagation (connected components; localCheckpoint-bounded "
-    "lineage, converges in O(component diameter) rounds). The step "
-    "pairwise dedup gets wrong on chains: keep one doc per component, not "
-    "per pair. Oracle: recursive-CTE transitive closure over the exact-"
-    "Jaccard pair set.",
+    doc="Near-dup CLUSTERS from verified MinHash pairs via connected "
+    "components — DEFAULT algorithm is alternating large-star/small-star "
+    "(O(log n) rounds regardless of component diameter; "
+    "localCheckpoint-bounded lineage), with min-label propagation kept "
+    "as the property-tested twin. The step pairwise dedup gets wrong on "
+    "chains: keep one doc per component, not per pair. Oracle: "
+    "recursive-CTE transitive closure over the exact-Jaccard pair set.",
 )
 def neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_cascalog_spark.operators.dedup import (
@@ -5614,7 +5615,7 @@ def corr_qty_price_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Dedup observability (beyond-reference): the cluster-size "
     "histogram over the connected-component clusters, plus docs_removable "
     "(size-1 per cluster) — the number a dedup run reports as its "
-    "reduction. Component labels from the iterative min-propagation; "
+    "reduction. Component labels from the default large-star/small-star CC; "
     "histogram is two metadata-sized aggs on top. A huge max "
     "cluster_size here is the 'boilerplate black hole' alarm that says "
     "raise minhash bands or cap buckets.",

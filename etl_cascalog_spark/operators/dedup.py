@@ -530,6 +530,7 @@ def connected_components(
     id_a: str = "doc_a",
     id_b: str = "doc_b",
     max_iter: int = 25,
+    algorithm: str = "star",
 ) -> DataFrame:
     """Connected components over a near-dup pair graph → ``(node,
     cluster_id)`` with ``cluster_id`` = the smallest doc id reachable.
@@ -537,6 +538,37 @@ def connected_components(
     ``node == cluster_id``, drop the rest — without it, pairwise "drop the
     larger id" over-deletes on chains (a-b, b-c drops both b and c even
     when a-c are not near-dups).
+
+    Dispatches to the alternating large-star/small-star algorithm
+    (:func:`connected_components_star`) by DEFAULT: its round count is
+    O(log n) regardless of component diameter, which is the difference
+    between 4 rounds and 10⁷ rounds on a chain-shaped component at
+    100 TB, and its per-round cost is the same one groupBy-min + one
+    equi-join. ``algorithm="labelprop"`` selects min-label propagation
+    (:func:`connected_components_labelprop`) — O(diameter) rounds, kept
+    for the shallow-component case and as the independent twin the
+    equivalence property test compares against. Both produce the
+    IDENTICAL canonical labeling (min reachable id, isolated self-loop
+    nodes included), so swapping algorithms never moves a result hash.
+    """
+    if algorithm == "star":
+        return connected_components_star(pairs, id_a=id_a, id_b=id_b)
+    if algorithm == "labelprop":
+        return connected_components_labelprop(
+            pairs, id_a=id_a, id_b=id_b, max_iter=max_iter
+        )
+    raise ValueError(f"connected_components: unknown algorithm {algorithm!r}")
+
+
+def connected_components_labelprop(
+    pairs: DataFrame,
+    id_a: str = "doc_a",
+    id_b: str = "doc_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Min-label-propagation connected components — the O(diameter) twin
+    of :func:`connected_components_star` (same output contract: ``(node,
+    label)``, label = smallest reachable id).
 
     Min-label propagation: every node starts labeled with itself; each
     round sends labels across (bidirectional) edges and keeps the min;
@@ -991,28 +1023,35 @@ def connected_components_star(
     aggregation absorbs the hub skew that makes high-degree minimums hot.
     Fixpoint when the edge set stops changing; the surviving edges are
     exactly (node, component_min) stars. Output matches
-    :func:`connected_components`: ``(node, label)``, label = smallest
-    reachable id, INCLUDING isolated self-labeled nodes of the input
-    pairs. localCheckpoint + retire-previous-round, identical block
-    lifecycle to the propagation variant.
+    :func:`connected_components_labelprop` EXACTLY: ``(node, label)``,
+    label = smallest reachable id, INCLUDING nodes that appear only in
+    self-loop pairs (node universe is taken from the raw pairs BEFORE
+    self-loops are dropped, so the two algorithms agree on every input).
+    localCheckpoint + retire-previous-round, identical block lifecycle
+    to the propagation variant.
     """
     from etl_cascalog_spark.session import persistent_rdd_ids, unpersist_rdd_ids
 
     spark = pairs.sparkSession
     before = persistent_rdd_ids(spark)
+    # materialize the (possibly expensive) pair lineage ONCE; edges and the
+    # node universe both derive from the materialized rows
+    raw = pairs.select(
+        F.col(id_a).alias("s"), F.col(id_b).alias("t")
+    ).localCheckpoint(eager=True)
+    raw_ids = persistent_rdd_ids(spark) - before
+    sym = _symmetric(raw)
     edges = (
-        _symmetric(
-            pairs.select(F.col(id_a).alias("s"), F.col(id_b).alias("t"))
-        )
-        .where(F.col("s") != F.col("t"))
+        sym.where(F.col("s") != F.col("t"))
         .distinct()
         .localCheckpoint(eager=True)
     )
-    edge_ids = persistent_rdd_ids(spark) - before
+    edge_ids = persistent_rdd_ids(spark) - before - raw_ids
     all_nodes = (
-        edges.select(F.col("s").alias("node")).distinct().localCheckpoint(eager=True)
+        sym.select(F.col("s").alias("node")).distinct().localCheckpoint(eager=True)
     )
-    node_ids = persistent_rdd_ids(spark) - before - edge_ids
+    node_ids = persistent_rdd_ids(spark) - before - raw_ids - edge_ids
+    unpersist_rdd_ids(spark, raw_ids)  # both consumers are materialized
 
     def large_star(e: DataFrame) -> DataFrame:
         sym = _symmetric(e)

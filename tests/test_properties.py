@@ -399,35 +399,23 @@ def test_star_cc_equals_label_propagation(spark, edges):
     (node -> component-min) labeling as min-label propagation on random
     graphs — chains, hubs, self-loops, parallel edges and all."""
     from etl_cascalog_spark.operators.dedup import (
-        connected_components,
+        connected_components_labelprop,
         connected_components_star,
     )
     from etl_cascalog_spark.session import release_all_blocks
 
     df = spark.createDataFrame(edges, "doc_a: long, doc_b: long")
     want = {
-        (r.node, r.label) for r in connected_components(df).collect()
+        (r.node, r.label) for r in connected_components_labelprop(df).collect()
     }
     got = {
         (r.node, r.label) for r in connected_components_star(df).collect()
     }
     release_all_blocks(spark)
-    # propagation keeps self-loop-only nodes too; star drops pure
-    # self-loops before iterating — compare on the common node set
-    want_nodes = {n for n, _ in want}
-    got_nodes = {n for n, _ in got}
-    if want_nodes == got_nodes:
-        assert got == want
-    else:
-        # difference can only be isolated self-loop nodes, which label
-        # themselves in both conventions
-        only = want_nodes ^ got_nodes
-        assert all(
-            (n, n) in (want | got) for n in only
-        )
-        assert {p for p in want if p[0] not in only} == {
-            p for p in got if p[0] not in only
-        }
+    # EXACT agreement, self-loop-only nodes included: star takes its node
+    # universe from the raw pairs before dropping self-loops, so the two
+    # algorithms label the identical node set
+    assert got == want
 
 
 @given(
