@@ -215,9 +215,18 @@ def compact_rewrite(
     plan is the file listing — metadata-sized even at 100 TB).
     """
     keys = partition_cols + file_key_cols
-    joined = rows.join(
-        F.broadcast(plan.select(*keys, "bin_id")), on=keys, how="inner"
-    )
+    plan_keys = F.broadcast(plan.select(*keys, "bin_id"))
+    # coverage gate: a stale/partial plan would silently DROP every row
+    # whose key it is missing (the join is inner by design — the write is
+    # mode("overwrite")). Cheap: broadcast anti-join + limit-1 probe.
+    uncovered = rows.join(plan_keys, on=keys, how="left_anti").limit(1).count()
+    if uncovered:
+        raise ValueError(
+            "compact_rewrite: rows exist whose (partition, file-key) is "
+            "absent from the plan — the plan must be derived from the same "
+            "snapshot as rows (refusing to drop data on overwrite)"
+        )
+    joined = rows.join(plan_keys, on=keys, how="inner")
     part_keys = [*partition_cols, "bin_id"]
     (
         joined.repartition(*[F.col(c) for c in part_keys])

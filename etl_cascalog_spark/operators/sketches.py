@@ -180,8 +180,14 @@ def portable_hash32_sql(expr: str) -> str:
     The input expression is textually duplicated per round (SQL has no
     let-binding outside CTEs); callers with long inputs should pre-bind a
     CTE column.
+
+    The first reduction is rendered as a double-modulo so it matches
+    Spark's ``pmod`` on NEGATIVE inputs too (DuckDB's ``%`` keeps the
+    dividend's sign; a signed key would otherwise flow a negative ``h``
+    into the arithmetic shift and diverge bit-for-bit). Later rounds
+    operate on already-non-negative values, where one ``%`` suffices.
     """
-    h = f"(CAST({expr} AS BIGINT) % 4294967296)"
+    h = f"(((CAST({expr} AS BIGINT) % 4294967296) + 4294967296) % 4294967296)"
     for _ in range(2):
         h = f"((xor({h} >> 16, {h}) * 73244475) % 4294967296)"
     return f"xor({h} >> 16, {h})"

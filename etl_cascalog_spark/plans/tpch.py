@@ -955,7 +955,13 @@ def _partsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = read_table(spark, sf_dir, "lineitem")
     cost = (
         F.pmod(
-            portable_hash32(F.col("l_partkey") * 1000003 + F.col("l_suppkey")),
+            # cast BEFORE the multiply: the oracle evaluates in BIGINT, and
+            # an int32 l_partkey would overflow the int multiply for
+            # partkey >= ~2148 (ANSI throw or silent divergence)
+            portable_hash32(
+                F.col("l_partkey").cast("long") * 1000003
+                + F.col("l_suppkey").cast("long")
+            ),
             F.lit(10000),
         )
         * F.lit("0.01").cast("decimal(3,2)")

@@ -35,7 +35,7 @@ import os
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from etl_cascalog_spark.io import publish_atomic
+from etl_cascalog_spark.io import publish_atomic, recover_publish
 
 
 def _ledger_path(ledger_dir: str, batch_id: int) -> str:
@@ -60,12 +60,17 @@ def idempotent_upsert_sink(path: str, key_cols: list[str], ledger_dir: str):
             return  # re-delivered batch: effect already committed
         spark = batch_df.sparkSession
         batch = batch_df.dropDuplicates(key_cols)
-        try:
+        # first-batch is detected EXPLICITLY (no published table yet, after
+        # attempting symlink recovery) — a transient read failure on an
+        # EXISTING table must propagate so the engine retries the batch,
+        # NOT silently truncate the table to one microbatch's rows
+        recover_publish(path)
+        if os.path.lexists(path):
             current = spark.read.parquet(path)
             keep = current.join(batch.select(*key_cols), on=key_cols, how="left_anti")
             merged = keep.unionByName(batch)
-        except Exception:
-            merged = batch  # first batch: nothing published yet
+        else:
+            merged = batch  # genuinely the first batch: nothing published yet
         publish_atomic(merged, path)
         with open(marker, "w"):
             pass

@@ -508,3 +508,53 @@ def test_binpack_compact_rewrite_one_file_per_bin(spark, tmp_path):
     back = spark.read.parquet(out)
     assert back.count() == rows.count()
     assert back.select("event_id").distinct().count() == rows.count()
+
+
+def test_compact_rewrite_refuses_partial_plan(spark, tmp_path):
+    """A plan missing some (partition, file-key) keys must RAISE, not
+    silently drop the uncovered rows on the overwrite (ADVICE r3)."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from etl_cascalog_spark.io import read_table
+    from etl_cascalog_spark.operators.layout import binpack_plan, compact_rewrite
+
+    ev = read_table(spark, SF_SMOKE, "events")
+    rows = ev.select(
+        "event_id", "event_type", F.date_format("ts", "yyyy-MM-dd").alias("file_day")
+    )
+    files = rows.groupBy("event_type", "file_day").agg(
+        (F.lit(1024) + F.count("*") * 64).alias("bytes")
+    )
+    plan = binpack_plan(files, ["event_type"], "bytes", ["file_day"], target_bytes=8192)
+    stale = plan.orderBy("event_type", "file_day").limit(
+        plan.count() - 1
+    )  # drop one key: a stale snapshot
+    with pytest.raises(ValueError, match="absent from the plan"):
+        compact_rewrite(rows, stale, ["event_type"], ["file_day"], str(tmp_path / "x"))
+
+
+def test_portable_hash32_sql_matches_spark_on_negative_keys(spark):
+    """Engine parity of the portable hash holds for SIGNED inputs too:
+    DuckDB's % keeps the dividend's sign, so the SQL rendering wraps the
+    first reduction into a pmod equivalent (ADVICE r3)."""
+    import duckdb
+
+    from etl_cascalog_spark.operators.sketches import (
+        portable_hash32,
+        portable_hash32_sql,
+    )
+    from pyspark.sql import functions as F
+
+    keys = [-1, -2147483648, -4294967296, -12345678901, 0, 7, 2**31, -2148 * 1000003]
+    df = spark.createDataFrame([(k,) for k in keys], "k long")
+    got = {
+        r.k: r.h
+        for r in df.select("k", portable_hash32(F.col("k")).alias("h")).collect()
+    }
+    con = duckdb.connect()
+    for k in keys:
+        (want,) = con.execute(
+            f"SELECT {portable_hash32_sql(str(k))}"
+        ).fetchone()
+        assert got[k] == want, k

@@ -574,3 +574,38 @@ def test_streaming_hll_matches_batch(spark):
         ).collect()
     }
     assert got == want and len(want) > 0
+
+
+def test_upsert_sink_read_failure_does_not_truncate(spark, tmp_path):
+    """A transient read failure on an EXISTING published table must
+    propagate (so the engine retries the batch) — NOT be mistaken for
+    first-batch and truncate the table to one microbatch (ADVICE r3)."""
+    import glob
+    import os
+
+    import pytest
+
+    from etl_cascalog_spark.streaming.sinks import idempotent_upsert_sink
+
+    out, ledger = str(tmp_path / "tbl"), str(tmp_path / "ledger")
+    sink = idempotent_upsert_sink(out, ["k"], ledger)
+    b0 = spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string")
+    sink(b0, 0)
+
+    # corrupt the published version dir: footer is garbage -> read raises
+    for f in glob.glob(os.path.join(os.path.realpath(out), "part-*.parquet")):
+        with open(f, "wb") as fh:
+            fh.write(b"not a parquet file")
+
+    b1 = spark.createDataFrame([(3, "c")], "k long, v string")
+    with pytest.raises(Exception):
+        sink(b1, 1)
+    # batch 1 must NOT be marked committed, and the table must NOT have
+    # been replaced by batch 1's rows alone
+    assert not os.path.exists(os.path.join(ledger, "batch-1.committed"))
+    assert os.path.lexists(out)  # still pointing at (corrupt) v0, not a
+    # freshly-published single-batch table: v0's corrupt file is intact
+    assert any(
+        open(f, "rb").read() == b"not a parquet file"
+        for f in glob.glob(os.path.join(os.path.realpath(out), "part-*.parquet"))
+    )
