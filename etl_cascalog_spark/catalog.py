@@ -8322,7 +8322,9 @@ def pmi_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounded = (
         baskets.join(sizes.where(F.col("n") <= 7), "ok").select("ok", "pk").cache()
     )
-    n_baskets = bounded.select("ok").distinct().count()
+    # basket total as a broadcast aggregate (crossJoin below), NOT an eager
+    # .count() at plan-build time — keeps the whole query one submission
+    nb = bounded.select("ok").distinct().agg(F.count("*").alias("__nb"))
     supp = bounded.groupBy("pk").agg(F.count("*").alias("s"))
     a = bounded.alias("pa")
     b = bounded.alias("pb")
@@ -8337,7 +8339,7 @@ def pmi_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     pmi = F.round(
         F.log(
             F.col("s_ab").cast("double")
-            * F.lit(n_baskets)
+            * F.col("__nb")
             / (F.col("sa") * F.col("sb"))
         ),
         6,
@@ -8351,6 +8353,7 @@ def pmi_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.broadcast(supp.select(F.col("pk").alias("ib"), F.col("s").alias("sb"))),
             "ib",
         )
+        .crossJoin(F.broadcast(nb))
         .select("ia", "ib", F.col("s_ab").cast("long").alias("supp_ab"), pmi.alias("pmi"))
         .orderBy(F.col("pmi").desc(), "ia", "ib")
         .limit(30)

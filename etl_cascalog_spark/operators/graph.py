@@ -71,10 +71,24 @@ def pagerank_int(
         .distinct()
     )
 
-    n_nodes = nodes.count()  # driver-side scalar (config-scale, like S5)
-    base = RANK_SCALE // max(n_nodes, 1)
-    ranks = nodes.select("node", F.lit(base).cast("long").alias("rank_units"))
-    prev_ids: set[int] = set()
+    # per-node base share WITHOUT a plan-build .count(): the node total is
+    # an aggregate broadcast-cross-joined onto every node row, so the whole
+    # build stays one job submission (at 100 TB the old eager count was an
+    # extra full pass over the edge list before the first iteration). The
+    # base rides as a column on the (checkpointed) rank frame — same exact
+    # integer arithmetic, identical results.
+    n_df = nodes.agg(F.count("*").alias("__n"))
+    seen = persistent_rdd_ids(spark)
+    ranks = (
+        nodes.crossJoin(F.broadcast(n_df))
+        .select(
+            "node",
+            F.expr(f"{RANK_SCALE}L div greatest(__n, 1L)").alias("base"),
+        )
+        .withColumn("rank_units", F.col("base"))
+        .localCheckpoint(eager=True)
+    )
+    prev_ids = persistent_rdd_ids(spark) - seen
 
     for _ in range(iters):
         contribs = (
@@ -90,11 +104,13 @@ def pagerank_int(
         )
         seen = persistent_rdd_ids(spark)
         ranks = (
-            nodes.join(contribs, "node", "left")
+            ranks.select("node", "base")
+            .join(contribs, "node", "left")
             .select(
                 "node",
+                "base",
                 F.expr(
-                    f"({100 - damping_pct} * {base}L"
+                    f"({100 - damping_pct} * base"
                     f" + {damping_pct} * coalesce(in_sum, 0L)) div 100"
                 ).cast("long").alias("rank_units"),
             )
@@ -104,7 +120,7 @@ def pagerank_int(
         unpersist_rdd_ids(spark, prev_ids)
         prev_ids = new_ids
     unpersist_rdd_ids(spark, static_ids)  # result lineage truncated: safe
-    return ranks
+    return ranks.select("node", "rank_units")
 
 
 def copurchase_edges(
