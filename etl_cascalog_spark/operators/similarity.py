@@ -991,9 +991,17 @@ def mmr_rerank(
     Output: (query_id, rank 1..k, neighbor_id, score) — score is the
     relevance for rank 1 and the MMR value for later ranks, rounded 4dp
     at the edge only (selection compares raw doubles).
+
+    ``k`` is fully parametric: the selection stages are GENERATED in a
+    Python loop over plan-builder steps (the ``graph.khop_min_dist``
+    unroll discipline) — each step is one rank-1 window pick, one
+    broadcast join of the picked row, and a running ``greatest`` update
+    of the max-similarity-to-selected column. Plan depth grows linearly
+    in ``k``; candidate sets are bounded by ``n_candidates``, so every
+    per-step join is broadcast-sized by construction.
     """
-    if k != 3:
-        raise ValueError("mmr_rerank: unrolled form currently fixes k=3")
+    if k < 1:
+        raise ValueError("mmr_rerank: k must be >= 1")
     lam_c = F.lit(lam)
 
     q = queries.select(
@@ -1041,51 +1049,56 @@ def mmr_rerank(
         )
     )
 
-    s1 = cands.withColumn("r", F.row_number().over(wq)).where(F.col("r") == 1).select(
-        "qid", F.col("cid").alias("s1"), F.col("rel").alias("score1")
-    )
-
-    sim1 = sims.select("qid", F.col("b").alias("cid"), F.col("a").alias("s1_key"), F.col("sim").alias("sim_s1"))
-    m2 = (
-        cands.join(F.broadcast(s1), "qid")
-        .where(F.col("cid") != F.col("s1"))
-        .join(F.broadcast(sim1), ["qid", "cid"])
-        .where(F.col("s1_key") == F.col("s1"))
-        .select("qid", "cid", "rel", "s1", (F.col("rel") - lam_c * F.col("sim_s1")).alias("mmr"))
-    )
-    w2 = Window.partitionBy("qid").orderBy(F.col("mmr").desc(), F.col("cid"))
-    s2 = m2.withColumn("r", F.row_number().over(w2)).where(F.col("r") == 1).select(
-        "qid", F.col("s1"), F.col("cid").alias("s2"), F.col("mmr").alias("score2")
-    )
-
-    sim2 = sims.select("qid", F.col("b").alias("cid"), F.col("a").alias("s2_key"), F.col("sim").alias("sim_s2"))
-    m3 = (
-        cands.join(F.broadcast(s2), "qid")
-        .where((F.col("cid") != F.col("s1")) & (F.col("cid") != F.col("s2")))
-        .join(F.broadcast(sim1), ["qid", "cid"])
-        .where(F.col("s1_key") == F.col("s1"))
-        .join(F.broadcast(sim2), ["qid", "cid"])
-        .where(F.col("s2_key") == F.col("s2"))
-        .select(
+    # generated selection stages: `state` holds the still-selectable
+    # candidates with a running max-sim-to-selected column; each step
+    # picks the per-query argmax of the current MMR objective, then
+    # rewrites state for the next step. Step arithmetic matches the old
+    # unrolled k=3 form bit-for-bit: maxsim after step i is the plain
+    # `greatest` chain over the selected rows' sims.
+    state = cands.select("qid", "cid", "rel").withColumn("mmr", F.col("rel"))
+    picked_outs = []
+    has_maxsim = False
+    for i in range(1, k + 1):
+        w_i = Window.partitionBy("qid").orderBy(F.col("mmr").desc(), F.col("cid"))
+        pick = (
+            state.withColumn("r", F.row_number().over(w_i))
+            .where(F.col("r") == 1)
+            .select("qid", F.col("cid").alias("sel"), F.col("mmr").alias("pscore"))
+        )
+        picked_outs.append(
+            pick.select(
+                "qid",
+                F.col("sel").alias("neighbor_id"),
+                F.lit(i).alias("rank"),
+                F.col("pscore").alias("score"),
+            )
+        )
+        if i == k:
+            break
+        sim_i = (
+            sims.join(F.broadcast(pick.select("qid", "sel")), "qid")
+            .where(F.col("a") == F.col("sel"))
+            .select("qid", F.col("b").alias("cid"), F.col("sim").alias("__sim_i"))
+        )
+        nxt = (
+            state.join(F.broadcast(pick.select("qid", "sel")), "qid")
+            .where(F.col("cid") != F.col("sel"))
+            .join(F.broadcast(sim_i), ["qid", "cid"])
+        )
+        new_maxsim = (
+            F.greatest("maxsim", "__sim_i") if has_maxsim else F.col("__sim_i")
+        )
+        state = nxt.select(
             "qid",
             "cid",
-            (F.col("rel") - lam_c * F.greatest("sim_s1", "sim_s2")).alias("mmr"),
-        )
-    )
-    w3 = Window.partitionBy("qid").orderBy(F.col("mmr").desc(), F.col("cid"))
-    s3 = m3.withColumn("r", F.row_number().over(w3)).where(F.col("r") == 1).select(
-        "qid", F.col("cid").alias("s3"), F.col("mmr").alias("score3")
-    )
+            "rel",
+            new_maxsim.alias("maxsim"),
+        ).withColumn("mmr", F.col("rel") - lam_c * F.col("maxsim"))
+        has_maxsim = True
 
-    out = (
-        s1.select("qid", F.col("s1").alias("neighbor_id"), F.lit(1).alias("rank"), F.col("score1").alias("score"))
-        .unionByName(
-            s2.select("qid", F.col("s2").alias("neighbor_id"), F.lit(2).alias("rank"), F.col("score2").alias("score"))
-        )
-        .unionByName(
-            s3.select("qid", F.col("s3").alias("neighbor_id"), F.lit(3).alias("rank"), F.col("score3").alias("score"))
-        )
-    )
+    out = picked_outs[0]
+    for p in picked_outs[1:]:
+        out = out.unionByName(p)
     return out.select(
         F.col("qid").alias("query_id"),
         F.col("rank").cast("int").alias("rank"),
