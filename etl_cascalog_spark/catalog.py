@@ -2837,6 +2837,78 @@ def image_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "binaryfile_image_ingest",
+    oracle="""
+    WITH p AS (
+      SELECT n_nationkey AS doc_id,
+             (n_nationkey * 37) % 256 AS r, (n_nationkey * 59) % 256 AS g,
+             (n_nationkey * 83) % 256 AS b,
+             1 + n_nationkey % 7 AS w, 1 + n_nationkey % 5 AS h
+      FROM nation
+    )
+    SELECT doc_id,
+           CAST(11 + 3 * w * h AS BIGINT) AS n_bytes,
+           CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+           CAST(255 AS INTEGER) AS max_val,
+           round((0.299 * r + 0.587 * g + 0.114 * b) / 255.0, 6) AS mean_luma
+    FROM p
+    """,
+    doc="S7 hfs-wholefile CLOSED end-to-end (reference imports it, "
+    "hadoop/bolome/d_bolome_order.clj:4-5): REAL files on disk — one "
+    "deterministic solid-color PPM(P6) per nation, written driver-side at "
+    "build — ingested through io.read_binary_files (Spark's binaryFile "
+    "source, pathGlobFilter pruning a decoy non-ppm file at listing "
+    "time), ids recovered from the file PATH column, payload decoded by "
+    "the real PPM codec, and the source's length metadata carried "
+    "through. The oracle recomputes every stat analytically from "
+    "n_nationkey, including the exact on-disk byte length (11-byte "
+    "header + 3wh raster), so the tap's (path, length, content) contract "
+    "is value-checked against files Spark actually listed and read.",
+)
+def binaryfile_image_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from etl_cascalog_spark.io import read_binary_files
+    from etl_cascalog_spark.operators.multimodal import decode_image
+
+    rows = read_table(spark, sf_dir, "nation").select("n_nationkey").collect()
+    tag = sf_dir.rstrip("/").replace("/", "_").replace(".", "_")
+    d = os.path.join(tempfile.gettempdir(), f"etl_cascalog_binarytap_{tag}")
+    os.makedirs(d, exist_ok=True)
+    for r in rows:
+        k = r.n_nationkey
+        rr, gg, bb = (k * 37) % 256, (k * 59) % 256, (k * 83) % 256
+        w, h = 1 + k % 7, 1 + k % 5
+        payload = b"P6\n%d %d\n255\n" % (w, h) + bytes((rr, gg, bb)) * (w * h)
+        with open(os.path.join(d, f"nation_{k}.ppm"), "wb") as fh:
+            fh.write(payload)
+    with open(os.path.join(d, "README.txt"), "w") as fh:
+        fh.write("decoy: must be pruned by the *.ppm glob before any read\n")
+
+    files = read_binary_files(spark, d, glob="*.ppm").select(
+        F.regexp_extract("path", r"nation_(\d+)\.ppm$", 1)
+        .cast("long")
+        .alias("doc_id"),
+        F.col("length").alias("n_bytes"),
+        "content",
+    )
+    decoded = decode_image(files.select("doc_id", "content"), "doc_id", "content")
+    return (
+        files.select("doc_id", "n_bytes")
+        .join(decoded, "doc_id")
+        .select(
+            "doc_id",
+            "n_bytes",
+            "width",
+            "height",
+            "max_val",
+            F.round("mean_luma", 6).alias("mean_luma"),
+        )
+    )
+
+
+@register(
     "top_n_per_group",
     oracle="""
     SELECT * FROM (

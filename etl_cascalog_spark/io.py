@@ -383,6 +383,36 @@ def write_seqfile(df: DataFrame, path: str, key_col: str, value_col: str) -> Non
     df.select(key_col, value_col).rdd.map(tuple).saveAsSequenceFile(path)
 
 
+def read_binary_files(
+    spark: SparkSession,
+    path: str,
+    glob: str | None = None,
+) -> DataFrame:
+    """S7 ``hfs-wholefile`` (imported in the reference but never exercised,
+    hadoop/bolome/d_bolome_order.clj:4-5): whole-file binary tap over
+    Spark's built-in ``binaryFile`` source — one row per file with
+    ``(path string, modificationTime timestamp, length long,
+    content binary)``.
+
+    This is the ingestion edge for the multimodal family: point it at a
+    directory of image/audio/video files and the payloads flow into the
+    same ``content``-column plumbing as self-encoded payloads
+    (``multimodal.decode_image`` consumes the ``content`` column as-is).
+
+    Scale notes: files are NOT split (whole-file semantics by definition),
+    so parallelism = number of files; ``spark.sql.files.maxPartitionBytes``
+    /``openCostInBytes`` govern how many small files batch into one task.
+    Metadata-only pipelines should select path/length only — column
+    pruning drops ``content`` at the scan and no payload bytes move.
+    ``glob`` maps to ``pathGlobFilter`` (e.g. ``"*.ppm"``) and prunes at
+    listing time, before any read.
+    """
+    reader = spark.read.format("binaryFile")
+    if glob is not None:
+        reader = reader.option("pathGlobFilter", glob)
+    return reader.load(path)
+
+
 def read_xml(
     spark: SparkSession,
     path: str,

@@ -558,3 +558,44 @@ def test_portable_hash32_sql_matches_spark_on_negative_keys(spark):
             f"SELECT {portable_hash32_sql(str(k))}"
         ).fetchone()
         assert got[k] == want, k
+
+
+def test_binaryfile_wholefile_roundtrip(spark, tmp_path):
+    """S7 hfs-wholefile: a directory of real PPM files flows through
+    io.read_binary_files into the real multimodal codec — (path, length,
+    content) contract, glob pruning of non-matching files, and decoded
+    pixel stats all verified against the writer's parameters."""
+    from etl_cascalog_spark.io import read_binary_files
+    from etl_cascalog_spark.operators.multimodal import decode_image
+
+    params = {i: ((i * 7) % 256, (i * 11) % 256, (i * 13) % 256, 2 + i % 3, 1 + i % 4) for i in range(9)}
+    d = tmp_path / "imgs"
+    d.mkdir()
+    for i, (r, g, b, w, h) in params.items():
+        payload = b"P6\n%d %d\n255\n" % (w, h) + bytes((r, g, b)) * (w * h)
+        (d / f"img_{i}.ppm").write_bytes(payload)
+    (d / "notes.md").write_text("decoy — glob must prune this")
+
+    from pyspark.sql import functions as F
+
+    files = read_binary_files(spark, str(d), glob="*.ppm")
+    assert files.count() == len(params)  # decoy pruned at listing
+    got = files.select(
+        F.regexp_extract("path", r"img_(\d+)\.ppm$", 1).cast("int").alias("i"),
+        "length",
+        "content",
+    )
+    # length metadata == actual bytes written
+    for row in got.select("i", "length").collect():
+        r, g, b, w, h = params[row.i]
+        assert row.length == 11 + 3 * w * h
+    feats = {
+        r.doc_id: (r.width, r.height, r.max_val)
+        for r in decode_image(
+            got.select(F.col("i").cast("long").alias("doc_id"), "content"),
+            "doc_id",
+            "content",
+        ).collect()
+    }
+    for i, (r, g, b, w, h) in params.items():
+        assert feats[i] == (w, h, 255)
