@@ -2052,3 +2052,48 @@ def test_mmr_rerank_parametric_k_matches_naive_greedy(spark):
             nid, gsc = got[(qid, rank)]
             assert nid == sel, (qid, rank, nid, sel)
             assert abs(gsc - round(sc, 4)) < 1e-9, (qid, rank, gsc, sc)
+
+
+def test_bpe_replace_chain_oracle_equals_greedy_encoder():
+    """The SQL replace-chain rendering of greedy BPE (catalog
+    bpe_encode_corpus oracle) is equivalent to text.bpe_encode's
+    lowest-rank-first loop — checked in pure Python over the corpus
+    vocabulary plus adversarial overlap/run/chain words (str.replace has
+    the same leftmost non-overlapping replace-all semantics as DuckDB)."""
+    import duckdb
+
+    from etl_cascalog_spark.catalog import _BPE_MERGES
+
+    rank = {p: i for i, p in enumerate(_BPE_MERGES)}
+
+    def greedy(word):
+        parts = list(word)
+        while len(parts) > 1:
+            best_i, best_r = -1, len(rank)
+            for i in range(len(parts) - 1):
+                r = rank.get((parts[i], parts[i + 1]), len(rank))
+                if r < best_r:
+                    best_i, best_r = i, r
+            if best_i < 0 or best_r >= len(rank):
+                break
+            parts[best_i : best_i + 2] = [parts[best_i] + parts[best_i + 1]]
+        return parts
+
+    def chain(word, passes=4):
+        s = "|" + "".join(c + "|" for c in word)
+        for _ in range(passes):
+            for a, b in _BPE_MERGES:
+                s = s.replace(f"|{a}|{b}|", f"|{a}{b}|")
+        return [t for t in s.split("|") if t]
+
+    words = set()
+    for (t,) in duckdb.sql(
+        "SELECT text FROM '/root/testdata/sf0.01/documents.parquet'"
+    ).fetchall():
+        words.update(str(t).lower().split())
+    words.update(
+        ["erer", "ererer", "aaaa", "thethe", "ananan", "thather", "attherein",
+         "ttttthhhhh", "inonatanth", "x", "", "therein"]
+    )
+    for w in words:
+        assert greedy(w) == chain(w), w
