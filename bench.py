@@ -21,7 +21,11 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent))
 
-from etl_cascalog_spark.session import get_spark, release_all_blocks  # noqa: E402
+from etl_cascalog_spark.session import (  # noqa: E402
+    get_spark,
+    release_all_blocks,
+    scoped_storage,
+)
 from etl_cascalog_spark.catalog import QUERIES  # noqa: E402
 
 
@@ -42,22 +46,21 @@ def main() -> None:
     timings: dict[str, float] = {}
     for name in sorted(QUERIES):
         t0 = time.perf_counter()
-        df = QUERIES[name].build(spark, sf_dir)
-        obs = Observation(f"rows_{name}")
-        df.observe(obs, F.count(F.lit(1)).alias("n")).write.format(
-            "noop"
-        ).mode("overwrite").save()
-        n = obs.get["n"]
+        # queries are independent jobs (the reference ran each report in its
+        # own JVM): every cache / localCheckpoint block a query creates dies
+        # at scope exit — the round-2 lesson (leaked blocks -> deterministic
+        # major-GC stall mid-sweep) made structural instead of conventional.
+        with scoped_storage(spark):
+            df = QUERIES[name].build(spark, sf_dir)
+            obs = Observation(f"rows_{name}")
+            df.observe(obs, F.count(F.lit(1)).alias("n")).write.format(
+                "noop"
+            ).mode("overwrite").save()
+            n = obs.get["n"]
         timings[name] = round(time.perf_counter() - t0, 3)
         print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
-        # queries are independent jobs (the reference ran each report in its
-        # own JVM): drop ALL storage — SQL caches AND localCheckpoint blocks
-        # from iterative operators. clearCache() alone leaks the latter;
-        # across a 118-query sweep the leaked blocks forced a deterministic
-        # major-GC stall on whichever query hit the heap ceiling (observed as
-        # sql_api_query 1.6s isolated → 14s in-suite in round 2).
-        release_all_blocks(spark)
 
+    release_all_blocks(spark)  # sweep epilogue: also clears SQL-cache metadata
     total = round(sum(timings.values()), 3)
     line = json.dumps(
         {

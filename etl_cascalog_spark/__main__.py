@@ -56,19 +56,19 @@ def main(argv: list[str] | None = None) -> int:
     from etl_cascalog_spark.session import get_spark
 
     spark = get_spark("etl_cascalog_spark_cli")
-    df = spec.build(spark, args.sf)
-    if args.cmd == "run":
-        df.show(args.limit, truncate=False)
-    else:
-        df.write.format("noop").mode("overwrite").save()
-        df.explain("formatted")
-    # results are consumed: free caches AND localCheckpoint blocks in case
-    # getOrCreate handed us a long-lived caller session (tests, notebooks);
-    # no spark.stop() for the same reason — CLI processes tear the JVM
-    # down on exit anyway
-    from etl_cascalog_spark.session import release_all_blocks
+    # scope-bound storage: whatever the query caches/checkpoints dies when
+    # the results have been consumed, even if getOrCreate handed us a
+    # long-lived caller session (tests, notebooks); no spark.stop() for the
+    # same reason — CLI processes tear the JVM down on exit anyway
+    from etl_cascalog_spark.session import scoped_storage
 
-    release_all_blocks(spark)
+    with scoped_storage(spark):
+        df = spec.build(spark, args.sf)
+        if args.cmd == "run":
+            df.show(args.limit, truncate=False)
+        else:
+            df.write.format("noop").mode("overwrite").save()
+            df.explain("formatted")
     return 0
 
 

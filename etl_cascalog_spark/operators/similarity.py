@@ -968,6 +968,7 @@ def mmr_rerank(
     n_candidates: int = 10,
     k: int = 3,
     lam: float = 0.5,
+    cache: bool = True,
 ) -> DataFrame:
     """Maximal-marginal-relevance diversified re-rank (Carbonell &
     Goldstein 1998): from each query's top-``n_candidates`` cosine
@@ -1030,8 +1031,10 @@ def mmr_rerank(
         scored.withColumn("crank", F.row_number().over(wq))
         .where(F.col("crank") <= n_candidates)
         .select("qid", "cid", "cv", "nc", "rel")
-        .cache()  # feeds sims + three selection steps
     )
+    if cache:
+        cands = cands.cache()  # feeds sims + every selection step
+        # (lifecycle: scoped_storage at the call site, or cache=False)
     a = cands.select(
         "qid", F.col("cid").alias("a"), F.col("cv").alias("av"), F.col("nc").alias("na")
     )

@@ -29,6 +29,7 @@ def resample_interpolate_daily(
     key_col: str,
     date_col: str,
     value_col: str,
+    cache: bool = True,
 ) -> DataFrame:
     """Densify (key, date, value) to EVERY day between each key's first and
     last observation, linearly interpolating the gaps.

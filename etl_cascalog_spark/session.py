@@ -10,6 +10,7 @@ code works at local[32]/sf0.1 and on a 1000-executor cluster at 100 TB.
 from __future__ import annotations
 
 import os
+from contextlib import contextmanager
 
 from pyspark.sql import SparkSession
 
@@ -82,6 +83,34 @@ def unpersist_rdd_ids(
     for rid, jrdd in list(jmap.items()):
         if int(rid) in ids:
             jrdd.unpersist(blocking)
+
+
+@contextmanager
+def scoped_storage(spark: SparkSession, blocking: bool = False):
+    """Scope-bound storage lifecycle: every cache / ``localCheckpoint``
+    block CREATED inside the ``with`` body is released on exit — the
+    structural replacement for the "callers must remember
+    :func:`release_all_blocks`" convention (round-3 advice). Storage that
+    existed before entry is untouched, so scopes nest safely and library
+    users cannot leak blocks from operators that ``.cache()`` internally
+    (dedup/similarity builders, ``global_token_offsets``, …).
+
+    Consume the results INSIDE the scope (collect/write/count): frames
+    returned by iterative operators are backed by checkpoint blocks that
+    die at scope exit.
+
+    Blocks are tracked by RDD-id diff over the BlockManager, which covers
+    both SQL ``.cache()`` data and ``localCheckpoint`` data (the latter is
+    invisible to ``spark.catalog.clearCache``). A ``.cache()`` whose
+    blocks were dropped here simply re-materializes if that exact frame is
+    reused later — correctness is unaffected.
+    """
+    before = persistent_rdd_ids(spark)
+    try:
+        yield
+    finally:
+        created = persistent_rdd_ids(spark) - before
+        unpersist_rdd_ids(spark, created, blocking)
 
 
 def release_all_blocks(spark: SparkSession, blocking: bool = False) -> None:

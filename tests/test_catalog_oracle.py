@@ -19,9 +19,17 @@ def con():
 
 @pytest.mark.parametrize("name", sorted(QUERIES))
 def test_query_matches_oracle(spark, con, name):
+    from etl_cascalog_spark.session import persistent_rdd_ids, scoped_storage
+
     spec = QUERIES[name]
-    df = spec.build(spark, SF_SMOKE)
-    if spec.oracle is None:
-        assert df.count() >= 0
-        return
-    compare(df, con, spec.oracle)
+    # scope-bound storage + leak gate: whatever the query caches or
+    # localCheckpoints must be gone when its results are consumed
+    before = persistent_rdd_ids(spark)
+    with scoped_storage(spark):
+        df = spec.build(spark, SF_SMOKE)
+        if spec.oracle is None:
+            assert df.count() >= 0
+        else:
+            compare(df, con, spec.oracle)
+    leaked = persistent_rdd_ids(spark) - before
+    assert not leaked, f"{name} leaked storage blocks: rdd ids {leaked}"

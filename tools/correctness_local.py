@@ -22,7 +22,7 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
-from etl_cascalog_spark.session import get_spark, release_all_blocks  # noqa: E402
+from etl_cascalog_spark.session import get_spark, scoped_storage  # noqa: E402
 from etl_cascalog_spark.catalog import QUERIES  # noqa: E402
 from tests.oracle_utils import duckdb_con, normalize  # noqa: E402
 
@@ -54,7 +54,8 @@ def main() -> int:
             "err": None,
         }
         try:
-            got = normalize(spec.build(spark, args.sf).toPandas())
+            with scoped_storage(spark):
+                got = normalize(spec.build(spark, args.sf).toPandas())
             row["spark_rows"] = int(len(got))
             if spec.oracle is None:
                 # rows-only check, mirroring the driver's weaker gate
@@ -82,8 +83,6 @@ def main() -> int:
                     row["hash_match"] = ok
         except Exception as e:  # noqa: BLE001 — report, don't abort the sweep
             row["err"] = f"{type(e).__name__}: {e}"[:500]
-        finally:
-            release_all_blocks(spark)
         good = row["rows_match"] and row["schema_match"] in (True, None) and row[
             "hash_match"
         ] in (True, None) and row["err"] is None
