@@ -609,3 +609,73 @@ def test_upsert_sink_read_failure_does_not_truncate(spark, tmp_path):
         open(f, "rb").read() == b"not a parquet file"
         for f in glob.glob(os.path.join(os.path.realpath(out), "part-*.parquet"))
     )
+
+
+def test_jdbc_upsert_sink_exactly_once_with_replay(spark, tmp_path):
+    """Streaming x JDBC seam (VERDICT r3 #7): exactly-once foreachBatch
+    upsert into embedded Derby. (a) committed-batch re-delivery is a
+    no-op; (b) post-effect-pre-marker crash replay (marker removed, batch
+    re-delivered) leaves the table state unchanged; (c) upserts by key;
+    (d) end-to-end through a real streaming query."""
+    import os
+
+    from etl_cascalog_spark.io import jdbc_execute, jdbc_read
+    from etl_cascalog_spark.streaming.sinks import idempotent_jdbc_upsert_sink
+
+    url = "jdbc:derby:memory:etl_stream_upsert;create=true"
+    props = {"driver": "org.apache.derby.jdbc.EmbeddedDriver"}
+    jdbc_execute(spark, url, "CREATE TABLE kv (k BIGINT NOT NULL, v VARCHAR(64))")
+    ledger = str(tmp_path / "ledger")
+    sink = idempotent_jdbc_upsert_sink(url, "kv", ["k"], ledger, props)
+
+    def table_state():
+        return sorted((r.K, r.V) for r in jdbc_read(spark, url, "kv", props).collect())
+
+    b0 = spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string")
+    sink(b0, 0)
+    sink(b0, 0)  # clean re-delivery: ledger short-circuit
+    assert table_state() == [(1, "a"), (2, "b")]
+
+    b1 = spark.createDataFrame([(2, "B"), (3, "c")], "k long, v string")
+    sink(b1, 1)
+    assert table_state() == [(1, "a"), (2, "B"), (3, "c")]
+
+    # duplicate-epoch replay: crash AFTER the DB effect, BEFORE the marker
+    # -> the engine re-delivers batch 1; delete-then-append must converge
+    os.remove(os.path.join(ledger, "batch-1.committed"))
+    sink(b1, 1)
+    assert table_state() == [(1, "a"), (2, "B"), (3, "c")]
+
+    # end-to-end: latest purchase value per user streamed into Derby
+    from pyspark.sql import functions as F
+
+    from etl_cascalog_spark.io import read_table
+    from etl_cascalog_spark.streaming.windows import stream_events
+
+    jdbc_execute(
+        spark, url, "CREATE TABLE usr (user_id BIGINT NOT NULL, event_id BIGINT)"
+    )
+    q = (
+        stream_events(spark, SF_SMOKE)
+        .where(F.col("event_type") == "purchase")
+        .select("user_id", "event_id")
+        .writeStream.foreachBatch(
+            idempotent_jdbc_upsert_sink(
+                url, "usr", ["user_id"], str(tmp_path / "ledger2"), props
+            )
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    n_users = (
+        read_table(spark, SF_SMOKE, "events")
+        .where(F.col("event_type") == "purchase")
+        .select("user_id")
+        .distinct()
+        .count()
+    )
+    got = jdbc_read(spark, url, "usr", props)
+    assert got.count() == n_users
+    assert got.select("USER_ID").distinct().count() == n_users
