@@ -8734,6 +8734,103 @@ def ivf_train_assignment_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "substring_dup_spans",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, i AS pos, words[i] AS tok
+      FROM (SELECT doc_id, string_split(lower(text), ' ') AS words
+            FROM documents),
+           UNNEST(range(1, len(words) + 1)) AS r(i)
+      WHERE words[i] != ''
+    ),
+    grams AS (
+      SELECT a.doc_id, a.pos,
+             md5(a.tok || ' ' || b.tok || ' ' || c.tok || ' ' || d.tok) AS gh
+      FROM toks a
+      JOIN toks b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+      JOIN toks c ON c.doc_id = a.doc_id AND c.pos = a.pos + 2
+      JOIN toks d ON d.doc_id = a.doc_id AND d.pos = a.pos + 3
+    ),
+    dup AS (SELECT gh FROM grams GROUP BY gh HAVING count(*) >= 2),
+    occ AS (
+      SELECT g.doc_id, g.pos AS s, g.pos + 3 AS e
+      FROM grams g JOIN dup USING (gh)
+    ),
+    flagged AS (
+      SELECT doc_id, s, e,
+             CASE WHEN s > coalesce(max(e) OVER (
+                    PARTITION BY doc_id ORDER BY s, e
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+                  THEN 1 ELSE 0 END AS new_span
+      FROM occ
+    ),
+    spans AS (
+      SELECT doc_id,
+             sum(new_span) OVER (PARTITION BY doc_id ORDER BY s, e) AS span_id,
+             s, e
+      FROM flagged
+    ),
+    per_span AS (
+      SELECT doc_id, span_id, min(s) AS ss, max(e) AS ee
+      FROM spans GROUP BY doc_id, span_id
+    ),
+    per_doc AS (
+      SELECT doc_id,
+             count(*) AS n_dup_spans,
+             sum(ee - ss + 1) AS dup_tokens
+      FROM per_span GROUP BY doc_id
+    ),
+    totals AS (SELECT doc_id, count(*) AS n_tokens FROM toks GROUP BY doc_id)
+    SELECT t.doc_id,
+           CAST(t.n_tokens AS BIGINT) AS n_tokens,
+           CAST(coalesce(p.n_dup_spans, 0) AS BIGINT) AS n_dup_spans,
+           CAST(coalesce(p.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+           CAST(round(coalesce(p.dup_tokens, 0) * 1.0 / t.n_tokens, 6)
+                AS DOUBLE) AS dup_ratio
+    FROM totals t LEFT JOIN per_doc p USING (doc_id)
+    """,
+    doc="Substring-level exact dedup marking (Lee et al. 2022: duplicated "
+    ">=n-token spans ANYWHERE in the corpus — the boilerplate/quote/"
+    "license text doc-level near-dedup cannot see): "
+    "text.duplicate_token_spans finds 4-gram occurrences repeated >= 2 "
+    "times corpus-wide, merges overlapping hits into maximal spans per "
+    "doc (running-max interval merge, one window pass), and this query "
+    "rolls up span count / covered tokens / coverage ratio per document. "
+    "Oracle builds the same grams via a positional self-join (different "
+    "formulation than the lead-chain) and the same window interval "
+    "merge. Gram traffic is one row per corpus token — the same order "
+    "as any tokenizer pass; nothing quadratic.",
+)
+def substring_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_cascalog_spark.operators.text import duplicate_token_spans
+
+    docs = read_table(spark, sf_dir, "documents")
+    spans = duplicate_token_spans(docs, "doc_id", "text", n=4)
+    per_doc = spans.groupBy("doc_id").agg(
+        F.count("*").alias("n_dup_spans"),
+        F.sum(F.col("span_end") - F.col("span_start") + 1).alias("dup_tokens"),
+    )
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.col("text")), " ")).alias("tok"),
+    ).where(F.col("tok") != "")
+    totals = toks.groupBy("doc_id").agg(F.count("*").alias("n_tokens"))
+    return (
+        totals.join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            F.coalesce("n_dup_spans", F.lit(0)).cast("long").alias("n_dup_spans"),
+            F.coalesce("dup_tokens", F.lit(0)).cast("long").alias("dup_tokens"),
+            F.round(
+                F.coalesce("dup_tokens", F.lit(0)) * F.lit(1.0) / F.col("n_tokens"),
+                6,
+            ).cast("double").alias("dup_ratio"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Adapted TPC-H suite (Q3-Q22) — registers tpch_q* entries on import.
 # Bottom-of-module import: plans.tpch needs register/money/dround above.

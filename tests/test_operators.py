@@ -2097,3 +2097,34 @@ def test_bpe_replace_chain_oracle_equals_greedy_encoder():
     )
     for w in words:
         assert greedy(w) == chain(w), w
+
+
+def test_duplicate_token_spans_semantics(spark):
+    """Crafted corpus: cross-doc shared license line, in-doc repetition,
+    overlapping gram hits merging into one maximal span, and a clean doc
+    producing no spans."""
+    from etl_cascalog_spark.operators.text import duplicate_token_spans
+
+    license_line = "licensed under the apache license version two"
+    rows = [
+        (1, f"alpha beta {license_line} gamma delta"),
+        (2, f"omega {license_line} psi chi"),
+        (3, "repeat me again and again repeat me again and again tail"),
+        (4, "completely unique words never shared anywhere else ever"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r.doc_id, r.span_start, r.span_end)
+        for r in duplicate_token_spans(df, n=4).collect()
+    }
+    by_doc = {}
+    for d, s, e in got:
+        by_doc.setdefault(d, []).append((s, e))
+    # license spans: doc1 tokens 3-9 (7 tokens), doc2 tokens 2-8
+    assert by_doc[1] == [(3, 9)]
+    assert by_doc[2] == [(2, 8)]
+    # doc3: "repeat me again and again" repeated -> grams at positions
+    # 1,2 and 6,7 hit twice (the bridging gram "again repeat me again"
+    # occurs once), so the merge yields the two maximal repeated regions
+    assert sorted(by_doc[3]) == [(1, 5), (6, 10)]
+    assert 4 not in by_doc
