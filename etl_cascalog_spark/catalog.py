@@ -6616,6 +6616,11 @@ def triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.greatest("a.pk", "b.pk").alias("v"),
         )
         .distinct()
+        # und feeds the degree pass AND the filter join; kept below fans
+        # out into SIX consumers (wedge e1/e2/e3, node set, edge count) —
+        # without materialization the basket pair fan-out re-executes per
+        # branch (measured lesson 3/7). Scoped-storage releases both.
+        .cache()
     )
     deg = (
         und.select(F.col("u").alias("node"))
@@ -6628,6 +6633,7 @@ def triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         und.join(F.broadcast(keep_nodes.withColumnRenamed("node", "u")), "u")
         .join(F.broadcast(keep_nodes.withColumnRenamed("node", "v")), "v")
         .select("u", "v")
+        .cache()
     )
     e1 = kept.select(F.col("u").alias("a"), F.col("v").alias("b"))
     e2 = kept.select(F.col("u").alias("b"), F.col("v").alias("c"))
