@@ -6699,7 +6699,10 @@ def association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     # and both self-join sides) — cache or its distinct+join lineage
     # executes per branch (released by the loops' release_all_blocks)
     bounded = baskets.join(sizes.where(F.col("n") <= 7), "ok").select("ok", "pk").cache()
-    n_baskets = bounded.select("ok").distinct().count()  # driver scalar (S5)
+    # basket total as a broadcast aggregate (crossJoin below), NOT an eager
+    # .count() at plan-build time — single job submission (same fold as
+    # pmi_copurchase / pagerank_int)
+    nb = bounded.select("ok").distinct().agg(F.count("*").alias("__nb"))
     supp = bounded.groupBy("pk").agg(F.count("*").alias("s"))
     a = bounded.alias("pa")
     b = bounded.alias("pb")
@@ -6719,6 +6722,7 @@ def association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.broadcast(supp.select(F.col("pk").alias("ib"), F.col("s").alias("sb"))),
             "ib",
         )
+        .crossJoin(F.broadcast(nb))
         .select(
             "ia",
             "ib",
@@ -6729,7 +6733,7 @@ def association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "conf_a_to_b"
             ),
             F.round(
-                F.col("s_ab").cast("double") * F.lit(n_baskets)
+                F.col("s_ab").cast("double") * F.col("__nb")
                 / (F.col("sa").cast("double") * F.col("sb")),
                 6,
             ).alias("lift"),
@@ -8737,6 +8741,86 @@ def ivf_train_assignment_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("dim").cast("int").alias("dim"),
         F.count("*").alias("n_points"),
         F.sum((F.col("cell") != F.col("cid")).cast("long")).alias("n_mismatch"),
+    )
+
+
+@register(
+    "neardup_keep_best",
+    oracle=f"""
+    WITH RECURSIVE {_SHINGLE_CTE},
+    e AS (
+      SELECT doc_a AS s, doc_b AS t FROM jpairs
+      UNION
+      SELECT doc_b, doc_a FROM jpairs
+    ),
+    reach(s, t) AS (
+      SELECT s, t FROM e
+      UNION
+      SELECT r.s, e2.t FROM reach r JOIN e e2 ON r.t = e2.s
+    ),
+    lab AS (
+      SELECT s AS doc_id, least(s, min(t)) AS cluster_id
+      FROM reach GROUP BY s
+    ),
+    q AS (SELECT doc_id, {_QUALITY_SQL} AS quality FROM documents),
+    best AS (
+      SELECT l.cluster_id, l.doc_id AS keeper
+      FROM lab l JOIN q ON q.doc_id = l.doc_id
+      QUALIFY row_number() OVER (PARTITION BY l.cluster_id
+                                 ORDER BY q.quality DESC, l.doc_id) = 1
+    )
+    SELECT d.doc_id,
+           CAST(coalesce(b.keeper, d.doc_id) AS BIGINT) AS keeper_id,
+           CAST(CASE WHEN coalesce(b.keeper, d.doc_id) = d.doc_id
+                     THEN 1 ELSE 0 END AS INTEGER) AS kept
+    FROM documents d
+    LEFT JOIN lab l ON l.doc_id = d.doc_id
+    LEFT JOIN best b ON b.cluster_id = l.cluster_id
+    """,
+    doc="Quality-aware near-dup retention: within each connected near-dup "
+    "cluster keep the HIGHEST-quality member (quality desc, id asc "
+    "tie-break) instead of the min-id — the curation policy that keeps "
+    "the best-formatted copy of a boilerplate family rather than an "
+    "arbitrary one. Composes MinHash+LSH pairs, the (star-default) "
+    "connected components, the portable quality score, and one rank-1 "
+    "window per cluster; the per-cluster keeper set is id-sized and "
+    "broadcast into the final doc-level join, so the corpus never "
+    "shuffles for the verdict attach. Oracle: recursive-CTE closure + "
+    "the same argmax in SQL.",
+)
+def neardup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_cascalog_spark.operators.dedup import (
+        connected_components,
+        minhash_lsh_pairs,
+    )
+    from etl_cascalog_spark.operators.text import quality_score
+
+    docs = read_table(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id", quality_score(F.col("text")).alias("quality")
+    )
+    pairs = minhash_lsh_pairs(
+        docs, "doc_id", "text", n=3, num_hashes=64, bands=16, threshold=0.7
+    )
+    comp = connected_components(pairs)
+    member = comp.join(scored.withColumnRenamed("doc_id", "node"), "node")
+    w = Window.partitionBy("label").orderBy(F.col("quality").desc(), F.col("node"))
+    best = (
+        member.withColumn("r", F.row_number().over(w))
+        .where(F.col("r") == 1)
+        .select("label", F.col("node").alias("keeper"))
+    )
+    return (
+        scored.select("doc_id")
+        .join(comp.withColumnRenamed("node", "doc_id"), "doc_id", "left")
+        .join(F.broadcast(best), "label", "left")
+        .select(
+            "doc_id",
+            F.coalesce("keeper", F.col("doc_id")).cast("long").alias("keeper_id"),
+            (F.coalesce("keeper", F.col("doc_id")) == F.col("doc_id"))
+            .cast("int")
+            .alias("kept"),
+        )
     )
 
 
