@@ -166,6 +166,38 @@ def dedup_by_content(
     )
 
 
+def dedup_against_corpus(
+    stream: DataFrame,
+    corpus_digests: DataFrame,
+    text_col: str = "text",
+    digest_col: str = "digest",
+) -> DataFrame:
+    """Stream-STATIC anti join: drop streaming documents whose normalized
+    content digest already exists in the static curated corpus — the
+    exact tier of ``operators.dedup.incremental_dedup`` as a continuous
+    ingestion pipeline instead of a daily batch. Compose with
+    :func:`dedup_by_content` upstream for within-stream duplicates; the
+    static side handles history.
+
+    ``corpus_digests`` is a static frame of one ``digest_col`` column
+    (md5 of normalized text — parquet the digests beside the corpus, the
+    same steady-state advice as incremental_dedup's signature store).
+    Spark re-plans the static side per micro-batch, so a digest table
+    refreshed in place is picked up without restarting the query; at
+    100 TB the anti join is digest-keyed (uniform 32-char keys, skew-free)
+    and the stream side is microbatch-sized, so AQE broadcast-converts
+    whenever the batch fits.
+    """
+    from etl_cascalog_spark.operators.text import fingerprint_md5
+
+    keyed = stream.withColumn("__fp", fingerprint_md5(F.col(text_col)))
+    return keyed.join(
+        corpus_digests.select(F.col(digest_col).alias("__fp")),
+        on="__fp",
+        how="left_anti",
+    ).drop("__fp")
+
+
 def interval_join(
     probe: DataFrame,
     ts_col: str,

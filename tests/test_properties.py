@@ -484,3 +484,37 @@ def test_top_k_scaled_equals_single_window(spark, rows, k):
         for r in df.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= k).collect()
     }
     assert got == want
+
+
+@given(
+    texts=st.lists(
+        st.lists(
+            st.sampled_from(["a", "b", "c", "d", "aa", "xy"]),
+            min_size=0,
+            max_size=14,
+        ).map(" ".join),
+        min_size=1,
+        max_size=8,
+    ),
+    parts=st.integers(1, 5),
+)
+@_settings
+def test_duplicate_token_spans_partition_invariant(spark, texts, parts):
+    """duplicate_token_spans is a pure function of the corpus CONTENT:
+    repartitioning the input must not move any span (the gram counting,
+    hash join, and interval merge are all key-driven, never
+    partition-order-driven)."""
+    from etl_cascalog_spark.operators.text import duplicate_token_spans
+
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    base = {
+        (r.doc_id, r.span_start, r.span_end)
+        for r in duplicate_token_spans(df, n=2).collect()
+    }
+    shuffled = {
+        (r.doc_id, r.span_start, r.span_end)
+        for r in duplicate_token_spans(df.repartition(parts, "doc_id"), n=2).collect()
+    }
+    assert base == shuffled

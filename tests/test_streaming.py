@@ -679,3 +679,38 @@ def test_jdbc_upsert_sink_exactly_once_with_replay(spark, tmp_path):
     got = jdbc_read(spark, url, "usr", props)
     assert got.count() == n_users
     assert got.select("USER_ID").distinct().count() == n_users
+
+
+def test_stream_static_dedup_against_corpus(spark, tmp_path):
+    """dedup_against_corpus: a file-streamed batch of documents anti-joined
+    against a static digest table keeps exactly the docs batch
+    incremental-dedup would keep at the exact tier (digest not in
+    history), including catching a REWRITTEN id with historical content."""
+    from etl_cascalog_spark.io import read_table
+    from etl_cascalog_spark.operators.text import fingerprint_md5
+    from etl_cascalog_spark.streaming.windows import dedup_against_corpus
+
+    docs = read_table(spark, SF_SMOKE, "documents").select("doc_id", "text")
+    history = docs.where(F.col("doc_id") % 3 == 0)
+    digests = history.select(fingerprint_md5(F.col("text")).alias("digest")).distinct()
+
+    # new arrivals: the full corpus re-crawled (ids may differ; content governs)
+    src = str(tmp_path / "arrivals")
+    docs.withColumn("doc_id", F.col("doc_id") + 1_000_000).write.parquet(src)
+    stream = spark.readStream.schema("doc_id long, text string").parquet(src)
+
+    from etl_cascalog_spark.streaming.windows import run_to_memory
+
+    out = run_to_memory(
+        dedup_against_corpus(stream, digests), "t_corpus_dedup", "append"
+    )
+    got_ids = sorted(r.doc_id - 1_000_000 for r in out.collect())
+
+    hist_digests = {r.digest for r in digests.collect()}
+    want_ids = sorted(
+        r.doc_id
+        for r in docs.withColumn("d", fingerprint_md5(F.col("text"))).collect()
+        if r.d not in hist_digests
+    )
+    assert got_ids == want_ids
+    assert 0 < len(got_ids) < docs.count()
