@@ -2128,3 +2128,38 @@ def test_duplicate_token_spans_semantics(spark):
     # occurs once), so the merge yields the two maximal repeated regions
     assert sorted(by_doc[3]) == [(1, 5), (6, 10)]
     assert 4 not in by_doc
+
+
+def test_new_operator_plan_shapes(spark):
+    """Plan-shape guard on the round's new operators: the substring span
+    pass must stay join-keyed (no cartesian/SMJ surprises beyond the one
+    hash-keyed dup join), and the binary tap must keep its decode as
+    Arrow stages with no shuffle before the decode."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tools"))
+    from plan_audit import audit_plan
+
+    from etl_cascalog_spark.catalog import QUERIES
+    from etl_cascalog_spark.session import scoped_storage
+    from tests.conftest import SF_SMOKE
+
+    def final_audit(name):
+        with scoped_storage(spark):
+            df = QUERIES[name].build(spark, SF_SMOKE)
+            df.write.format("noop").mode("overwrite").save()
+            return audit_plan(df._jdf.queryExecution().executedPlan().toString())
+
+    spans = final_audit("substring_dup_spans")
+    assert spans["cart"] == 0 and spans["bnlj"] == 0
+    # window sort (id), gram-hash agg, dup join back, interval merge,
+    # totals join: bounded exchange count, not a per-branch blowup
+    assert spans["exch"] <= 8, spans
+
+    tap = final_audit("binaryfile_image_ingest")
+    assert tap["cart"] == 0 and tap["smj"] == 0
+    assert tap["exch"] <= 2, tap  # the small doc_id join only
+
+    keep = final_audit("neardup_keep_best")
+    assert keep["cart"] == 0
