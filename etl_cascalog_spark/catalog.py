@@ -8744,6 +8744,94 @@ def ivf_train_assignment_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: shared oracle CTE chain for the substring-dedup family: tokens with
+#: positions -> positional-self-join 4-grams -> corpus-wide duplicated
+#: hashes -> merged maximal spans per doc (per_span: doc_id, span_id, ss, ee)
+_DUP_SPAN_CTE = """toks AS (
+      SELECT doc_id, i AS pos, words[i] AS tok
+      FROM (SELECT doc_id, string_split(lower(text), ' ') AS words
+            FROM documents),
+           UNNEST(range(1, len(words) + 1)) AS r(i)
+      WHERE words[i] != ''
+    ),
+    grams AS (
+      SELECT a.doc_id, a.pos,
+             md5(a.tok || ' ' || b.tok || ' ' || c.tok || ' ' || d.tok) AS gh
+      FROM toks a
+      JOIN toks b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+      JOIN toks c ON c.doc_id = a.doc_id AND c.pos = a.pos + 2
+      JOIN toks d ON d.doc_id = a.doc_id AND d.pos = a.pos + 3
+    ),
+    dup AS (SELECT gh FROM grams GROUP BY gh HAVING count(*) >= 2),
+    occ AS (
+      SELECT g.doc_id, g.pos AS s, g.pos + 3 AS e
+      FROM grams g JOIN dup USING (gh)
+    ),
+    flagged AS (
+      SELECT doc_id, s, e,
+             CASE WHEN s > coalesce(max(e) OVER (
+                    PARTITION BY doc_id ORDER BY s, e
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+                  THEN 1 ELSE 0 END AS new_span
+      FROM occ
+    ),
+    spans AS (
+      SELECT doc_id,
+             sum(new_span) OVER (PARTITION BY doc_id ORDER BY s, e) AS span_id,
+             s, e
+      FROM flagged
+    ),
+    per_span AS (
+      SELECT doc_id, span_id, min(s) AS ss, max(e) AS ee
+      FROM spans GROUP BY doc_id, span_id
+    )"""
+
+
+@register(
+    "dedup_span_removal",
+    oracle=f"""
+    WITH {_DUP_SPAN_CTE},
+    kept AS (
+      SELECT t.doc_id, t.pos, t.tok
+      FROM toks t
+      WHERE NOT EXISTS (
+        SELECT 1 FROM per_span p
+        WHERE p.doc_id = t.doc_id AND t.pos BETWEEN p.ss AND p.ee
+      )
+    ),
+    rebuilt AS (
+      SELECT doc_id,
+             string_agg(tok, ' ' ORDER BY pos) AS clean_text,
+             count(*) AS n_kept
+      FROM kept GROUP BY doc_id
+    ),
+    totals AS (SELECT doc_id, count(*) AS n_tokens FROM toks GROUP BY doc_id)
+    SELECT t.doc_id,
+           coalesce(r.clean_text, '') AS clean_text,
+           CAST(t.n_tokens AS BIGINT) AS n_tokens,
+           CAST(t.n_tokens - coalesce(r.n_kept, 0) AS BIGINT) AS n_removed
+    FROM totals t LEFT JOIN rebuilt r USING (doc_id)
+    """,
+    doc="Substring dedup APPLIED (the cut half of Lee et al.'s "
+    "mark-then-cut): text.remove_duplicate_spans rebuilds every document "
+    "with its corpus-duplicated spans removed — span positions explode "
+    "map-side, one anti join on (id, pos), and reconstruction orders by "
+    "an array_sort(struct(pos, tok)) key so the output is deterministic "
+    "under any partitioning. Oracle re-derives spans via the shared "
+    "positional-self-join CTE and rebuilds with ordered string_agg; the "
+    "exact cleaned TEXT is value-compared, not just counts.",
+)
+def dedup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_cascalog_spark.operators.text import (
+        duplicate_token_spans,
+        remove_duplicate_spans,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    spans = duplicate_token_spans(docs, "doc_id", "text", n=4)
+    return remove_duplicate_spans(docs, spans, "doc_id", "text", n=4)
+
+
 @register(
     "neardup_keep_best",
     oracle=f"""
@@ -8826,45 +8914,8 @@ def neardup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "substring_dup_spans",
-    oracle="""
-    WITH toks AS (
-      SELECT doc_id, i AS pos, words[i] AS tok
-      FROM (SELECT doc_id, string_split(lower(text), ' ') AS words
-            FROM documents),
-           UNNEST(range(1, len(words) + 1)) AS r(i)
-      WHERE words[i] != ''
-    ),
-    grams AS (
-      SELECT a.doc_id, a.pos,
-             md5(a.tok || ' ' || b.tok || ' ' || c.tok || ' ' || d.tok) AS gh
-      FROM toks a
-      JOIN toks b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
-      JOIN toks c ON c.doc_id = a.doc_id AND c.pos = a.pos + 2
-      JOIN toks d ON d.doc_id = a.doc_id AND d.pos = a.pos + 3
-    ),
-    dup AS (SELECT gh FROM grams GROUP BY gh HAVING count(*) >= 2),
-    occ AS (
-      SELECT g.doc_id, g.pos AS s, g.pos + 3 AS e
-      FROM grams g JOIN dup USING (gh)
-    ),
-    flagged AS (
-      SELECT doc_id, s, e,
-             CASE WHEN s > coalesce(max(e) OVER (
-                    PARTITION BY doc_id ORDER BY s, e
-                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
-                  THEN 1 ELSE 0 END AS new_span
-      FROM occ
-    ),
-    spans AS (
-      SELECT doc_id,
-             sum(new_span) OVER (PARTITION BY doc_id ORDER BY s, e) AS span_id,
-             s, e
-      FROM flagged
-    ),
-    per_span AS (
-      SELECT doc_id, span_id, min(s) AS ss, max(e) AS ee
-      FROM spans GROUP BY doc_id, span_id
-    ),
+    oracle=f"""
+    WITH {_DUP_SPAN_CTE},
     per_doc AS (
       SELECT doc_id,
              count(*) AS n_dup_spans,

@@ -923,3 +923,61 @@ def duplicate_token_spans(
     return spans.select(
         F.col("__id").alias(id_col), "span_start", "span_end"
     )
+
+
+def remove_duplicate_spans(
+    docs: DataFrame,
+    spans: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 4,
+) -> DataFrame:
+    """Apply :func:`duplicate_token_spans`: rebuild each document's text
+    with the duplicated spans REMOVED — the second half of Lee et al.'s
+    substring dedup (mark, then cut). ``spans`` is the (id, span_start,
+    span_end) frame the marker produced (token positions, 1-based
+    inclusive).
+
+    Shape: tokenize with positions (same one window shuffle as the
+    marker), explode each span into its positions (span length is
+    bounded by doc length — map-side), anti-join, then rebuild order
+    with ``array_sort(collect_list(struct(pos, tok)))`` — the sort key
+    makes reconstruction partition-order-independent, so the output is
+    deterministic under any shuffle. Docs whose every token was removed
+    (or that had none) surface with empty ``clean_text``.
+    """
+    toks = docs.select(
+        F.col(id_col).alias("__id"),
+        F.posexplode(F.split(F.lower(F.col(text_col)), " ")).alias("pos0", "tok"),
+    ).where(F.col("tok") != "").select(
+        "__id", (F.col("pos0") + 1).alias("pos"), "tok"
+    )
+    span_pos = spans.select(
+        F.col(id_col).alias("__id"),
+        F.explode(
+            F.sequence(F.col("span_start"), F.col("span_end"))
+        ).alias("pos"),
+    )
+    kept = toks.join(span_pos, ["__id", "pos"], "left_anti")
+    rebuilt = kept.groupBy("__id").agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                lambda x: x["tok"],
+            ),
+        ).alias("clean_text"),
+        F.count("*").alias("n_kept"),
+    )
+    totals = toks.groupBy("__id").agg(F.count("*").alias("n_tokens"))
+    return (
+        totals.join(rebuilt, "__id", "left")
+        .select(
+            F.col("__id").alias(id_col),
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            (F.col("n_tokens") - F.coalesce("n_kept", F.lit(0)))
+            .cast("long")
+            .alias("n_removed"),
+        )
+    )

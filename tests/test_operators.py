@@ -2163,3 +2163,30 @@ def test_new_operator_plan_shapes(spark):
 
     keep = final_audit("neardup_keep_best")
     assert keep["cart"] == 0
+
+
+def test_remove_duplicate_spans_semantics(spark):
+    """Mark-then-cut round trip: removing the marked spans leaves exactly
+    the unshared tokens, in original order, and a clean doc untouched."""
+    from pyspark.sql import functions as F
+
+    from etl_cascalog_spark.operators.text import (
+        duplicate_token_spans,
+        remove_duplicate_spans,
+    )
+
+    shared = "one two three four"
+    rows = [
+        (1, f"alpha {shared} omega"),
+        (2, f"start {shared} end"),
+        (3, "totally unique text here with nothing shared at all"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    spans = duplicate_token_spans(df, n=4)
+    got = {
+        r.doc_id: (r.clean_text, r.n_tokens, r.n_removed)
+        for r in remove_duplicate_spans(df, spans).collect()
+    }
+    assert got[1] == ("alpha omega", 6, 4)
+    assert got[2] == ("start end", 6, 4)
+    assert got[3] == ("totally unique text here with nothing shared at all", 9, 0)
