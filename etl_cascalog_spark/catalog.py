@@ -7944,14 +7944,17 @@ def top_n_per_group_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM gaps
     """,
     doc="Load-reconciliation sequence audit: gaps in a monotonic id "
-    "sequence via a lead() window — the cheap detector for silently "
-    "dropped loads. The driver's orders table is gap-free, so the "
-    "audit runs against a deterministic simulated loss (a 5% hash "
-    "slice withheld) and FINDS it — missing-id count ≈ the withheld "
-    "rows. The global-order window is the noted anti-pattern at "
-    "100 TB; the scale recipe is the exact-percentiles range-bucket "
-    "trick (window within id buckets, stitch boundaries) — at bench "
-    "scale the single window keeps the oracle 1:1.",
+    "sequence — the cheap detector for silently dropped loads. The "
+    "driver's orders table is gap-free, so the audit runs against a "
+    "deterministic simulated loss (a 5% hash slice withheld) and FINDS "
+    "it — missing-id count ≈ the withheld rows. DISTRIBUTED shape (the "
+    "exact-percentiles range-bucket trick): lead() runs inside id-range "
+    "buckets (parallel, partitioned window), and the bucket-boundary "
+    "gaps come from a per-bucket min/max rollup whose own window is "
+    "metadata-sized (one row per non-empty bucket) — no global "
+    "single-partition sort at any scale. Empty buckets fall out "
+    "naturally: the boundary lead skips to the next NON-EMPTY bucket's "
+    "min.",
 )
 def id_gap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_cascalog_spark.operators.sketches import portable_hash32
@@ -7960,12 +7963,24 @@ def id_gap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         read_table(spark, sf_dir, "orders")
         .select("o_orderkey")
         .where(F.pmod(portable_hash32(F.col("o_orderkey")), F.lit(20)) != 7)
+        .withColumn("__bkt", F.expr("o_orderkey div 65536"))
     )
-    w = Window.orderBy("o_orderkey")
-    seq = orders.withColumn("nxt", F.lead("o_orderkey").over(w))
-    gaps = seq.where(F.col("nxt") - F.col("o_orderkey") > 1).select(
-        (F.col("nxt") - F.col("o_orderkey") - 1).alias("missing")
+    w_in = Window.partitionBy("__bkt").orderBy("o_orderkey")
+    within = (
+        orders.withColumn("nxt", F.lead("o_orderkey").over(w_in))
+        .where(F.col("nxt") - F.col("o_orderkey") > 1)
+        .select((F.col("nxt") - F.col("o_orderkey") - 1).alias("missing"))
     )
+    bounds = orders.groupBy("__bkt").agg(
+        F.min("o_orderkey").alias("__lo"), F.max("o_orderkey").alias("__hi")
+    )
+    w_b = Window.orderBy("__bkt")  # one row per non-empty bucket: metadata
+    boundary = (
+        bounds.withColumn("__next_lo", F.lead("__lo").over(w_b))
+        .where(F.col("__next_lo") - F.col("__hi") > 1)
+        .select((F.col("__next_lo") - F.col("__hi") - 1).alias("missing"))
+    )
+    gaps = within.unionByName(boundary)
     return gaps.agg(
         F.count("*").alias("n_gaps"),
         F.coalesce(F.sum("missing"), F.lit(0)).cast("long").alias("n_missing_ids"),
