@@ -7048,6 +7048,9 @@ def khop_related_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("__c"))
         .where(F.col("__c") >= 2)
         .select("src", "dst")
+        # every unrolled hop joins this frame — uncached, the basket pair
+        # fan-out subtree replays once per hop (lesson 3/7)
+        .cache()
     )
     seeds = (
         read_table(spark, sf_dir, "part")
@@ -8905,8 +8908,14 @@ def neardup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = minhash_lsh_pairs(
         docs, "doc_id", "text", n=3, num_hashes=64, bands=16, threshold=0.7
     )
+    # comp has one row per member of the PAIR graph — the near-dup fraction
+    # of the id space, broadcast-able by construction (same reasoning as
+    # the curation pipeline's losers set): the corpus-sized side never
+    # shuffles for any of these attaches
     comp = connected_components(pairs)
-    member = comp.join(scored.withColumnRenamed("doc_id", "node"), "node")
+    member = F.broadcast(comp).join(
+        scored.withColumnRenamed("doc_id", "node"), "node"
+    )
     w = Window.partitionBy("label").orderBy(F.col("quality").desc(), F.col("node"))
     best = (
         member.withColumn("r", F.row_number().over(w))
@@ -8915,7 +8924,7 @@ def neardup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         scored.select("doc_id")
-        .join(comp.withColumnRenamed("node", "doc_id"), "doc_id", "left")
+        .join(F.broadcast(comp.withColumnRenamed("node", "doc_id")), "doc_id", "left")
         .join(F.broadcast(best), "label", "left")
         .select(
             "doc_id",
