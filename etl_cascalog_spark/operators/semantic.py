@@ -136,6 +136,11 @@ def kmeans_fit(
 
     spark = points.sparkSession
     before = persistent_rdd_ids(spark)
+    # materialize the point prep ONCE: every round's assignment (and the
+    # seed selection) reads these rows — uncached, each of the `iters`
+    # rounds re-executed the corpus scan + unit conversion
+    points = points.localCheckpoint(eager=True)
+    pts_ids = persistent_rdd_ids(spark) - before
     centroids = (
         points.orderBy("id")
         .limit(k)
@@ -144,8 +149,9 @@ def kmeans_fit(
             F.col("units").alias("cunits"),
         )
     )
+    seen = persistent_rdd_ids(spark)
     assigned = assign_clusters(points, centroids).localCheckpoint(eager=True)
-    prev_ids = persistent_rdd_ids(spark) - before
+    prev_ids = persistent_rdd_ids(spark) - seen
     for _ in range(iters - 1):
         centroids = recompute_centroids(assigned, dim)
         seen = persistent_rdd_ids(spark)
@@ -155,6 +161,7 @@ def kmeans_fit(
         new_ids = persistent_rdd_ids(spark) - seen
         unpersist_rdd_ids(spark, prev_ids)
         prev_ids = new_ids
+    unpersist_rdd_ids(spark, pts_ids)  # final assignment is materialized
     return assigned
 
 
