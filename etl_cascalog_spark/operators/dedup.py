@@ -721,12 +721,24 @@ def incremental_dedup(
         .select("doc_n", "doc_h")
         .distinct()
     )
-    candidates = cand_hist.unionByName(cand_new).distinct()
+    # candidate pairs are bounded (bucket-join output) and feed BOTH id
+    # prunes and the verification join — materialize once
+    candidates = cand_hist.unionByName(cand_new).distinct().cache()
 
-    sh_new = shingle_arrays(new_surv, id_col, text_col, n).toDF("doc_n", "sh_n")
+    # verification shingles ONLY the candidate docs: at 100 TB the
+    # history side is the corpus, and shingling it wholesale for a
+    # verification join that keeps |candidates| rows would be the single
+    # largest cost in the job. The candidate id sets are bucket-join
+    # outputs — bounded, broadcast-able.
+    cand_h_ids = candidates.select(F.col("doc_h").alias(id_col)).distinct()
+    cand_n_ids = candidates.select(F.col("doc_n").alias(id_col)).distinct()
+    hist_cand = history_df.join(F.broadcast(cand_h_ids), id_col, "left_semi")
+    new_h_cand = new_surv.join(F.broadcast(cand_h_ids), id_col, "left_semi")
+    new_n_cand = new_surv.join(F.broadcast(cand_n_ids), id_col, "left_semi")
+    sh_new = shingle_arrays(new_n_cand, id_col, text_col, n).toDF("doc_n", "sh_n")
     sh_all = (
-        shingle_arrays(history_df, id_col, text_col, n)
-        .unionByName(shingle_arrays(new_surv, id_col, text_col, n))
+        shingle_arrays(hist_cand, id_col, text_col, n)
+        .unionByName(shingle_arrays(new_h_cand, id_col, text_col, n))
         .toDF("doc_h", "sh_h")
     )
     common = F.size(F.array_intersect(F.col("sh_n"), F.col("sh_h")))
