@@ -320,11 +320,22 @@ def minhash_lsh_pairs(
         .where(F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "doc_b")
         .distinct()
+        .cache()  # feeds the id prune AND the verification broadcast
     )
     # exact verification on candidates only: candidates is tiny relative to
     # the corpus (that is the whole point of LSH) — broadcast it through
-    # both set lookups so the shingle-array side never shuffles
-    sets = shingle_arrays(df, id_col, text_col, n).cache()
+    # both set lookups so the shingle-array side never shuffles, and
+    # shingle ONLY the docs that appear in some candidate pair (broadcast
+    # semi-join prune): at corpus scale re-shingling every doc for a
+    # verification that touches the near-dup fraction would double the
+    # dominant map cost of the job
+    cand_ids = (
+        candidates.select(F.col("doc_a").alias(id_col))
+        .unionByName(candidates.select(F.col("doc_b").alias(id_col)))
+        .distinct()
+    )
+    pruned = df.join(F.broadcast(cand_ids), id_col, "left_semi")
+    sets = shingle_arrays(pruned, id_col, text_col, n).cache()
     sa = sets.toDF("doc_a", "sh_a")
     sb = sets.toDF("doc_b", "sh_b")
     common = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
