@@ -39,6 +39,12 @@ def main() -> None:
     from etl_cascalog_spark.io import read_table
 
     read_table(spark, sf_dir, "lineitem").limit(1).collect()
+    # one tiny catalog query untimed, so whole-stage-codegen JIT of the
+    # common operator stack is not billed to whichever query sorts first
+    with scoped_storage(spark):
+        QUERIES["static_report"].build(spark, sf_dir).write.format("noop").mode(
+            "overwrite"
+        ).save()
 
     from pyspark.sql import Observation
     from pyspark.sql import functions as F
