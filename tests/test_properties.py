@@ -518,3 +518,59 @@ def test_duplicate_token_spans_partition_invariant(spark, texts, parts):
         for r in duplicate_token_spans(df.repartition(parts, "doc_id"), n=2).collect()
     }
     assert base == shuffled
+
+
+@given(
+    texts=st.lists(
+        st.lists(
+            st.sampled_from(["red", "blue", "fish", "cat", "dog", "run"]),
+            min_size=3,
+            max_size=10,
+        ).map(" ".join),
+        min_size=2,
+        max_size=7,
+    )
+)
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_minhash_lsh_pairs_contract(spark, texts):
+    """LSH output contract on random micro-corpora: every returned pair is
+    an EXACT Jaccard >= threshold pair with the exactly-computed value
+    (verification is exact, so no false positives ever), and identical
+    documents are ALWAYS returned (identical signatures -> all bands
+    collide — recall 1.0 at j=1 by construction)."""
+    from etl_cascalog_spark.operators.dedup import minhash_lsh_pairs
+    from etl_cascalog_spark.session import release_all_blocks
+
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    got = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in minhash_lsh_pairs(df, "doc_id", "text", n=3, threshold=0.7).collect()
+    }
+    release_all_blocks(spark)
+
+    def shingles(t):
+        w = t.lower().split()
+        return {" ".join(w[i : i + 3]) for i in range(len(w) - 2)}
+
+    sh = {i: shingles(t) for i, t in enumerate(texts)}
+    exact = {}
+    for a in sh:
+        for b in sh:
+            if a < b and sh[a] and sh[b]:
+                j = len(sh[a] & sh[b]) / len(sh[a] | sh[b])
+                if j >= 0.7:
+                    exact[(a, b)] = round(j, 4)
+    # no false positives, and values are the exact Jaccard
+    for pair, j in got.items():
+        assert pair in exact, (pair, j)
+        assert abs(j - exact[pair]) < 1e-9
+    # identical docs always recalled
+    for (a, b), j in exact.items():
+        if j == 1.0:
+            assert (a, b) in got
