@@ -714,3 +714,74 @@ def test_stream_static_dedup_against_corpus(spark, tmp_path):
     )
     assert got_ids == want_ids
     assert 0 < len(got_ids) < docs.count()
+
+
+def test_streaming_neardup_against_corpus_matches_batch(spark, tmp_path):
+    """Continuous MinHash near-dedup against a static corpus: a
+    file-streamed batch of arriving docs produces exactly the verified
+    (arrival, corpus, jaccard) pairs the batch formulation produces —
+    map-side signature array bit-identical to the batch groupBy
+    signatures, same banding, same exact-Jaccard verification."""
+    from etl_cascalog_spark.io import read_table
+    from etl_cascalog_spark.operators.dedup import (
+        minhash_signatures,
+        shingle_arrays,
+    )
+    from etl_cascalog_spark.streaming.windows import (
+        minhash_signature_array,
+        neardup_against_corpus,
+        run_to_memory,
+    )
+
+    docs = read_table(spark, SF_SMOKE, "documents").select("doc_id", "text")
+    corpus = docs.where(F.col("doc_id") % 2 == 0)
+    arrivals = docs.where(F.col("doc_id") % 2 == 1).withColumn(
+        "doc_id", F.col("doc_id") + 10_000_000
+    )
+
+    # signature parity: the map-side array form == the batch groupBy form
+    arr = {
+        r.doc_id: list(r.sig)
+        for r in arrivals.select(
+            "doc_id", minhash_signature_array(F.col("text")).alias("sig")
+        )
+        .where(F.size(F.split(F.regexp_replace(F.lower(F.trim("text")), r"\s+", " "), " ")) >= 3)
+        .collect()
+    }
+    batch_sig = {
+        r.doc: [r[f"mh_{i}"] for i in range(64)]
+        for r in minhash_signatures(arrivals, "doc_id", "text").collect()
+    }
+    assert arr == batch_sig
+
+    src = str(tmp_path / "arrivals")
+    arrivals.write.parquet(src)
+    stream = spark.readStream.schema("doc_id long, text string").parquet(src)
+    out = run_to_memory(
+        neardup_against_corpus(stream, corpus), "t_neardup_corpus", "append"
+    )
+    got = sorted((r.doc_id, r.corpus_id, r.jaccard) for r in out.collect())
+
+    # batch formulation: band join + exact jaccard
+    import itertools
+
+    def bands_of(sig, bands=16, rows=4):
+        return [tuple(sig[b * rows : (b + 1) * rows]) for b in range(bands)]
+
+    corpus_sig = {
+        r.doc: [r[f"mh_{i}"] for i in range(64)]
+        for r in minhash_signatures(corpus, "doc_id", "text").collect()
+    }
+    sh_new = {r.doc: set(r.sh) for r in shingle_arrays(arrivals, "doc_id", "text").collect()}
+    sh_hist = {r.doc: set(r.sh) for r in shingle_arrays(corpus, "doc_id", "text").collect()}
+    want = []
+    for dn, dh in itertools.product(batch_sig, corpus_sig):
+        if any(
+            a == b for a, b in zip(bands_of(batch_sig[dn]), bands_of(corpus_sig[dh]))
+        ):
+            inter = len(sh_new[dn] & sh_hist[dh])
+            union = len(sh_new[dn] | sh_hist[dh])
+            if union and inter / union >= 0.7:
+                want.append((dn, dh, round(inter / union, 4)))
+    assert got == sorted(want)
+    assert len(got) > 0
