@@ -4466,23 +4466,32 @@ def cdc_apply_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "embedding_label_centroids",
     oracle="""
-    SELECT label,
-           dim - 1 AS dim,
-           CAST(count(*) AS BIGINT) AS n,
-           round(CAST(sum(CAST(round(CAST(x AS DOUBLE), 6) AS DECIMAL(18,6)))
-                      AS DOUBLE) / count(*), 6) AS centroid
-    FROM (SELECT label, unnest(embedding) AS x,
-                 generate_subscripts(embedding, 1) AS dim
-          FROM embeddings)
-    GROUP BY label, dim
+    WITH agg AS (
+      SELECT label,
+             dim - 1 AS dim,
+             CAST(count(*) AS BIGINT) AS n,
+             sum(CAST(round(CAST(x AS DOUBLE), 6) AS DECIMAL(18,6))) AS s
+      FROM (SELECT label, unnest(embedding) AS x,
+                   generate_subscripts(embedding, 1) AS dim
+            FROM embeddings)
+      GROUP BY label, dim
+    )
+    SELECT label, dim, n,
+           CAST((CASE WHEN s < 0 THEN -1 ELSE 1 END)
+                * ((2 * abs(CAST(s * 1000000 AS BIGINT)) + n) // (2 * n))
+                AS DOUBLE) / 1000000.0 AS centroid
+    FROM agg
     """,
     doc="Per-label embedding centroids (k-means M-step / class prototypes "
     "/ SemDeDup cluster centers) in long format: posexplode map-side, ONE "
     "shuffle on (label, dim) with full map-side partial aggregation. "
     "Components round to 6 dp then sum as exact DECIMAL — associative, so "
-    "partition-order-independent AND bit-identical to the SQL oracle "
-    "(raw float partials differ per run; float→decimal casts differ "
-    "between engines — round-then-cast is the portable form, measured).",
+    "partition-order-independent — and the MEAN is an exact integer "
+    "half-away-from-zero division in micro-units, so even EXACT ties are "
+    "bit-identical across engines (a double divide + round diverged at "
+    "sf0.1 on a true 3213.5-micro-unit tie; raw float partials differ "
+    "per run; float→decimal casts differ between engines — "
+    "round-then-cast is the portable form, measured).",
 )
 def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_cascalog_spark.operators.similarity import label_centroids

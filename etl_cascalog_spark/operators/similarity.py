@@ -452,6 +452,13 @@ def label_centroids(
     float straight to decimal differs between engines — round-then-cast is
     the portable form, measured).
 
+    The MEAN is likewise exact: sum and count convert to integer
+    micro-units and divide with explicit half-away-from-zero integer
+    rounding — a double divide + round would disagree between engines on
+    EXACT ties (observed at sf0.1: a 192-row sum of 0.616992 means
+    3213.5 micro-units exactly; Java HALF_UP and DuckDB landed on
+    opposite sides).
+
     100 TB shape: posexplode is map-side; the single shuffle keys on
     (label, dim) — |labels|·dim cells, uniform, with full map-side partial
     aggregation (each task emits one partial sum per cell, not per row).
@@ -470,9 +477,19 @@ def label_centroids(
             "label",
             "dim",
             "n",
-            F.round(F.col("s").cast("double") / F.col("n"), digits).alias(
-                "centroid"
-            ),
+            # exact integer mean in 10^-digits units, half away from zero:
+            # |u|*2 + n over 2n keeps every operand positive, so Spark's
+            # truncating div and SQL floor-div agree
+            (
+                (
+                    F.when(F.col("s") < 0, F.lit(-1)).otherwise(F.lit(1))
+                    * F.expr(
+                        f"(2 * abs(CAST(s * {10 ** digits} AS BIGINT)) + n)"
+                        " div (2 * n)"
+                    )
+                ).cast("double")
+                / F.lit(float(10 ** digits))
+            ).alias("centroid"),
         )
     )
 
