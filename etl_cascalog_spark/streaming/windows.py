@@ -19,7 +19,7 @@ dedup state window-bounded instead of unbounded-forever.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -273,8 +273,8 @@ def run_to_memory(stream_df: DataFrame, name: str, output_mode: str = "complete"
 
 
 def minhash_signature_array(
-    text: "F.Column", n: int = 3, num_hashes: int = 64, seed: int = 42
-) -> "F.Column":
+    text: Column, n: int = 3, num_hashes: int = 64, seed: int = 42
+) -> Column:
     """MinHash signature as ONE map-side array Column — bit-identical to
     the batch ``operators.dedup.minhash_signatures`` groupBy form (same
     base hash, same affine permutations; min over the distinct shingle
