@@ -82,8 +82,10 @@ def dround(col: F.Column, digits: int = 2) -> F.Column:
            CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2))), 2) AS DOUBLE) AS sum_base_price,
            CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))), 2) AS DOUBLE) AS sum_disc_price,
            CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2))) * (1 + CAST(l_tax AS DECIMAL(4,2)))), 2) AS DOUBLE) AS sum_charge,
-           CAST(round(CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / count(*), 2) AS DOUBLE) AS avg_qty,
-           CAST(round(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / count(*), 2) AS DOUBLE) AS avg_price,
+           CAST((2 * CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) * 100 AS BIGINT) + count(*))
+                // (2 * count(*)) AS DOUBLE) / 100.0 AS avg_qty,
+           CAST((2 * CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) * 100 AS BIGINT) + count(*))
+                // (2 * count(*)) AS DOUBLE) / 100.0 AS avg_price,
            count(*) AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '2000-12-01 00:00:00'
@@ -98,17 +100,38 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     price = money(F.col("l_extendedprice"))
     disc = money(F.col("l_discount"), "decimal(4,2)")
     tax = money(F.col("l_tax"), "decimal(4,2)")
+    # averages are exact integer half-away-from-zero divisions in cents
+    # (the rounding-tie lesson, SCALE.md): round(double/count) diverges
+    # between engines when the true mean is an exact .xx5 tie
+    def mean_cents_2dp(sum_col: str) -> F.Column:
+        return (
+            F.expr(
+                f"(2 * CAST({sum_col} * 100 AS BIGINT) + count_order)"
+                " div (2 * count_order)"
+            ).cast("double")
+            / F.lit(100.0)
+        )
+
     return (
         li.where(F.col("l_shipdate") <= F.lit("2000-12-01 00:00:00").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            dround(F.sum(qty)).alias("sum_qty"),
-            dround(F.sum(price)).alias("sum_base_price"),
+            F.sum(qty).alias("__sq"),
+            F.sum(price).alias("__sp"),
             dround(F.sum(price * (F.lit(1) - disc))).alias("sum_disc_price"),
             dround(F.sum(price * (F.lit(1) - disc) * (F.lit(1) + tax))).alias("sum_charge"),
-            dround(F.sum(qty).cast("double") / F.count("*")).alias("avg_qty"),
-            dround(F.sum(price).cast("double") / F.count("*")).alias("avg_price"),
             F.count("*").alias("count_order"),
+        )
+        .select(
+            "l_returnflag",
+            "l_linestatus",
+            dround(F.col("__sq")).alias("sum_qty"),
+            dround(F.col("__sp")).alias("sum_base_price"),
+            "sum_disc_price",
+            "sum_charge",
+            mean_cents_2dp("__sq").alias("avg_qty"),
+            mean_cents_2dp("__sp").alias("avg_price"),
+            "count_order",
         )
     )
 
@@ -4141,13 +4164,23 @@ def vocab_induction(spark: SparkSession, sf_dir: str) -> DataFrame:
                OVER (PARTITION BY grp) AS hi
       FROM ranked
     )
+    , clipped AS (
+      -- CASE, not least/greatest: DuckDB's greatest(DECIMAL, DECIMAL)
+      -- returns DOUBLE, which made the clip sum a parallel FLOAT sum —
+      -- nondeterministic across runs (observed .24/.25 flips at sf0.1)
+      SELECT grp,
+             CASE WHEN v < lo THEN lo WHEN v > hi THEN hi ELSE v END AS cv,
+             lo, hi
+      FROM bounds
+    )
     SELECT grp, CAST(count(*) AS BIGINT) AS n_rows,
            CAST(round(min(lo), 2) AS DOUBLE) AS p_lo_val,
            CAST(round(min(hi), 2) AS DOUBLE) AS p_hi_val,
-           CAST(round(sum(least(greatest(v, lo), hi)), 2) AS DOUBLE) AS clipped_sum,
-           round(CAST(sum(least(greatest(v, lo), hi)) AS DOUBLE) / count(*), 6)
+           CAST(round(sum(cv), 2) AS DOUBLE) AS clipped_sum,
+           CAST((2 * CAST(sum(cv) * 100 AS BIGINT)
+                 * 10000 + count(*)) // (2 * count(*)) AS DOUBLE) / 1000000.0
              AS clipped_avg
-    FROM bounds GROUP BY grp
+    FROM clipped GROUP BY grp
     """,
     doc="Per-group winsorization (quantile clipping) for outlier-robust "
     "features: clip price to the group's EXACT discrete [p05, p95] "
@@ -4173,8 +4206,13 @@ def winsorized_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         dround(F.col("p_lo_val")).alias("p_lo_val"),
         dround(F.col("p_hi_val")).alias("p_hi_val"),
         dround(F.col("clipped_sum")).alias("clipped_sum"),
-        F.round(
-            F.col("clipped_sum").cast("double") / F.col("n_rows"), 6
+        # exact integer half-away mean in micro-units (rounding-tie lesson)
+        (
+            F.expr(
+                "(2 * CAST(clipped_sum * 100 AS BIGINT) * 10000 + n_rows)"
+                " div (2 * n_rows)"
+            ).cast("double")
+            / F.lit(1000000.0)
         ).alias("clipped_avg"),
     )
 
@@ -6339,9 +6377,9 @@ def recursive_hierarchy_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(count(*) AS DOUBLE) AS n_orders,
              CAST(round(sum(CAST(o_totalprice AS DECIMAL(12,2))), 2) AS DOUBLE)
                AS revenue,
-             round(CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100
-                                 AS BIGINT)) AS DOUBLE)
-                   / 100 / count(*), 6) AS avg_price
+             CAST((2 * sum(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100
+                                AS BIGINT)) * 10000 + count(*))
+                  // (2 * count(*)) AS DOUBLE) / 1000000.0 AS avg_price
       FROM orders GROUP BY 1
     )
     SELECT prio, metric, val FROM wide
@@ -6361,12 +6399,13 @@ def unpivot_metrics_long(spark: SparkSession, sf_dir: str) -> DataFrame:
     wide = orders.groupBy(F.col("o_orderpriority").alias("prio")).agg(
         F.count("*").cast("double").alias("n_orders"),
         dround(F.sum(money(F.col("o_totalprice")))).alias("revenue"),
-        F.round(
-            F.sum((money(F.col("o_totalprice")) * 100).cast("long"))
-            .cast("double")
-            / 100
-            / F.count("*"),
-            6,
+        # exact integer half-away mean in micro-units (rounding-tie lesson)
+        (
+            F.expr(
+                "(2 * sum(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100"
+                " AS BIGINT)) * 10000 + count(*)) div (2 * count(*))"
+            ).cast("double")
+            / F.lit(1000000.0)
         ).alias("avg_price"),
     )
     return wide.unpivot(
