@@ -2896,9 +2896,12 @@ def binaryfile_image_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_cascalog_spark.operators.multimodal import decode_image
 
     rows = read_table(spark, sf_dir, "nation").select("n_nationkey").collect()
-    tag = sf_dir.rstrip("/").replace("/", "_").replace(".", "_")
-    d = os.path.join(tempfile.gettempdir(), f"etl_cascalog_binarytap_{tag}")
-    os.makedirs(d, exist_ok=True)
+    # Fresh per-run directory (mkdtemp): no stale *.ppm from a prior run
+    # with different contents can reach the glob, and a concurrent sweep
+    # can never observe a half-written file. LOCAL-FS ASSUMPTION: driver
+    # and executors share a filesystem here (true for local[N] bench); on
+    # a cluster the files would be staged to shared/object storage first.
+    d = tempfile.mkdtemp(prefix="etl_cascalog_binarytap_")
     for r in rows:
         k = r.n_nationkey
         rr, gg, bb = (k * 37) % 256, (k * 59) % 256, (k * 83) % 256
@@ -8582,6 +8585,12 @@ def k_anonymity_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 def window_rank_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     supp = read_table(spark, sf_dir, "supplier")
     band = F.floor(F.col("s_acctbal") / 1000).cast("long")
+    # SIZE BOUND: both windows are global (a total order is what rank
+    # semantics demand) but the input is the supplier DIMENSION — 10k
+    # rows/sf, broadcast-small at any realistic sf. The catalog-wide plan
+    # lint (plans/lint.py R2) verifies this stays dimension-only; ranking
+    # a FACT table goes through limit-first top-k (bm25_topk) or
+    # partitioned rank (top_n_per_group) instead.
     w = Window.orderBy(band.desc())
     wt = Window.orderBy(F.col("s_acctbal").desc(), F.col("s_suppkey"))
     return supp.select(
@@ -8697,8 +8706,11 @@ _BPE_REPR_SQL = _bpe_chain_sql("('|' || regexp_replace(word, '(.)', '\\1|', 'g')
     "bpe_encode_corpus",
     oracle=f"""
     WITH w AS (
+      -- whitespace-normalized before split: Python str.split() treats any
+      -- whitespace RUN (tabs/newlines included) as one delimiter, so the
+      -- oracle must too — corpus-independent equivalence, not fixture luck
       SELECT doc_id, i, words[i] AS word
-      FROM (SELECT doc_id, string_split(lower(text), ' ') AS words
+      FROM (SELECT doc_id, string_split({_NORM_SQL}, ' ') AS words
             FROM documents),
            UNNEST(range(1, len(words) + 1)) AS r(i)
       WHERE words[i] != ''

@@ -215,6 +215,82 @@ def jdbc_execute(
         conn.close()
 
 
+def _bind_prepared_param(jvm, stmt, idx: int, v) -> None:
+    """Bind one Python value to a PreparedStatement slot — the typed,
+    injection-proof alternative to driver-rendered literals. Strings go
+    through ``setString`` (the JDBC driver handles every quoting/escaping
+    dialect, including backslash-escaping backends like MySQL); non-finite
+    floats are rejected because no SQL dialect has a portable literal or
+    bind value for them in a key predicate."""
+    import datetime
+    import decimal
+    import math
+
+    if v is None:
+        # java.sql.Types.NULL = 0; setObject(i, null) is driver-dependent
+        stmt.setNull(idx, 0)
+    elif isinstance(v, bool):
+        stmt.setBoolean(idx, v)
+    elif isinstance(v, int):
+        stmt.setLong(idx, v)
+    elif isinstance(v, float):
+        if not math.isfinite(v):
+            raise ValueError(f"non-finite float {v!r} cannot be a JDBC bind value")
+        stmt.setDouble(idx, v)
+    elif isinstance(v, decimal.Decimal):
+        stmt.setBigDecimal(idx, jvm.java.math.BigDecimal(str(v)))
+    elif isinstance(v, datetime.datetime):
+        stmt.setTimestamp(idx, jvm.java.sql.Timestamp.valueOf(v.strftime("%Y-%m-%d %H:%M:%S.%f")))
+    elif isinstance(v, datetime.date):
+        stmt.setDate(idx, jvm.java.sql.Date.valueOf(v.isoformat()))
+    else:
+        stmt.setString(idx, str(v))
+
+
+def jdbc_execute_prepared(
+    spark: SparkSession,
+    url: str,
+    sql: str,
+    param_rows: list[tuple],
+    properties: dict[str, str] | None = None,
+    batch_size: int = 1000,
+) -> None:
+    """Parameterized DML through a JDBC ``PreparedStatement`` batch — the
+    safe path when DATA VALUES (not just config-controlled table/column
+    names) reach a driver-issued statement. ``sql`` carries ``?``
+    placeholders; ``param_rows`` is one tuple per execution. Batched with
+    ``addBatch``/``executeBatch`` every ``batch_size`` rows so a 100k-key
+    delete is a handful of round trips, not 100k.
+
+    Reference parity note: the reference interpolated values into SQL text
+    via clojure.java.jdbc (trgx.clj:118-119) — prepared binds are the
+    correct re-expression, not a divergence.
+    """
+    jvm = spark._jvm  # noqa: SLF001 - py4j bridge is the supported path here
+    props = jvm.java.util.Properties()
+    for k, v in (properties or {}).items():
+        props.setProperty(k, v)
+    conn = jvm.java.sql.DriverManager.getConnection(url, props)
+    try:
+        stmt = conn.prepareStatement(sql)
+        try:
+            pending = 0
+            for row in param_rows:
+                for i, v in enumerate(row, start=1):
+                    _bind_prepared_param(jvm, stmt, i, v)
+                stmt.addBatch()
+                pending += 1
+                if pending >= batch_size:
+                    stmt.executeBatch()
+                    pending = 0
+            if pending:
+                stmt.executeBatch()
+        finally:
+            stmt.close()
+    finally:
+        conn.close()
+
+
 def write_parquet(df: DataFrame, path: str, mode: str = "overwrite", partition_by: list[str] | None = None) -> None:
     """File sink (S7 family). ``partition_by`` gives partition pruning for
     downstream readers — the watermark/date columns of I1/I5 are the natural

@@ -944,7 +944,9 @@ def remove_duplicate_spans(
     with ``array_sort(collect_list(struct(pos, tok)))`` — the sort key
     makes reconstruction partition-order-independent, so the output is
     deterministic under any shuffle. Docs whose every token was removed
-    (or that had none) surface with empty ``clean_text``.
+    surface with empty ``clean_text`` (n_kept = 0); docs that had NO
+    tokens at all are omitted from the output (totals derives from the
+    tokenized frame, which has no row for a token-less doc).
     """
     toks = docs.select(
         F.col(id_col).alias("__id"),

@@ -41,12 +41,15 @@ def resample_interpolate_daily(
     # and the densify join — uncached, the caller's (often aggregated)
     # upstream lineage executes once per branch (the same double-execution
     # the packing prefix fix removed). Released by the callers'
-    # release_all_blocks epilogue. ≤ |keys × observed days| rows.
+    # scoped_storage epilogue. ≤ |keys × observed days| rows.
+    # cache=False lets a caller that already materialized `known` skip it.
     k = known.select(
         F.col(key_col).alias("key"),
         F.col(date_col).cast("date").alias("day"),
         F.col(value_col).cast("long").alias("v"),
-    ).cache()
+    )
+    if cache:
+        k = k.cache()
     # per-key daily spine: one row per key → sequence() explode, map-side
     # after the (tiny) min/max agg
     spine = (

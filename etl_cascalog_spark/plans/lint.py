@@ -1,0 +1,178 @@
+"""Structural physical-plan lint: the invariants every catalog query must hold.
+
+The per-query plan pins in the test suite (star join is 4×BHJ, spine join is
+BNLJ-on-spine, …) protect individual queries; this module protects the
+CATALOG — any future query automatically inherits three structural checks
+on its *static* physical plan (AQE disabled: runtime re-planning can only
+improve on the static plan, so linting the static plan is the conservative
+side — a tiny test SF must not let AQE's broadcast-conversion mask a plan
+that would SortMergeJoin at real scale):
+
+R1 **No CartesianProduct, ever.** The engine's only all-pairs-shaped
+   operators (date-spine attach, config broadcast) are BroadcastNestedLoop
+   against a broadcast-sized side by construction; a CartesianProduct node
+   means a join lost its keys and would be O(N·M) shuffle at 100 TB.
+
+R2 **No unpartitioned Window over unbounded fact-scale input.** A window
+   with an empty PARTITION BY forces every input row through ONE task
+   (Exchange SinglePartition) — the classic silent scale-killer. Allowed
+   only when the window's input is provably bounded: every leaf under it is
+   a dimension-table scan (region/nation/supplier — ≤10k rows·sf), a
+   literal/local scan, or the path is cut by a Limit-family node
+   (limit-first top-k, e.g. bm25's limit-before-rank); anything else needs
+   an entry in the caller's explicit allowlist naming WHY it is bounded
+   (e.g. the input is a ≤25-row aggregate of a fact table — invisible to
+   static attribution but bounded by group-key cardinality).
+
+R3 **No SortMergeJoin whose build side is purely dimensional.** If one side
+   of an SMJ reads only region/nation/supplier, that side fits in a
+   broadcast at ANY scale factor (dimensions grow with sf, but these stay
+   ≤10k·sf rows ≪ the 10 MB default threshold until sf≫100; the engine
+   broadcast-hints them explicitly) — an SMJ there means a lost broadcast
+   hint and a needless full shuffle of the fact side.
+
+Reference parity note: the reference had no optimizer at all (SURVEY §4.1 —
+every Cascalog job compiled to fixed MR stages); these invariants are the
+engine-side guarantee that Catalyst keeps choosing the plans the port was
+designed around.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+
+#: tables that stay broadcast-small at every realistic scale factor
+DIM_TABLES = frozenset({"region", "nation", "supplier"})
+
+#: plan nodes that bound the row count of everything above them
+_LIMIT_NODES = frozenset(
+    {
+        "GlobalLimitExec",
+        "LocalLimitExec",
+        "TakeOrderedAndProjectExec",
+        "CollectLimitExec",
+        "WindowGroupLimitExec",  # rank-pushdown: emits ≤ k rows per group
+    }
+)
+
+#: leaf nodes that are driver-literal / local and therefore tiny
+_LOCAL_LEAVES = frozenset({"LocalTableScanExec", "RDDScanExec", "EmptyRelationExec"})
+
+_WINDOW_NODES = frozenset({"WindowExec", "WindowInPandasExec"})
+
+_PARQUET_TABLE = re.compile(r"(\w+)\.parquet")
+
+
+def _children(node) -> list:
+    seq = node.children()
+    return [seq.apply(i) for i in range(seq.size())]
+
+
+def _cls(node) -> str:
+    return node.getClass().getSimpleName()
+
+
+@dataclass
+class PlanReport:
+    """Lint findings for one query plan."""
+
+    cartesian: int = 0
+    #: (scan-attribution, …) per unpartitioned window that is NOT
+    #: provably bounded — empty means R2 holds structurally
+    unbounded_global_windows: list[str] = field(default_factory=list)
+    #: table-sets of SMJ sides that are purely dimensional
+    dim_side_smj: list[str] = field(default_factory=list)
+
+    def ok(self) -> bool:
+        return (
+            self.cartesian == 0
+            and not self.unbounded_global_windows
+            and not self.dim_side_smj
+        )
+
+
+def _subtree_tables(node) -> tuple[set[str], bool, bool]:
+    """(parquet tables scanned, saw_limit_cut_everything, saw_unknown_leaf)
+    for the subtree under ``node``, NOT descending past limit nodes."""
+    cls = _cls(node)
+    if cls in _LIMIT_NODES:
+        return set(), True, False
+    if cls in _LOCAL_LEAVES:
+        return set(), False, False
+    kids = _children(node)
+    if not kids:
+        if cls == "FileSourceScanExec":
+            m = _PARQUET_TABLE.search(node.toString())
+            if m:
+                return {m.group(1)}, False, False
+            return set(), False, True
+        if cls == "ReusedExchangeExec":
+            # points at an exchange linted elsewhere in the same tree
+            return set(), False, False
+        # InMemoryTableScan, BatchScan (python datasource), jdbc relation …
+        # — cannot attribute statically
+        return set(), False, True
+    tables: set[str] = set()
+    unknown = False
+    for k in kids:
+        t, _, u = _subtree_tables(k)
+        tables |= t
+        unknown |= u
+    return tables, False, unknown
+
+
+def _window_is_bounded(node) -> tuple[bool, str]:
+    """An unpartitioned window is structurally bounded iff every leaf under
+    it is a dim scan / local scan, or is cut off by a limit node."""
+    tables, _, unknown = _subtree_tables_no_root_limit(node)
+    if unknown:
+        return False, "unattributable input (cached/jdbc/python-source leaf)"
+    bad = tables - DIM_TABLES
+    if bad:
+        return False, f"fact-scale tables under global window: {sorted(bad)}"
+    return True, ""
+
+
+def _subtree_tables_no_root_limit(node):
+    # the window node itself is never a limit; just recurse children
+    tables: set[str] = set()
+    unknown = False
+    for k in _children(node):
+        t, _, u = _subtree_tables(k)
+        tables |= t
+        unknown |= u
+    return tables, False, unknown
+
+
+def lint_plan(df: DataFrame) -> PlanReport:
+    """Walk the static physical plan of ``df`` and apply R1–R3.
+
+    Caller must have AQE disabled on the session for the plan to be the
+    static one (``spark.sql.adaptive.enabled=false``).
+    """
+    plan = df._jdf.queryExecution().executedPlan()  # noqa: SLF001
+    rep = PlanReport()
+
+    def walk(node):
+        cls = _cls(node)
+        if cls == "CartesianProductExec":
+            rep.cartesian += 1
+        elif cls in _WINDOW_NODES and node.partitionSpec().size() == 0:
+            ok, why = _window_is_bounded(node)
+            if not ok:
+                rep.unbounded_global_windows.append(why)
+        elif cls == "SortMergeJoinExec":
+            for side in _children(node):
+                tables, _, unknown = _subtree_tables(side)
+                if tables and not unknown and tables <= DIM_TABLES:
+                    rep.dim_side_smj.append(
+                        f"SMJ side reads only {sorted(tables)} — should broadcast"
+                    )
+        for k in _children(node):
+            walk(k)
+
+    walk(plan)
+    return rep

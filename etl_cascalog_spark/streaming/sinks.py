@@ -78,19 +78,6 @@ def idempotent_upsert_sink(path: str, key_cols: list[str], ledger_dir: str):
     return sink
 
 
-def _sql_literal(v) -> str:
-    """Render a key value as a SQL literal (driver-side DELETE path of the
-    JDBC upsert sink). Strings/dates quote with '' doubling; numerics and
-    booleans render bare; None renders as NULL (though NULL keys should
-    not reach an upsert key set)."""
-    if v is None:
-        return "NULL"
-    if isinstance(v, bool):
-        return "TRUE" if v else "FALSE"
-    if isinstance(v, (int, float)):
-        return repr(v)
-    s = str(v).replace("'", "''")
-    return f"'{s}'"
 
 
 def idempotent_jdbc_upsert_sink(
@@ -116,13 +103,19 @@ def idempotent_jdbc_upsert_sink(
     re-inserts the same rows. The ledger marker, written only after a
     complete append, short-circuits clean re-deliveries.
 
-    Scale: the DELETE key list is driver-rendered SQL, so batch key
-    volume is guarded by ``max_batch_keys`` (raises BEFORE collecting
-    more) — microbatches are bounded by trigger sizing at any scale. On a
+    Injection safety: key VALUES never touch SQL text — the DELETE is a
+    single ``?``-placeholder statement executed as a PreparedStatement
+    batch (:func:`io.jdbc_execute_prepared`), so quoting/escaping is the
+    JDBC driver's job on every dialect (backslash-escaping backends
+    included) and non-finite floats are rejected at bind time.
+
+    Scale: the DELETE key list is driver-collected, so batch key volume is
+    guarded by ``max_batch_keys`` (raises BEFORE collecting more) —
+    microbatches are bounded by trigger sizing at any scale. On a
     warehouse-grade sink, swap the delete+append pair for a staged MERGE;
     the ledger and re-delivery reasoning carry over unchanged.
     """
-    from etl_cascalog_spark.io import jdbc_append, jdbc_execute
+    from etl_cascalog_spark.io import jdbc_append, jdbc_execute_prepared
 
     os.makedirs(ledger_dir, exist_ok=True)
 
@@ -140,22 +133,17 @@ def idempotent_jdbc_upsert_sink(
             )
         keys = guard
         if keys:
-            in_chunks = [keys[i : i + 500] for i in range(0, len(keys), 500)]
-            for chunk in in_chunks:
-                preds = [
-                    "("
-                    + " AND ".join(
-                        f"{c} = {_sql_literal(getattr(r, c))}" for c in key_cols
-                    )
-                    + ")"
-                    for r in chunk
-                ]
-                jdbc_execute(
-                    spark,
-                    url,
-                    f"DELETE FROM {table} WHERE " + " OR ".join(preds),
-                    properties,
-                )
+            delete_sql = (
+                f"DELETE FROM {table} WHERE "
+                + " AND ".join(f"{c} = ?" for c in key_cols)
+            )
+            jdbc_execute_prepared(
+                spark,
+                url,
+                delete_sql,
+                [tuple(getattr(r, c) for c in key_cols) for r in keys],
+                properties,
+            )
             jdbc_append(batch, url, table, properties)
         with open(marker, "w"):
             pass

@@ -1,0 +1,112 @@
+"""Catalog-wide structural plan lint (VERDICT r4 #1).
+
+Every query in the catalog — and every FUTURE query anyone registers — must
+hold three physical-plan invariants on its STATIC plan (AQE off, so a tiny
+test SF cannot mask a shape that only AQE's runtime broadcast-conversion
+would fix):
+
+  R1  no CartesianProduct anywhere;
+  R2  no unpartitioned Window over unbounded fact-scale input;
+  R3  no SortMergeJoin whose one side reads only broadcast-small dims.
+
+R2/R3 exceptions are named HERE with the reason the shape is bounded or
+intended — an unexplained new violation fails the suite. This converts the
+per-query plan pins (test_operators) into a catalog invariant.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from etl_cascalog_spark.catalog import QUERIES
+from etl_cascalog_spark.plans.lint import lint_plan
+from etl_cascalog_spark.session import release_all_blocks
+
+SF = "/root/testdata/sf0.001"
+
+#: queries allowed an unpartitioned Window whose boundedness static scan
+#: attribution cannot see (each input is a small AGGREGATE of a fact scan,
+#: or sits behind a cache boundary). Keyed by query name → why bounded.
+GLOBAL_WINDOW_OK = {
+    "drift_binned_ks": "window input is the ≤100-row bin aggregate "
+    "(bin = least(floor(price/6000), 99) — hard cap in the binning expr)",
+    "fs_linkage_scores": "window input is the 2^3-row agreement-pattern "
+    "aggregate (three booleans group to ≤8 rows at any scale)",
+    "id_gap_audit": "window input is one row per 65536-id bucket "
+    "(65536× reduction; ~2M metadata rows even at 150B orders)",
+    "order_interval_concurrency": "window input is one row per calendar "
+    "day (bounded by the date domain, not the fact row count)",
+    "sequence_packing_offsets": "bucket-list prefix window of the "
+    "documented distributed prefix-sum (corpus/4096 rows; "
+    "text.global_token_offsets step 3)",
+    "training_data_pipeline": "same bucket-list prefix window via "
+    "global_token_offsets inside the pipeline",
+}
+
+#: queries allowed a SortMergeJoin on a dim-only side — the dim table is a
+#: STAND-IN for a production fact-scale input, so SMJ is the intended shape.
+DIM_SMJ_OK = {
+    "ods_merge_pipeline": "stg/ods full-outer merge: both sides are "
+    "production fact-scale tables (supplier only stands in at test SF); "
+    "a broadcast would be wrong at real scale",
+}
+
+
+@pytest.fixture(scope="module")
+def lint_reports(spark):
+    """One pass: build every catalog query with AQE off, lint, restore."""
+    prior = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    reports = {}
+    try:
+        for name in sorted(QUERIES):
+            reports[name] = lint_plan(QUERIES[name].build(spark, SF))
+            release_all_blocks(spark)
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", prior)
+    return reports
+
+
+def test_no_cartesian_product_anywhere(lint_reports):
+    bad = {n: r.cartesian for n, r in lint_reports.items() if r.cartesian}
+    assert not bad, f"CartesianProduct in static plans: {bad}"
+
+
+def test_no_unbounded_global_window(lint_reports):
+    bad = {
+        n: r.unbounded_global_windows
+        for n, r in lint_reports.items()
+        if r.unbounded_global_windows and n not in GLOBAL_WINDOW_OK
+    }
+    assert not bad, (
+        "unpartitioned Window over unbounded input (add to GLOBAL_WINDOW_OK "
+        f"ONLY with a boundedness argument): {bad}"
+    )
+
+
+def test_no_dim_side_sort_merge_join(lint_reports):
+    bad = {
+        n: r.dim_side_smj
+        for n, r in lint_reports.items()
+        if r.dim_side_smj and n not in DIM_SMJ_OK
+    }
+    assert not bad, (
+        "SortMergeJoin with a broadcast-small dim side (add to DIM_SMJ_OK "
+        f"ONLY when the dim stands in for a fact-scale input): {bad}"
+    )
+
+
+def test_allowlists_reference_live_flagged_queries(lint_reports):
+    """Allowlist hygiene: every entry must name a query that exists AND
+    still trips the lint — a stale entry means the shape was fixed and the
+    exemption should go."""
+    for name in GLOBAL_WINDOW_OK:
+        assert name in QUERIES, f"GLOBAL_WINDOW_OK names unknown query {name}"
+        assert lint_reports[name].unbounded_global_windows, (
+            f"{name} no longer has a global window — remove from allowlist"
+        )
+    for name in DIM_SMJ_OK:
+        assert name in QUERIES, f"DIM_SMJ_OK names unknown query {name}"
+        assert lint_reports[name].dim_side_smj, (
+            f"{name} no longer has a dim-side SMJ — remove from allowlist"
+        )
