@@ -599,3 +599,66 @@ def test_binaryfile_wholefile_roundtrip(spark, tmp_path):
     }
     for i, (r, g, b, w, h) in params.items():
         assert feats[i] == (w, h, 255)
+
+
+def test_delete_using_range_derby_rewrite(spark):
+    """Derby twin of the raw DELETE … USING reload guard (mlin:181-184):
+    Derby has no USING, so dialects.render_delete_using_range_derby
+    rewrites the same predicate as EXISTS — verified to delete exactly the
+    rows the PG-native statement deletes in test_pg_dialect."""
+    from etl_cascalog_spark.dialects import render_delete_using_range_derby
+    from etl_cascalog_spark.io import jdbc_execute, jdbc_read
+
+    url = "jdbc:derby:memory:etl_using_rng;create=true"
+    props = {"driver": "org.apache.derby.jdbc.EmbeddedDriver"}
+    jdbc_execute(spark, url, "CREATE TABLE tgt (dw_dt CHAR(10), k INT)")
+    jdbc_execute(
+        spark,
+        url,
+        "CREATE TABLE rng (dw_start_dt CHAR(10), dw_end_dt CHAR(10), dw_in_use CHAR(1))",
+    )
+    for dt, k in [("2016-01-05", 1), ("2016-01-20", 2), ("2016-02-05", 3)]:
+        jdbc_execute(spark, url, f"INSERT INTO tgt VALUES ('{dt}', {k})")
+    jdbc_execute(spark, url, "INSERT INTO rng VALUES ('2016-01-01', '2016-01-31', '1')")
+    jdbc_execute(spark, url, "INSERT INTO rng VALUES ('2016-02-01', '2016-02-28', '0')")
+    jdbc_execute(spark, url, render_delete_using_range_derby("tgt", "rng"))
+    # active January range deletes ks 1,2; inactive February range spares k 3
+    remaining = jdbc_read(spark, url, "tgt", props).select(F.col("k").alias("k"))
+    assert [r.k for r in remaining.collect()] == [3]  # Derby uppercases ids; F.col is case-insensitive
+
+
+def test_jdbc_execute_prepared_binds_hostile_values(spark):
+    """The PreparedStatement batch path (streaming JDBC upsert DELETE):
+    values containing quotes and backslashes pass through as DATA — no
+    driver-rendered literal can be broken or injected — and non-finite
+    floats are rejected at bind time."""
+    import pytest as _pytest
+
+    from etl_cascalog_spark.io import jdbc_execute, jdbc_execute_prepared, jdbc_read
+
+    url = "jdbc:derby:memory:etl_prepared;create=true"
+    props = {"driver": "org.apache.derby.jdbc.EmbeddedDriver"}
+    jdbc_execute(spark, url, "CREATE TABLE kv (k VARCHAR(64), v INT)")
+    hostile = ["plain", "o'brien", "back\\slash", "x'; DELETE FROM kv; --"]
+    jdbc_execute_prepared(
+        spark,
+        url,
+        "INSERT INTO kv VALUES (?, ?)",
+        [(k, i) for i, k in enumerate(hostile)],
+    )
+    def _kv(df):
+        return df.select(F.col("k").alias("k"), F.col("v").alias("v"))
+
+    back = {r.k: r.v for r in _kv(jdbc_read(spark, url, "kv", props)).collect()}
+    assert back == {k: i for i, k in enumerate(hostile)}
+    jdbc_execute_prepared(
+        spark, url, "DELETE FROM kv WHERE k = ?", [("o'brien",), ("back\\slash",)]
+    )
+    assert sorted(r.k for r in _kv(jdbc_read(spark, url, "kv", props)).collect()) == [
+        "plain",
+        "x'; DELETE FROM kv; --",
+    ]
+    with _pytest.raises(ValueError, match="non-finite"):
+        jdbc_execute_prepared(
+            spark, url, "DELETE FROM kv WHERE v = ?", [(float("nan"),)]
+        )
