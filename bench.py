@@ -49,8 +49,9 @@ def main() -> None:
     from pyspark.sql import Observation
     from pyspark.sql import functions as F
 
-    timings: dict[str, float] = {}
-    for name in sorted(QUERIES):
+    run_seq = [0]
+
+    def run_once(name: str) -> float:
         t0 = time.perf_counter()
         # queries are independent jobs (the reference ran each report in its
         # own JVM): every cache / localCheckpoint block a query creates dies
@@ -58,13 +59,31 @@ def main() -> None:
         # major-GC stall mid-sweep) made structural instead of conventional.
         with scoped_storage(spark):
             df = QUERIES[name].build(spark, sf_dir)
-            obs = Observation(f"rows_{name}")
+            run_seq[0] += 1
+            obs = Observation(f"rows_{name}_{run_seq[0]}")
             df.observe(obs, F.count(F.lit(1)).alias("n")).write.format(
                 "noop"
             ).mode("overwrite").save()
             n = obs.get["n"]
-        timings[name] = round(time.perf_counter() - t0, 3)
-        print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
+        wall = round(time.perf_counter() - t0, 3)
+        print(f"# {name}: {wall:.3f}s ({n} rows)", file=sys.stderr)
+        return wall
+
+    timings: dict[str, float] = {}
+    for name in sorted(QUERIES):
+        timings[name] = run_once(name)
+
+    # Median-of-3 for the heavy tail: on a co-tenant host single samples of
+    # the longest queries swing 2x (GC pause, page-cache eviction, noisy
+    # neighbor) — exactly the queries whose round-over-round ratios the
+    # comparison weighs most. Re-run the top-10 by first-pass wall twice
+    # more and record the per-query MEDIAN; sub-second queries keep their
+    # single sample (their absolute noise is irrelevant to the total).
+    heavy = sorted(timings, key=timings.get, reverse=True)[:10]
+    for name in heavy:
+        samples = [timings[name], run_once(name), run_once(name)]
+        timings[name] = sorted(samples)[1]
+        print(f"# {name}: median {timings[name]:.3f}s of {samples}", file=sys.stderr)
 
     release_all_blocks(spark)  # sweep epilogue: also clears SQL-cache metadata
     total = round(sum(timings.values()), 3)

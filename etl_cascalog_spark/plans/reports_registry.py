@@ -487,14 +487,20 @@ def _trgx_compared(spark, df, spine) -> DataFrame:
     )
 
 
-def _build_trgx(spark, name, spec: TrgxReference, df, spine, skeleton) -> DataFrame:
+def _build_trgx(
+    spark, name, spec: TrgxReference, df, spine, skeleton, precomputed=None
+) -> DataFrame:
     skel, sdf = _trgx_skeleton_frame(spark, spec, skeleton)
     max_depth = max(len(p) for p, _ in skeleton_paths(skel))
     conf = lambda k: F.element_at(F.col("conf"), k)  # noqa: E731
 
     if spec.kind == "tree":
         if spec.sliding:
-            compared = _trgx_compared(spark, df, spine)
+            compared = (
+                precomputed
+                if precomputed is not None
+                else _trgx_compared(spark, df, spine)
+            )
             group = ["dw_dt", *("bg", "bottler", "bg_sort", "bottler_sort")]
             node_metrics = metrics_json(
                 {
@@ -558,7 +564,9 @@ def _build_trgx(spark, name, spec: TrgxReference, df, spine, skeleton) -> DataFr
         dw = F.lit(spec.snapshot_dt) if spec.snapshot_dt else F.col("dw_dt")
         return _sink_select(spec, name, tree, _selector_json(spec, sel), dw)
 
-    compared = _trgx_compared(spark, df, spine)
+    compared = (
+        precomputed if precomputed is not None else _trgx_compared(spark, df, spine)
+    )
     attached = attach_kv(compared, sdf, "__id")
 
     if spec.kind == "leaf_nodes":
@@ -1108,11 +1116,14 @@ def build_reference_report(
     source_df: DataFrame,
     spine: tuple[str, str] | None = None,
     skeleton: dict | None = None,
+    compared: DataFrame | None = None,
 ) -> DataFrame:
     """Run registry report ``name`` over a FIXTURES-schema source frame.
     Sliding/button/trgx jobs need ``spine``; trgx jobs need the config
     ``skeleton`` (the reference fetched it from conf.trgx_cocacola at plan
-    time, trgx.clj:198-201)."""
+    time, trgx.clj:198-201). ``compared`` (trgx jobs only) supplies a
+    precomputed :func:`trgx_compared_frame` — the shared-pivot fusion path
+    of :func:`build_trgx_reports_shared`."""
     spec = REPORTS[name]
     if isinstance(spec, ReferenceReport):
         return _build_sliding_normalized(spark, name, spec, spec.prepare(source_df), spine)
@@ -1123,8 +1134,46 @@ def build_reference_report(
     if isinstance(spec, TrgxReference):
         if skeleton is None:
             raise ValueError(f"report {name!r} needs the config skeleton")
-        return _build_trgx(spark, name, spec, source_df, spine, skeleton)
+        return _build_trgx(spark, name, spec, source_df, spine, skeleton, compared)
     raise KeyError(name)
+
+
+def trgx_compared_frame(spark: SparkSession, source_df: DataFrame,
+                        spine: tuple[str, str]) -> DataFrame:
+    """The comparison pass EVERY sliding trgx report shares (identical
+    dims/date/value/spine — ``_TRGX_DIMS`` is fixed by the score tap's
+    collect-kv group, m_cocacola_score_period.clj:45-48). Compute it once,
+    cache it, and feed N reports via ``build_reference_report(...,
+    compared=...)`` — the repeated-pivot fusion SURVEY §4.2/§7 deferred.
+
+    The reference ran each report as its own Hadoop job, so the pivot ran
+    once PER JOB over the full source (cascalog.sh:37-119); fused, the
+    scan + 4-way join + pivot + spine-lag window run once per FAMILY.
+    """
+    return _trgx_compared(spark, source_df, spine)
+
+
+def build_trgx_reports_shared(
+    spark: SparkSession,
+    source_df: DataFrame,
+    names: Sequence[str],
+    spine: tuple[str, str],
+    skeleton: dict,
+    cache: bool = True,
+) -> dict[str, DataFrame]:
+    """Build several sliding trgx reports off ONE shared comparison frame.
+    With ``cache=True`` the shared frame is ``.cache()``'d — wrap the
+    consuming evaluation in ``session.scoped_storage`` so the blocks die
+    with the job (the engine-wide storage lifecycle convention)."""
+    shared = trgx_compared_frame(spark, source_df, spine)
+    if cache:
+        shared = shared.cache()
+    return {
+        n: build_reference_report(
+            spark, n, source_df, spine, skeleton, compared=shared
+        )
+        for n in names
+    }
 
 
 def _build_sliding_normalized(spark, name, spec, prepared, spine) -> DataFrame:

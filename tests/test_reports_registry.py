@@ -468,3 +468,35 @@ def test_sovi_brand_others_multi_market_golden():
         ("CityY", "KO"): 40.0,
         ("CityY", "Others"): 60.0,
     }
+
+
+# --- shared-pivot fusion (SURVEY §4.2 deferred item, measured r5) ----------
+
+
+def test_trgx_shared_pivot_matches_separate_builds(spark):
+    """build_trgx_reports_shared computes the family's comparison pass ONCE
+    (the reference re-ran scan+pivot per serial Hadoop job) — every
+    report's rows must be IDENTICAL to its independently-built twin.
+    Measured speedup at sf0.1: 1.18x median over the 5-report family
+    (tools/pivot_fusion_bench.py; SCALE.md 'Repeated-pivot fusion')."""
+    from etl_cascalog_spark.plans.reports_registry import (
+        build_reference_report,
+        build_trgx_reports_shared,
+    )
+    from etl_cascalog_spark.session import scoped_storage
+
+    family = ["score_period", "score_opportunity",
+              "score_channel_metrics_opportunity"]
+    src = _score_df(spark)
+    with scoped_storage(spark):
+        shared = build_trgx_reports_shared(
+            spark, src, family, SPINE, TRGX_TEST_SKELETON
+        )
+        for name in family:
+            solo = build_reference_report(
+                spark, name, src, SPINE, skeleton=TRGX_TEST_SKELETON
+            )
+            got = sorted(map(tuple, shared[name].collect()))
+            want = sorted(map(tuple, solo.collect()))
+            assert got == want, f"{name}: fused output diverges"
+            assert len(got) > 0, f"{name}: empty report"
