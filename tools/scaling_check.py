@@ -35,29 +35,46 @@ HEADLINE = [
     "pagerank_copurchase",
 ]
 
+#: default three driver-shipped decades; pass extra dirs as argv to extend
+#: (e.g. the gen_sf1.py-derived /tmp/etl_sf1 for a FOURTH decade)
 SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"]
 
 
 def main() -> None:
+    sfs = sys.argv[1:] if len(sys.argv) > 1 else SFS
+    labels = [p.rstrip("/").rsplit("/", 1)[-1] for p in sfs]
     spark = get_spark("scaling_check")
     spark.range(1_000_000).selectExpr("sum(id)").collect()  # JIT warm-up
     out: dict[str, dict[str, float]] = {}
     for name in HEADLINE:
         out[name] = {}
-        for sf in SFS:
-            t0 = time.perf_counter()
-            with scoped_storage(spark):
-                QUERIES[name].build(spark, sf).write.format("noop").mode(
-                    "overwrite"
-                ).save()
-            out[name][sf.rsplit("sf", 1)[-1]] = round(time.perf_counter() - t0, 3)
-    print(f"{'query':32s} {'sf.001':>8s} {'sf.01':>8s} {'sf.1':>8s} "
-          f"{'x(.01/.001)':>12s} {'x(.1/.01)':>10s}", file=sys.stderr)
+        for sf, label in zip(sfs, labels):
+            # best-of-2: the first touch of a NEW sf dir pays cold parquet
+            # page-cache + larger-shuffle JIT that has nothing to do with
+            # the operator's work growth (measured: simhash at sf1 12.8 s
+            # cold vs 3.5 s warm) — the scaling RATIO must compare warm work
+            best = None
+            for _ in range(2):
+                t0 = time.perf_counter()
+                with scoped_storage(spark):
+                    QUERIES[name].build(spark, sf).write.format("noop").mode(
+                        "overwrite"
+                    ).save()
+                dt = time.perf_counter() - t0
+                best = dt if best is None else min(best, dt)
+            out[name][label] = round(best, 3)
+    hdr = "".join(f"{lb:>12s}" for lb in labels) + "".join(
+        f"{'x(' + labels[i + 1] + '/' + labels[i] + ')':>22s}"
+        for i in range(len(labels) - 1)
+    )
+    print(f"{'query':32s}{hdr}", file=sys.stderr)
     for name, t in out.items():
-        r1 = t["0.01"] / max(t["0.001"], 1e-9)
-        r2 = t["0.1"] / max(t["0.01"], 1e-9)
-        print(f"{name:32s} {t['0.001']:8.2f} {t['0.01']:8.2f} {t['0.1']:8.2f} "
-              f"{r1:12.2f} {r2:10.2f}", file=sys.stderr)
+        vals = "".join(f"{t[lb]:12.2f}" for lb in labels)
+        ratios = "".join(
+            f"{t[labels[i + 1]] / max(t[labels[i]], 1e-9):22.2f}"
+            for i in range(len(labels) - 1)
+        )
+        print(f"{name:32s}{vals}{ratios}", file=sys.stderr)
     sys.stdout.write(json.dumps({"scaling": out}) + "\n")
     spark.stop()
 
