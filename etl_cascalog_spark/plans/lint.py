@@ -85,6 +85,14 @@ class PlanReport:
     unbounded_global_windows: list[str] = field(default_factory=list)
     #: table-sets of SMJ sides that are purely dimensional
     dim_side_smj: list[str] = field(default_factory=list)
+    #: plan fingerprint: node counts in the static tree (cached subtrees
+    #: end at their InMemoryTableScan, ReusedExchange counts as reuse, so
+    #: these are real-work counts, not plan-string reprints)
+    n_shuffle_exchange: int = 0
+    n_broadcast_exchange: int = 0
+    n_sort_merge_join: int = 0
+    n_broadcast_hash_join: int = 0
+    n_bnl_join: int = 0
 
     def ok(self) -> bool:
         return (
@@ -92,6 +100,19 @@ class PlanReport:
             and not self.unbounded_global_windows
             and not self.dim_side_smj
         )
+
+    def fingerprint(self) -> dict[str, int]:
+        """The shape counts pinned by ``PLAN_PINS.json`` — a regression
+        ratchet: any future edit that adds a shuffle, loses a broadcast,
+        or degrades a BHJ to SMJ changes this dict and fails the pin test
+        until the new shape is reviewed and re-pinned."""
+        return {
+            "shuffle": self.n_shuffle_exchange,
+            "broadcast": self.n_broadcast_exchange,
+            "smj": self.n_sort_merge_join,
+            "bhj": self.n_broadcast_hash_join,
+            "bnlj": self.n_bnl_join,
+        }
 
 
 def _subtree_tables(node) -> tuple[set[str], bool, bool]:
@@ -158,6 +179,16 @@ def lint_plan(df: DataFrame) -> PlanReport:
 
     def walk(node):
         cls = _cls(node)
+        if cls == "ShuffleExchangeExec":
+            rep.n_shuffle_exchange += 1
+        elif cls == "BroadcastExchangeExec":
+            rep.n_broadcast_exchange += 1
+        elif cls == "BroadcastHashJoinExec":
+            rep.n_broadcast_hash_join += 1
+        elif cls == "BroadcastNestedLoopJoinExec":
+            rep.n_bnl_join += 1
+        if cls == "SortMergeJoinExec":
+            rep.n_sort_merge_join += 1
         if cls == "CartesianProductExec":
             rep.cartesian += 1
         elif cls in _WINDOW_NODES and node.partitionSpec().size() == 0:

@@ -16,6 +16,9 @@ per-query plan pins (test_operators) into a catalog invariant.
 
 from __future__ import annotations
 
+import json
+from pathlib import Path
+
 import pytest
 
 from etl_cascalog_spark.catalog import QUERIES
@@ -23,6 +26,7 @@ from etl_cascalog_spark.plans.lint import lint_plan
 from etl_cascalog_spark.session import release_all_blocks
 
 SF = "/root/testdata/sf0.001"
+PINS_PATH = Path(__file__).resolve().parent.parent / "PLAN_PINS.json"
 
 #: queries allowed an unpartitioned Window whose boundedness static scan
 #: attribution cannot see (each input is a small AGGREGATE of a fact scan,
@@ -93,6 +97,27 @@ def test_no_dim_side_sort_merge_join(lint_reports):
     assert not bad, (
         "SortMergeJoin with a broadcast-small dim side (add to DIM_SMJ_OK "
         f"ONLY when the dim stands in for a fact-scale input): {bad}"
+    )
+
+
+def test_plan_fingerprints_match_pins(lint_reports):
+    """Quantitative plan ratchet: every query's static-plan shape counts
+    (shuffles, broadcasts, join-strategy mix) must equal the committed pin
+    in ``PLAN_PINS.json``. A diff means an edit changed a physical plan —
+    added a shuffle, lost a broadcast, degraded a BHJ to SMJ — or
+    genuinely improved one. Review the new shape, then re-pin with
+    ``python tools/plan_pin.py --write`` so the change is a recorded
+    decision, never silent drift."""
+    want = json.loads(PINS_PATH.read_text())
+    got = {n: r.fingerprint() for n, r in lint_reports.items()}
+    diffs = {
+        n: {"pinned": want.get(n), "current": got.get(n)}
+        for n in sorted(set(got) | set(want))
+        if want.get(n) != got.get(n)
+    }
+    assert not diffs, (
+        "plan fingerprints drifted from PLAN_PINS.json (review, then "
+        f"`python tools/plan_pin.py --write`): {json.dumps(diffs, indent=1)}"
     )
 
 
