@@ -21,6 +21,7 @@ Execution taps (S4/S5/S6): Cascalog's ``stdout`` tap / ``??-`` collect /
 from __future__ import annotations
 
 import os
+import re
 import shutil
 import tempfile
 
@@ -178,10 +179,27 @@ def render_truncate(table: str) -> str:
     return f"TRUNCATE TABLE {table}"
 
 
+#: date / datetime literal shapes accepted by render_delete_range — the
+#: bounds are interpolated into driver-rendered SQL, so anything that is
+#: not plainly a date must be rejected before it can reach the statement
+_DT_LITERAL = re.compile(r"^\d{4}-\d{2}-\d{2}([ T]\d{2}:\d{2}:\d{2}(\.\d{1,6})?)?$")
+
+
 def render_delete_range(table: str, date_col: str, start_dt: str, end_dt: str) -> str:
     """S9/S13 ranged DELETE before re-append — the idempotent-reload
     primitive (``detele-report!`` trgx.clj:118-119; raw ``DELETE … USING
-    rng`` mlin/d_bolome_user_order.clj:181-184)."""
+    rng`` mlin/d_bolome_user_order.clj:181-184).
+
+    The bounds are pipeline config (the reference hard-coded them per
+    job), but they are interpolated into SQL — so they must parse as
+    date/datetime literals; any other shape raises rather than renders.
+    """
+    for v in (start_dt, end_dt):
+        if not _DT_LITERAL.match(v):
+            raise ValueError(
+                f"render_delete_range: bound {v!r} is not a date/datetime "
+                "literal (YYYY-MM-DD[ HH:MM:SS[.ffffff]])"
+            )
     return (
         f"DELETE FROM {table} WHERE {date_col} >= '{start_dt}' "
         f"AND {date_col} <= '{end_dt}'"

@@ -116,6 +116,26 @@ def test_ddl_rendering():
         render_delete_range("ms.report", "dw_dt", "2017-01-01", "2017-03-31")
         == "DELETE FROM ms.report WHERE dw_dt >= '2017-01-01' AND dw_dt <= '2017-03-31'"
     )
+    # datetime bounds with fractional seconds are accepted too
+    assert "2017-01-01 00:00:00.5" in render_delete_range(
+        "t", "ts", "2017-01-01 00:00:00.5", "2017-01-02T23:59:59"
+    )
+
+
+def test_delete_range_rejects_non_date_bounds():
+    """The range bounds are interpolated into driver-rendered SQL, so
+    anything that is not plainly a date/datetime literal must raise
+    instead of rendering (quote-smuggling config value, empty string,
+    free-text)."""
+    import pytest
+
+    from etl_cascalog_spark.io import render_delete_range
+
+    for bad in ("2017-01-01' OR '1'='1", "", "yesterday", "20170101", "2017-1-1"):
+        with pytest.raises(ValueError, match="not a date/datetime"):
+            render_delete_range("ms.report", "dw_dt", bad, "2017-03-31")
+        with pytest.raises(ValueError, match="not a date/datetime"):
+            render_delete_range("ms.report", "dw_dt", "2017-01-01", bad)
 
 
 def test_report_watermark_end_to_end(spark):
