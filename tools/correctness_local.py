@@ -31,7 +31,20 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", default="/root/testdata/sf0.01")
     ap.add_argument("--out", default=None)
+    ap.add_argument(
+        "--only",
+        default=None,
+        help="comma-separated query subset (for big-SF sweeps where some "
+        "DuckDB oracles — e.g. iterative connected-components CTEs — cost "
+        "hours; the subset IS the artifact, named in its filename)",
+    )
     args = ap.parse_args()
+    names = sorted(QUERIES)
+    if args.only:
+        names = [n for n in args.only.split(",") if n]
+        unknown = [n for n in names if n not in QUERIES]
+        if unknown:
+            ap.error(f"unknown queries: {unknown}")
     out_path = Path(
         args.out
         or Path(__file__).resolve().parent.parent
@@ -43,7 +56,7 @@ def main() -> int:
     results: dict[str, dict] = {}
     n_fail = 0
     t_start = time.perf_counter()
-    for name in sorted(QUERIES):
+    for name in names:
         spec = QUERIES[name]
         row = {
             "rows_match": False,
