@@ -101,7 +101,9 @@ def main() -> None:
             jvm_system.gc()
         first = run_once(name)
         if n_samples > 1 and first >= MIN_FLOOR_S:
-            samples = [first, run_once(name), run_once(name)]
+            # honor the requested N exactly (N=5 takes 5 base samples,
+            # N=2 takes 2) — the knob is a sample count, not an on/off bit
+            samples = [first] + [run_once(name) for _ in range(n_samples - 1)]
             # adaptive escalation: a wide 3-sample spread means a noise
             # window covered part of the triple — two more samples give
             # min() a shot at a quiet slot (bounded: only volatile

@@ -2867,6 +2867,15 @@ def image_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: one staged binaryFile fixture dir per (process, sf_dir) — mkdtemp gave
+#: freshness (no stale files from a prior run, no half-written reads) but
+#: leaked one 27-file dir per BUILD: bench min-of-N and the plan-lint walk
+#: build this query several times per process. Cache + atexit keeps the
+#: freshness (new dir per process, never reused across runs) without the
+#: unbounded accrual.
+_BINARYTAP_DIRS: dict = {}
+
+
 @register(
     "binaryfile_image_ingest",
     oracle="""
@@ -2897,19 +2906,25 @@ def image_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "is value-checked against files Spark actually listed and read.",
 )
 def binaryfile_image_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import atexit
     import os
+    import shutil
     import tempfile
 
     from etl_cascalog_spark.io import read_binary_files
     from etl_cascalog_spark.operators.multimodal import decode_image
 
     rows = read_table(spark, sf_dir, "nation").select("n_nationkey").collect()
-    # Fresh per-run directory (mkdtemp): no stale *.ppm from a prior run
-    # with different contents can reach the glob, and a concurrent sweep
-    # can never observe a half-written file. LOCAL-FS ASSUMPTION: driver
-    # and executors share a filesystem here (true for local[N] bench); on
-    # a cluster the files would be staged to shared/object storage first.
+    if sf_dir in _BINARYTAP_DIRS:
+        return _binarytap_plan(spark, _BINARYTAP_DIRS[sf_dir])
+    # Fresh per-process directory: no stale *.ppm from a prior run with
+    # different contents can reach the glob, and a concurrent sweep (its
+    # own process, its own dir) can never observe a half-written file.
+    # LOCAL-FS ASSUMPTION: driver and executors share a filesystem here
+    # (true for local[N] bench); on a cluster the files would be staged to
+    # shared/object storage first.
     d = tempfile.mkdtemp(prefix="etl_cascalog_binarytap_")
+    atexit.register(shutil.rmtree, d, ignore_errors=True)
     for r in rows:
         k = r.n_nationkey
         rr, gg, bb = (k * 37) % 256, (k * 59) % 256, (k * 83) % 256
@@ -2919,6 +2934,13 @@ def binaryfile_image_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             fh.write(payload)
     with open(os.path.join(d, "README.txt"), "w") as fh:
         fh.write("decoy: must be pruned by the *.ppm glob before any read\n")
+    _BINARYTAP_DIRS[sf_dir] = d
+    return _binarytap_plan(spark, d)
+
+
+def _binarytap_plan(spark: SparkSession, d: str) -> DataFrame:
+    from etl_cascalog_spark.io import read_binary_files
+    from etl_cascalog_spark.operators.multimodal import decode_image
 
     files = read_binary_files(spark, d, glob="*.ppm").select(
         F.regexp_extract("path", r"nation_(\d+)\.ppm$", 1)

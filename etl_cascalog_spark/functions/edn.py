@@ -133,6 +133,10 @@ def _parse_value(s: str, i: int) -> tuple[Any, int]:
                 if i < len(s) and s[i] == "}":
                     return st, i + 1
                 v, i = _parse_value(s, i)
+                if isinstance(v, (dict, list, set)):
+                    v = repr(v)  # composite members: stringify, same
+                    # convention as composite map keys above (raw TypeError
+                    # from set.add would leak past the strict-error contract)
                 st.add(v)
         raise EdnParseError(f"unsupported dispatch #{s[i+1:i+10]!r}")
     if c == '"':
@@ -144,6 +148,10 @@ def parse_edn(text: str) -> Any:
     """Parse one EDN value; raises :class:`EdnParseError` on trailing junk
     or unsupported syntax (the read path is strict — silent partial reads
     of a migration column would be corruption, not convenience)."""
+    if not isinstance(text, str):
+        raise EdnParseError(
+            f"EDN cell must be a string, got {type(text).__name__}"
+        )
     v, i = _parse_value(text, 0)
     i = _skip_ws(text, i)
     if i != len(text):
@@ -198,6 +206,11 @@ def from_edn_tree(
     ``(id_cols…, path array<string>, attr string, value string)`` — one
     row per :DATA entry per node. Read-only migration ingest; the inverse
     (writing EDN) is deliberately absent (SURVEY §1.3: JSON at the edge).
+
+    SQL NULL cells emit no rows (NULL is a well-defined absent tree —
+    routine in migration tables fed by outer joins — not a partial read);
+    any non-NULL cell that fails to parse still raises
+    :class:`EdnParseError` with position info.
     """
     import pandas as pd
 
@@ -217,7 +230,12 @@ def from_edn_tree(
             out: dict[str, list] = {c: [] for c in id_cols}
             out.update({"path": [], "attr": [], "value": []})
             for _, rec in pdf.iterrows():
-                for path, attr, value in edn_tree_rows(rec[edn_col]):
+                cell = rec[edn_col]
+                if cell is None or (
+                    isinstance(cell, float) and cell != cell  # pandas NaN
+                ):
+                    continue
+                for path, attr, value in edn_tree_rows(cell):
                     for c in id_cols:
                         out[c].append(rec[c])
                     out["path"].append(path)

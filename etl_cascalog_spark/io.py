@@ -182,7 +182,9 @@ def render_truncate(table: str) -> str:
 #: date / datetime literal shapes accepted by render_delete_range — the
 #: bounds are interpolated into driver-rendered SQL, so anything that is
 #: not plainly a date must be rejected before it can reach the statement
-_DT_LITERAL = re.compile(r"^\d{4}-\d{2}-\d{2}([ T]\d{2}:\d{2}:\d{2}(\.\d{1,6})?)?$")
+#: \Z, not $: re's $ also matches before a trailing newline, which would
+#: let '2017-01-01\n' through the shape gate into the quoted literal
+_DT_LITERAL = re.compile(r"^\d{4}-\d{2}-\d{2}([ T]\d{2}:\d{2}:\d{2}(\.\d{1,6})?)?\Z")
 
 
 def render_delete_range(table: str, date_col: str, start_dt: str, end_dt: str) -> str:
@@ -206,6 +208,17 @@ def render_delete_range(table: str, date_col: str, start_dt: str, end_dt: str) -
     )
 
 
+def _jdbc_connection(spark: SparkSession, url: str, properties: dict[str, str] | None):
+    """Open a driver-side JDBC connection via the py4j bridge; returns
+    ``(jvm, conn)``. Single home for the Properties/DriverManager dance so
+    connection-level fixes (login timeout, URL redaction) land once."""
+    jvm = spark._jvm  # noqa: SLF001 - py4j bridge is the supported path here
+    props = jvm.java.util.Properties()
+    for k, v in (properties or {}).items():
+        props.setProperty(k, v)
+    return jvm, jvm.java.sql.DriverManager.getConnection(url, props)
+
+
 def jdbc_execute(
     spark: SparkSession, url: str, sql: str, properties: dict[str, str] | None = None
 ) -> None:
@@ -218,11 +231,7 @@ def jdbc_execute(
     :func:`overwrite_logical_partition` — these JDBC statements exist for
     parity with the reference's Postgres sink lifecycle.
     """
-    jvm = spark._jvm  # noqa: SLF001 - py4j bridge is the supported path here
-    props = jvm.java.util.Properties()
-    for k, v in (properties or {}).items():
-        props.setProperty(k, v)
-    conn = jvm.java.sql.DriverManager.getConnection(url, props)
+    jvm, conn = _jdbc_connection(spark, url, properties)
     try:
         stmt = conn.createStatement()
         try:
@@ -258,7 +267,24 @@ def _bind_prepared_param(jvm, stmt, idx: int, v) -> None:
     elif isinstance(v, decimal.Decimal):
         stmt.setBigDecimal(idx, jvm.java.math.BigDecimal(str(v)))
     elif isinstance(v, datetime.datetime):
-        stmt.setTimestamp(idx, jvm.java.sql.Timestamp.valueOf(v.strftime("%Y-%m-%d %H:%M:%S.%f")))
+        if v.tzinfo is not None:
+            # Aware datetimes bind by INSTANT: Timestamp.valueOf would
+            # silently drop the offset and re-read the wall clock in the
+            # JVM default zone — on a UTC+8 driver the stored instant lands
+            # 8 h off and a keyed DELETE misses its rows. The epoch-millis
+            # constructor (+setNanos for sub-ms) is zone-independent.
+            epoch_us = int(v.timestamp() * 1_000_000)
+            ts = jvm.java.sql.Timestamp(epoch_us // 1000)
+            ts.setNanos((epoch_us % 1_000_000) * 1000)
+            stmt.setTimestamp(idx, ts)
+        else:
+            # Naive datetimes keep JDBC wall-clock semantics (valueOf)
+            stmt.setTimestamp(
+                idx,
+                jvm.java.sql.Timestamp.valueOf(
+                    v.strftime("%Y-%m-%d %H:%M:%S.%f")
+                ),
+            )
     elif isinstance(v, datetime.date):
         stmt.setDate(idx, jvm.java.sql.Date.valueOf(v.isoformat()))
     else:
@@ -284,11 +310,7 @@ def jdbc_execute_prepared(
     via clojure.java.jdbc (trgx.clj:118-119) — prepared binds are the
     correct re-expression, not a divergence.
     """
-    jvm = spark._jvm  # noqa: SLF001 - py4j bridge is the supported path here
-    props = jvm.java.util.Properties()
-    for k, v in (properties or {}).items():
-        props.setProperty(k, v)
-    conn = jvm.java.sql.DriverManager.getConnection(url, props)
+    jvm, conn = _jdbc_connection(spark, url, properties)
     try:
         stmt = conn.prepareStatement(sql)
         try:

@@ -54,7 +54,12 @@ _LIMIT_NODES = frozenset(
         "LocalLimitExec",
         "TakeOrderedAndProjectExec",
         "CollectLimitExec",
-        "WindowGroupLimitExec",  # rank-pushdown: emits ≤ k rows per group
+        # NOT WindowGroupLimitExec: rank-pushdown caps rows PER GROUP, so
+        # its output is k × n_groups — fact-scale whenever the group key is
+        # high-cardinality (user_id/doc_id). Treating it as a global bound
+        # would let an unpartitioned window above a per-group top-k pass
+        # silently — exactly the single-partition Exchange R2 exists to
+        # catch. Genuinely bounded cases go through the caller allowlist.
     }
 )
 

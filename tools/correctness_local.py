@@ -41,6 +41,11 @@ def main() -> int:
     args = ap.parse_args()
     names = sorted(QUERIES)
     if args.only:
+        if not args.out:
+            ap.error(
+                "--only requires --out: the default path is the committed "
+                "full-catalog artifact and a subset must not overwrite it"
+            )
         names = [n for n in args.only.split(",") if n]
         unknown = [n for n in names if n not in QUERIES]
         if unknown:

@@ -56,7 +56,6 @@ def main() -> None:
             "E": ("events", "event_id"),
             "U": ("events", "user_id"),
             "D": ("documents", "doc_id"),
-            "V": ("embeddings", "vec_id"),
         }.items()
     }
     # stride = max+1: several id spaces are 0-based (doc_id, event_id…) and
@@ -121,10 +120,16 @@ def main() -> None:
         " CASE WHEN {i} = 0 THEN text ELSE text || ' variant{i}' END AS text)"
         " FROM documents",
     )
-    # deterministic per-(vec,replica) jitter keeps ANN geometry non-degenerate
+    # deterministic per-(vec,replica) jitter keeps ANN geometry non-degenerate.
+    # vec_id strides by D (the DOCUMENTS stride), not its own max: the engine
+    # joins embeddings.vec_id == documents.doc_id (hybrid_search_rerank et
+    # al.), so replica i's vector for base doc v must land on doc v's new id
+    # v + i*D. An independent stride scrambles the doc<->vector pairing and
+    # strands 60% of docs with no embedding (vec ids are a strict subset of
+    # doc ids in the base data).
     emit(
         "embeddings",
-        "SELECT * REPLACE (CAST(vec_id + {i} * {V} AS BIGINT) AS vec_id,"
+        "SELECT * REPLACE (CAST(vec_id + {i} * {D} AS BIGINT) AS vec_id,"
         " list_transform(embedding, x -> CAST(x + 0.01 * sin(vec_id * 7.0"
         " + {i}) AS FLOAT)) AS embedding) FROM embeddings",
     )
