@@ -241,6 +241,11 @@ def from_edn_tree(
                     out["path"].append(path)
                     out["attr"].append(attr)
                     out["value"].append(value)
+            if not out["attr"]:
+                # yield nothing for an all-NULL / all-empty-tree batch: an
+                # empty pd.DataFrame infers float64 for the path column and
+                # Arrow cannot convert float64 -> list<string>
+                continue
             yield pd.DataFrame(out)
 
     return df.select(*id_cols, edn_col).mapInPandas(run, schema=schema)

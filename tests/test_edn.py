@@ -58,6 +58,35 @@ def test_strict_errors():
         parse_edn("")
 
 
+def test_non_string_and_composite_set_members_stay_in_contract():
+    """Regression (round-9 review): a NULL cell reaching parse_edn, or a
+    set containing a collection, must raise EdnParseError — not a raw
+    TypeError from len(None)/set.add deep in an executor task."""
+    with pytest.raises(EdnParseError):
+        parse_edn(None)  # type: ignore[arg-type]
+    with pytest.raises(EdnParseError):
+        parse_edn(42)  # type: ignore[arg-type]
+    # composite set members stringify, same convention as composite map keys
+    assert parse_edn("#{[1 2]}") == {"[1, 2]"}
+
+
+def test_from_edn_tree_null_cells_emit_no_rows(spark):
+    """SQL NULL in the EDN column = absent tree: zero rows for that id,
+    neighbours unaffected; a malformed NON-null cell still raises."""
+    from etl_cascalog_spark.functions.edn import from_edn_tree
+
+    df = spark.createDataFrame(
+        [(1, '{:DATA {:a 1} :CHILDREN {}}'), (2, None)],
+        "id long, tree string",
+    )
+    rows = from_edn_tree(df, "tree", id_cols=["id"]).collect()
+    assert [(r.id, r.attr, r.value) for r in rows] == [(1, "a", "1")]
+
+    bad = spark.createDataFrame([(3, "{:DATA")], "id long, tree string")
+    with pytest.raises(Exception, match="EdnParseError|unexpected end"):
+        from_edn_tree(bad, "tree", id_cols=["id"]).collect()
+
+
 def test_tree_rows_reference_shape():
     """The exact nesting the reference builds: user → dt → product → order
     → order-item, :DATA at every level (mlvar:95-129)."""
