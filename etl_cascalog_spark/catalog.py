@@ -5858,7 +5858,7 @@ def prefix_filter_jaccard_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT nation, CAST(n_months AS BIGINT) AS n_months,
            CAST(last_month AS DATE) AS last_month,
-           round(list_reduce(vs, (acc, x) -> 0.3 * x + 0.7 * acc), 6)
+           round(list_reduce(vs, (acc, x) -> 0.3 * x + 0.7 * acc), 2)
              AS ewma_revenue
     FROM s
     """,
@@ -5871,8 +5871,13 @@ def prefix_filter_jaccard_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "right shape for per-entity state recurrences at 100 TB (state "
     "vectors per user/doc), where the alternative (window with "
     "recursive reference) does not exist in SQL engines. Oracle mirrors "
-    "the identical fold order via DuckDB list_reduce, so doubles match "
-    "bit-for-bit.",
+    "the identical fold order via DuckDB list_reduce — but identical "
+    "ORDER is not identical BITS: one engine may contract a*x+b*acc to "
+    "fma, so the folds drift 1-2 ulps apart (first seen at sf1, where "
+    "1e8-magnitude revenue left round(.,6) needing 15 significant "
+    "digits — past what float64 holds through any reassociation). "
+    "Rounded to CENTS (money semantics), which any realistic magnitude "
+    "survives ulp noise at.",
 )
 def ewma_monthly_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = read_table(spark, sf_dir, "orders")
@@ -5901,7 +5906,7 @@ def ewma_monthly_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda acc, x: F.lit(0.3) * x + F.lit(0.7) * acc,
     )
     return per_nation.select(
-        "nation", "n_months", "last_month", F.round(ewma, 6).alias("ewma_revenue")
+        "nation", "n_months", "last_month", F.round(ewma, 2).alias("ewma_revenue")
     )
 
 
