@@ -65,6 +65,30 @@ def zvalue(x: Column, y: Column, bits: int = 16, strict: bool = True) -> Column:
     return out
 
 
+def quantize_pow2(col: Column, lo: int, hi: int, bits: int) -> Column:
+    """Map ``col`` ∈ [lo, hi] onto [0, 2**bits) by a RIGHT SHIFT — the
+    scale-proof front end of :func:`zvalue` for unbounded key domains
+    (o_custkey outgrows 16 raw bits around sf0.5; a z-key only needs
+    RELATIVE locality, never absolute key values).
+
+    Power-of-2 cells via shift, deliberately not division: ``(x-lo) >>
+    s`` is exact integer math reproducible bit-for-bit in any SQL dialect
+    (DuckDB twin: ``(x - lo) >> greatest(0, length(bin(hi - lo)) -
+    bits)``), whereas ``floor((x-lo)*2^bits / span)`` in float is
+    double-rounding-unsafe near cell boundaries exactly when spans get
+    big. Bounds come in as plain Python ints (a bounded 1-row agg
+    collect — the scalar-read class, not a data collect). Skewed domains
+    get uneven occupancy per cell; if that matters, range-partition rank
+    quantization is the alternative (at the cost of a sort), same as
+    Delta's OPTIMIZE ZORDER interleaves range-partition ids.
+    """
+    span = hi - lo
+    if span < 0:
+        raise ValueError(f"quantize_pow2: hi={hi} < lo={lo}")
+    shift = max(0, span.bit_length() - bits)
+    return F.shiftright(col.cast("long") - F.lit(lo), shift)
+
+
 def zvalue_sql(x: str, y: str, bits: int = 16) -> str:
     """The DuckDB/ANSI twin of :func:`zvalue` (``>>``/``&`` operators)."""
     terms = []
@@ -80,6 +104,8 @@ def zorder_bucket_stats(
     y_col: Column,
     bits: int = 16,
     bucket_bits: int = 4,
+    z_x: Column | None = None,
+    z_y: Column | None = None,
 ) -> DataFrame:
     """Cluster rows into ``2**bucket_bits`` Z-order buckets (top bits of the
     Morton key — a value-based split, NOT an ntile sort, so the assignment
@@ -91,8 +117,18 @@ def zorder_bucket_stats(
     At write time the same key feeds ``df.repartitionByRange(F.col("z"))``
     + ``sortWithinPartitions("z")`` so each output file covers one compact
     z-range; this helper is the layout-quality report over that plan.
+
+    ``z_x``/``z_y`` override the columns fed to the Morton interleave
+    while the SPAN STATS stay on ``x_col``/``y_col`` — pass
+    :func:`quantize_pow2` outputs there when the raw key domain exceeds
+    ``2**bits`` (it does for o_custkey past ~sf0.5) so the report keeps
+    raw-unit spans.
     """
-    z = zvalue(x_col.cast("long"), y_col.cast("long"), bits)
+    z = zvalue(
+        (x_col if z_x is None else z_x).cast("long"),
+        (y_col if z_y is None else z_y).cast("long"),
+        bits,
+    )
     shift = 2 * bits - bucket_bits
     return (
         df.select(
