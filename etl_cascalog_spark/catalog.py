@@ -2283,19 +2283,77 @@ def ngram_jaccard_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.7)
 
 
+def _minhash_oracle_sql(num_hashes: int = 64, bands: int = 16) -> str:
+    """DuckDB oracle for minhash_lsh_dedup: mirrors the ENTIRE pipeline —
+    md5-based 32-bit shingle hash (both engines emit identical lowercase
+    hex; DuckDB decodes via CAST('0x'||hex AS BIGINT), Spark via conv),
+    the same 64 affine permutations (literal (a,b) pairs from
+    _perm_params), band min-tuples as injective string keys, the
+    max_bucket=500 skew cap, then exact-Jaccard verification of exactly
+    the banded candidates. Asserting equality with the EXACT pair set
+    instead would be wrong by design: banding recall at j=0.7 is 0.9998
+    and the sf1 corpus holds ~250k qualifying pairs, so ~5 misses are
+    EXPECTED — the round-9 sf1 sweep caught precisely that."""
+    from etl_cascalog_spark.operators.dedup import _perm_params
+
+    rows = num_hashes // bands
+    mins = ",\n             ".join(
+        f"min(({a} * h + {b}) % 2147483647) AS mh_{i}"
+        for i, (a, b) in enumerate(_perm_params(num_hashes))
+    )
+    band_sel = "\n      UNION ALL ".join(
+        "SELECT doc_id, {bi} AS band, concat_ws('_', {cols}) AS bh FROM sig".format(
+            bi=bi,
+            cols=", ".join(f"mh_{bi * rows + r}" for r in range(rows)),
+        )
+        for bi in range(bands)
+    )
+    return f"""WITH {_SHINGLE_CTE},
+    hsh AS (
+      SELECT doc_id, CAST(concat('0x', substr(md5(s), 1, 8)) AS BIGINT) AS h
+      FROM sh
+    ),
+    sig AS (SELECT doc_id, {mins} FROM hsh GROUP BY doc_id),
+    bandkeys AS ({band_sel}),
+    capped AS (
+      SELECT doc_id, band, bh FROM (
+        SELECT *, count(*) OVER (PARTITION BY band, bh) AS sz FROM bandkeys
+      ) WHERE sz <= 500
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM capped a JOIN capped b
+        ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+    )
+    SELECT j.doc_a, j.doc_b, j.jaccard
+    FROM jpairs j JOIN cand USING (doc_a, doc_b)"""
+
+
 @register(
     "minhash_lsh_dedup",
-    oracle=f"WITH {_SHINGLE_CTE} SELECT doc_a, doc_b, jaccard FROM jpairs",
+    oracle=_minhash_oracle_sql(),
     doc="MinHash(64)+LSH(16 bands) near-dup pairs, exact-Jaccard verified — "
-    "the 100 TB scale path. Oracle equality holds because candidates are "
-    "re-verified exactly and banding recall at j≥0.7 is ≈0.9998.",
+    "the 100 TB scale path. The oracle mirrors the banding itself "
+    "(md5 portable hash, same permutations, same bucket cap) rather than "
+    "asserting equality with the exact pair set: LSH recall at j≥0.7 is "
+    "≈0.9998 by construction, and at sf1 (~250k qualifying pairs) the "
+    "expected handful of band misses materialized — the exact-equality "
+    "oracle was wrong, not the engine. The xxhash64 production path is "
+    "the operator default (same convention as simhash_dedup).",
 )
 def minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_cascalog_spark.operators.dedup import minhash_lsh_pairs
 
     docs = read_table(spark, sf_dir, "documents")
     return minhash_lsh_pairs(
-        docs, "doc_id", "text", n=3, num_hashes=64, bands=16, threshold=0.7
+        docs,
+        "doc_id",
+        "text",
+        n=3,
+        num_hashes=64,
+        bands=16,
+        threshold=0.7,
+        hash_fn="md5",
     )
 
 

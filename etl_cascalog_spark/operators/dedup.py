@@ -242,18 +242,33 @@ def minhash_signatures(
     n: int = 3,
     num_hashes: int = 64,
     seed: int = 42,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """K-permutation MinHash signatures in ONE grouped pass: per shingle
-    compute h = xxhash64 & mask, then K affine permutations (a*h+b) mod M;
+    compute a 32-bit base hash, then K affine permutations (a*h+b) mod M;
     groupBy(doc) takes the K mins simultaneously (partial aggregation
     combines map-side — the shuffle carries K longs per doc, not shingles).
+
+    ``hash_fn="xxhash64"`` (default) is the production fast path (one
+    JVM-intrinsic hash per shingle). ``hash_fn="md5"`` takes the first 8
+    hex digits of ``md5(shingle)`` — md5 specifically so a SQL oracle can
+    reproduce the signatures bit-for-bit (DuckDB:
+    ``CAST('0x' || substr(md5(s),1,8) AS BIGINT)``), the same convention
+    as :func:`simhash_sketch`. Hash quality is equivalent; only which
+    borderline pairs happen to band together differs.
     """
     # materialize the base hash once per shingle row — inlined, the
-    # xxhash64 sub-expression would be re-evaluated inside each of the K
+    # hash sub-expression would be re-evaluated inside each of the K
     # min-aggregates (same lesson as simhash_sketch)
-    sh = shingle_sets(df, id_col, text_col, n).select(
-        "doc", F.xxhash64(F.col("shingle")).bitwiseAND(F.lit((1 << 32) - 1)).alias("h")
-    )
+    if hash_fn == "md5":
+        base = F.conv(F.substring(F.md5(F.col("shingle")), 1, 8), 16, 10).cast(
+            "long"
+        )
+    elif hash_fn == "xxhash64":
+        base = F.xxhash64(F.col("shingle")).bitwiseAND(F.lit((1 << 32) - 1))
+    else:
+        raise ValueError(f"minhash_signatures: unknown hash_fn {hash_fn!r}")
+    sh = shingle_sets(df, id_col, text_col, n).select("doc", base.alias("h"))
     h = F.col("h")
     mins = [
         F.min((F.lit(a) * h + F.lit(b)) % F.lit(_MERSENNE)).alias(f"mh_{i}")
@@ -272,13 +287,24 @@ def minhash_lsh_pairs(
     threshold: float = 0.7,
     seed: int = 42,
     max_bucket: int = 500,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """MinHash+LSH near-dup pairs, exact-Jaccard verified.
 
     Banding: ``num_hashes/bands`` rows per band; docs sharing any band
     bucket become candidates; candidates are verified with the exact
-    n-gram Jaccard so the output equals the exact pairs ≥ threshold
-    (recall at j=0.7 with 64/16 banding ≈ 0.9998, → 1 as j → 1).
+    n-gram Jaccard so the output is a SUBSET of the exact pairs ≥
+    threshold with recall ≈ 1-(1-j^r)^b (0.9998 at j=0.7 with 64/16
+    banding, → 1 as j → 1). That recall is PROBABILISTIC: at sf1 the
+    corpus holds ~250k qualifying pairs and ~5 misses materialize — an
+    oracle asserting equality with the exact pair set is wrong BY DESIGN;
+    value-exact oracles must mirror the banding step (``hash_fn="md5"``).
+
+    ``hash_fn`` selects the shingle base hash (see
+    :func:`minhash_signatures`); the md5 path also swaps the band-bucket
+    key from ``xxhash64(mins)`` to the min-tuple itself rendered as a
+    string — injective, so the candidate set is EXACTLY "all r mins in
+    some band equal", reproducible in any SQL engine with md5.
 
     ``max_bucket`` drops degenerate buckets (boilerplate explosion) — the
     skew cap; dropped buckets are counted in the plan, not silently
@@ -287,13 +313,19 @@ def minhash_lsh_pairs(
     rows = num_hashes // bands
     # cache: the signature pipeline feeds both sides of the bucket
     # self-join — without this Spark recomputes shingling+K mins twice
-    sigs = minhash_signatures(df, id_col, text_col, n, num_hashes, seed).cache()
+    sigs = minhash_signatures(
+        df, id_col, text_col, n, num_hashes, seed, hash_fn=hash_fn
+    ).cache()
+
+    def band_key(bi: int):
+        cols = [F.col(f"mh_{bi * rows + r}") for r in range(rows)]
+        if hash_fn == "md5":
+            return F.concat_ws("_", *cols)
+        return F.xxhash64(*cols)
+
     band_cols = F.array(
         *[
-            F.struct(
-                F.lit(bi).alias("band"),
-                F.xxhash64(*[F.col(f"mh_{bi * rows + r}") for r in range(rows)]).alias("bh"),
-            )
+            F.struct(F.lit(bi).alias("band"), band_key(bi).alias("bh"))
             for bi in range(bands)
         ]
     )
