@@ -2283,7 +2283,9 @@ def ngram_jaccard_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.7)
 
 
-def _minhash_oracle_sql(num_hashes: int = 64, bands: int = 16) -> str:
+def _minhash_oracle_sql(
+    num_hashes: int = 64, bands: int = 16, max_bucket: int | None = None
+) -> str:
     """DuckDB oracle for minhash_lsh_dedup: mirrors the ENTIRE pipeline —
     md5-based 32-bit shingle hash (both engines emit identical lowercase
     hex; DuckDB decodes via CAST('0x'||hex AS BIGINT), Spark via conv),
@@ -2294,8 +2296,15 @@ def _minhash_oracle_sql(num_hashes: int = 64, bands: int = 16) -> str:
     instead would be wrong by design: banding recall at j=0.7 is 0.9998
     and the sf1 corpus holds ~250k qualifying pairs, so ~5 misses are
     EXPECTED — the round-9 sf1 sweep caught precisely that."""
-    from etl_cascalog_spark.operators.dedup import _perm_params
+    from etl_cascalog_spark.operators.dedup import (
+        DEFAULT_MAX_BUCKET,
+        _perm_params,
+    )
 
+    # Interpolated, never hardcoded: the cap must be the same constant the
+    # operator defaults to, or the oracle mirrors a banding that never ran.
+    if max_bucket is None:
+        max_bucket = DEFAULT_MAX_BUCKET
     rows = num_hashes // bands
     mins = ",\n             ".join(
         f"min(({a} * h + {b}) % 2147483647) AS mh_{i}"
@@ -2318,7 +2327,7 @@ def _minhash_oracle_sql(num_hashes: int = 64, bands: int = 16) -> str:
     capped AS (
       SELECT doc_id, band, bh FROM (
         SELECT *, count(*) OVER (PARTITION BY band, bh) AS sz FROM bandkeys
-      ) WHERE sz <= 500
+      ) WHERE sz <= {max_bucket}
     ),
     cand AS (
       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b

@@ -20,6 +20,7 @@ Execution taps (S4/S5/S6): Cascalog's ``stdout`` tap / ``??-`` collect /
 
 from __future__ import annotations
 
+import datetime
 import os
 import re
 import shutil
@@ -202,6 +203,17 @@ def render_delete_range(table: str, date_col: str, start_dt: str, end_dt: str) -
                 f"render_delete_range: bound {v!r} is not a date/datetime "
                 "literal (YYYY-MM-DD[ HH:MM:SS[.ffffff]])"
             )
+        # The regex gates SHAPE only — '2017-99-99' or '25:61:61' would
+        # sail through into the rendered DELETE and fail (or be coerced)
+        # inside the target database. Round-trip through the stdlib parser
+        # so semantic invalidity fails here, at render time.
+        try:
+            datetime.datetime.fromisoformat(v.replace(" ", "T"))
+        except ValueError as exc:
+            raise ValueError(
+                f"render_delete_range: bound {v!r} matches the literal "
+                f"shape but is not a valid date/datetime: {exc}"
+            ) from None
     return (
         f"DELETE FROM {table} WHERE {date_col} >= '{start_dt}' "
         f"AND {date_col} <= '{end_dt}'"
@@ -249,7 +261,6 @@ def _bind_prepared_param(jvm, stmt, idx: int, v) -> None:
     dialect, including backslash-escaping backends like MySQL); non-finite
     floats are rejected because no SQL dialect has a portable literal or
     bind value for them in a key predicate."""
-    import datetime
     import decimal
     import math
 
@@ -273,7 +284,12 @@ def _bind_prepared_param(jvm, stmt, idx: int, v) -> None:
             # JVM default zone — on a UTC+8 driver the stored instant lands
             # 8 h off and a keyed DELETE misses its rows. The epoch-millis
             # constructor (+setNanos for sub-ms) is zone-independent.
-            epoch_us = int(v.timestamp() * 1_000_000)
+            # Integer math, not ``timestamp() * 1e6``: the float64 round
+            # trip loses microsecond exactness past 2^53 epoch-us (~year
+            # 2255), and a keyed DELETE must hit exact instants.
+            epoch_us = (
+                v - datetime.datetime(1970, 1, 1, tzinfo=datetime.timezone.utc)
+            ) // datetime.timedelta(microseconds=1)
             ts = jvm.java.sql.Timestamp(epoch_us // 1000)
             ts.setNanos((epoch_us % 1_000_000) * 1000)
             stmt.setTimestamp(idx, ts)

@@ -44,6 +44,11 @@ from etl_cascalog_spark.operators.text import (
 #: stays below 2^63 under ANSI long arithmetic (a < 2^30, h < 2^32).
 _MERSENNE = (1 << 31) - 1
 
+#: Default LSH band-bucket skew cap. Shared with the DuckDB oracle
+#: (catalog._minhash_oracle_sql) so the banding the oracle mirrors can
+#: never silently de-sync from the banding the operator runs.
+DEFAULT_MAX_BUCKET = 500
+
 
 def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Exact dedup on normalized-text digest. Returns one representative row
@@ -286,7 +291,7 @@ def minhash_lsh_pairs(
     bands: int = 16,
     threshold: float = 0.7,
     seed: int = 42,
-    max_bucket: int = 500,
+    max_bucket: int = DEFAULT_MAX_BUCKET,
     hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """MinHash+LSH near-dup pairs, exact-Jaccard verified.

@@ -27,6 +27,10 @@ TABLES = (
 
 def duckdb_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
     con = duckdb.connect()
+    # In-memory DuckDB spills to ./.tmp in the CWD by default — a big-SF
+    # oracle sweep once dropped 23.6 GB of scratch inside the repo (and a
+    # snapshot commit picked it up). Spill belongs under /tmp.
+    con.execute("SET temp_directory='/tmp/duckdb_spill'")
     for t in TABLES:
         path = os.path.join(sf_dir, f"{t}.parquet")
         if os.path.exists(path):

@@ -136,6 +136,13 @@ def test_delete_range_rejects_non_date_bounds():
             render_delete_range("ms.report", "dw_dt", bad, "2017-03-31")
         with pytest.raises(ValueError, match="not a date/datetime"):
             render_delete_range("ms.report", "dw_dt", "2017-01-01", bad)
+    # shape-valid but semantically impossible: must fail at render time,
+    # not inside the target database
+    for bad in ("2017-99-99", "2017-02-30", "2017-01-01 25:61:61"):
+        with pytest.raises(ValueError, match="not a valid date"):
+            render_delete_range("ms.report", "dw_dt", bad, "9999-12-31")
+        with pytest.raises(ValueError, match="not a valid date"):
+            render_delete_range("ms.report", "dw_dt", "2017-01-01", bad)
 
 
 def test_report_watermark_end_to_end(spark):
@@ -682,3 +689,35 @@ def test_jdbc_execute_prepared_binds_hostile_values(spark):
         jdbc_execute_prepared(
             spark, url, "DELETE FROM kv WHERE v = ?", [(float("nan"),)]
         )
+
+
+def test_jdbc_prepared_aware_timestamp_microsecond_exact(spark):
+    """Aware-datetime binds must be microsecond-EXACT arbitrarily far out:
+    the old ``int(v.timestamp() * 1e6)`` float round trip is 1 us off for
+    ~half of all microsecond values once epoch-us exceeds 2^53 (~year
+    2255), and a keyed DELETE must hit exact instants. 2255-06-07
+    08:09:10.123457 UTC is a value the float path provably misbinds
+    (-> .123456)."""
+    import datetime as dt
+
+    from etl_cascalog_spark.io import jdbc_execute, jdbc_execute_prepared, jdbc_read
+
+    utc = dt.timezone.utc
+    v = dt.datetime(2255, 6, 7, 8, 9, 10, 123457, tzinfo=utc)
+    exact_us = (v - dt.datetime(1970, 1, 1, tzinfo=utc)) // dt.timedelta(
+        microseconds=1
+    )
+    assert int(v.timestamp() * 1_000_000) != exact_us  # the float bug is real
+
+    url = "jdbc:derby:memory:etl_ts_exact;create=true"
+    props = {"driver": "org.apache.derby.jdbc.EmbeddedDriver"}
+    jdbc_execute(spark, url, "CREATE TABLE tsx (k INT, ts TIMESTAMP)")
+    jdbc_execute_prepared(spark, url, "INSERT INTO tsx VALUES (?, ?)", [(1, v)])
+    (got,) = (
+        jdbc_read(spark, url, "tsx", props).select(F.col("TS").alias("ts")).collect()
+    )
+    assert got.ts.microsecond == 123457
+    assert (got.ts.second, got.ts.minute) == (10, 9)
+    # the exact instant must be addressable: a keyed DELETE on it hits
+    jdbc_execute_prepared(spark, url, "DELETE FROM tsx WHERE ts = ?", [(v,)])
+    assert jdbc_read(spark, url, "tsx", props).count() == 0

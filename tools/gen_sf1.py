@@ -38,6 +38,9 @@ def main() -> None:
         K = int(sys.argv[2])
     os.makedirs(out, exist_ok=True)
     con = duckdb.connect()
+    # keep the 10x-replication spill out of the repo CWD (see
+    # tests/oracle_utils.duckdb_con — the .tmp/ incident)
+    con.execute("SET temp_directory='/tmp/duckdb_spill'")
     for t in (
         "region nation customer supplier part orders lineitem events "
         "documents embeddings"
