@@ -1613,6 +1613,23 @@ def test_semantic_dedup_pairs_stay_within_cluster(spark):
     assert (0, 1) in got and (2, 3) in got
     # cross-group pairs are never candidates (different clusters)
     assert all(not (a < 2 <= b) for a, b in got)
+    # triangle block-partitioning invariance: every pair_blocks value
+    # yields the SAME rows (ids normalized, each pair exactly once) —
+    # B only raises the parallelism ceiling of the within-cluster join
+    base = sorted(
+        tuple(r) for r in semantic_dedup_pairs(
+            df, "vec_id", "embedding", dim=2, k=2, iters=2,
+            max_dist_units=10_000_000, pair_blocks=1,
+        ).collect()
+    )
+    for B in (2, 3, 5):
+        alt = sorted(
+            tuple(r) for r in semantic_dedup_pairs(
+                df, "vec_id", "embedding", dim=2, k=2, iters=2,
+                max_dist_units=10_000_000, pair_blocks=B,
+            ).collect()
+        )
+        assert alt == base, f"pair_blocks={B} changed the pair set"
 
 
 def test_pagerank_integer_mass_and_sink_behavior(spark):
