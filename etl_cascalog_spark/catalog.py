@@ -6364,8 +6364,12 @@ def pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     "day between each key's first and last observation. Interpolation is "
     "exact integer cents (prev + (next-prev)·offset div gap), so the "
     "DuckDB oracle matches bit-for-bit. Spine explode is map-side off a "
-    "25-row bounds aggregate; both IGNORE-NULLS window families share "
-    "one sort per key.",
+    "25-row bounds aggregate; the forward IGNORE-NULLS lookups run as "
+    "reverse-ordered GROWING frames (one extra in-partition sort, no "
+    "extra exchange) because Spark's UNBOUNDED FOLLOWING frame re-scans "
+    "to the partition end per row — O(n²) per key; the dense frame is "
+    "repartitioned by explicit count so AQE's byte-based coalescing "
+    "cannot fold the CPU-heavy window stage into one task.",
 )
 def resample_interpolate_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_cascalog_spark.operators.timeseries import resample_interpolate_daily

@@ -77,9 +77,21 @@ def shingle_arrays(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> Dat
 
 
 def shingle_sets(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
-    """(id, shingle) long format — the inverted-index input."""
-    return shingle_arrays(df, id_col, text_col, n).select(
-        "doc", F.explode(F.col("sh")).alias("shingle")
+    """(id, shingle) long format — the inverted-index input.
+
+    ``explode_outer`` + null filter, NOT plain ``explode``: Catalyst infers
+    ``size(sh) > 0 AND isnotnull(sh)`` from a non-outer Generate and pushes
+    that predicate through the parallelism-guard exchange down to the file
+    scan — which re-evaluates the ENTIRE shingle zip_with chain (twice!) in
+    the scan's few tasks. Measured on decontamination_13gram at sf0.1: a 4 s
+    single-task scan stage doing 13-gram assembly the repartition existed to
+    parallelize. The outer generate has nothing to infer; empty docs emit one
+    null row that the cheap post-explode filter drops — identical output.
+    """
+    return (
+        shingle_arrays(df, id_col, text_col, n)
+        .select("doc", F.explode_outer(F.col("sh")).alias("shingle"))
+        .where(F.col("shingle").isNotNull())
     )
 
 
@@ -826,13 +838,20 @@ def decontaminate(
     ships a Bloom filter of benchmark grams instead of the exact set; the
     exact broadcast IS the verification pass.
     """
+    # explode_outer + null filter: see shingle_sets — a plain explode lets
+    # Catalyst push the inferred size(sh)>0 predicate (the full n-gram
+    # assembly chain, evaluated twice) below the repartition into the
+    # near-serial scan stage
     bench_grams = (
         shingle_arrays(benchmark, id_col, text_col, n)
-        .select(F.explode("sh").alias("gram"))
+        .select(F.explode_outer("sh").alias("gram"))
+        .where(F.col("gram").isNotNull())
         .distinct()
     )
-    corpus_grams = shingle_arrays(corpus, id_col, text_col, n).select(
-        F.col("doc").alias(id_col), F.explode("sh").alias("gram")
+    corpus_grams = (
+        shingle_arrays(corpus, id_col, text_col, n)
+        .select(F.col("doc").alias(id_col), F.explode_outer("sh").alias("gram"))
+        .where(F.col("gram").isNotNull())
     )
     return (
         corpus_grams.join(F.broadcast(bench_grams), "gram")

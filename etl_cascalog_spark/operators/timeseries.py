@@ -60,22 +60,35 @@ def resample_interpolate_daily(
             F.explode(F.sequence("d0", "d1")).alias("day"),
         )
     )
-    dense = spine.join(k, ["key", "day"], "left")
+    # REPARTITION_BY_NUM (explicit count) — AQE's partition coalescing is
+    # byte-based and folds the small-bytes-but-CPU-heavy window shuffle
+    # into ONE task (flagged by tools/parallelism_lint.py: a 6 s
+    # single-task final stage at sf0.1)
+    sc = known.sparkSession.sparkContext
+    dense = spine.join(k, ["key", "day"], "left").repartition(
+        sc.defaultParallelism, F.col("key")
+    )
 
     w_back = (
         Window.partitionBy("key")
         .orderBy("day")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    # The forward lookups are REVERSE-ordered GROWING frames, not
+    # current→UNBOUNDED FOLLOWING ones: Spark's UnboundedFollowing frame
+    # re-scans from each row to the partition end — O(n²) per key-partition
+    # (the other half of the flagged 6 s stage) — while the growing frame
+    # is incremental, O(n) after the sort. `last non-null over days ≥ d in
+    # descending order` IS `first non-null at-or-after d`.
     w_fwd = (
         Window.partitionBy("key")
-        .orderBy("day")
-        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        .orderBy(F.col("day").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     prev_day = F.last(F.when(F.col("v").isNotNull(), F.col("day")), True).over(w_back)
-    next_day = F.first(F.when(F.col("v").isNotNull(), F.col("day")), True).over(w_fwd)
+    next_day = F.last(F.when(F.col("v").isNotNull(), F.col("day")), True).over(w_fwd)
     prev_v = F.last("v", True).over(w_back)
-    next_v = F.first("v", True).over(w_fwd)
+    next_v = F.last("v", True).over(w_fwd)
 
     gap = F.datediff(next_day, prev_day)
     off = F.datediff(F.col("day"), prev_day)
