@@ -68,6 +68,14 @@ _LOCAL_LEAVES = frozenset({"LocalTableScanExec", "RDDScanExec", "EmptyRelationEx
 
 _WINDOW_NODES = frozenset({"WindowExec", "WindowInPandasExec"})
 
+#: R4 threshold: an honest filter predicate renders in tens-to-hundreds of
+#: chars; an inferred predicate that swallowed a computed-array
+#: construction chain renders in thousands (decontamination_13gram's was
+#: ~10 KB, evaluated twice per row in the scan stage). Length alone is not
+#: enough — a rendered Bloom-bitmap literal is long but O(1) — so the rule
+#: also requires a per-row higher-order function (``lambdafunction(``).
+_MEGA_FILTER_CHARS = 4000
+
 _PARQUET_TABLE = re.compile(r"(\w+)\.parquet")
 
 
@@ -98,12 +106,22 @@ class PlanReport:
     n_sort_merge_join: int = 0
     n_broadcast_hash_join: int = 0
     n_bnl_join: int = 0
+    #: R4: Filter nodes whose rendered condition is a mega-expression —
+    #: the signature of Catalyst inferring a predicate from a Generate
+    #: over an expensive computed array and pushing the WHOLE construction
+    #: chain (duplicated: value + isnotnull twin) below the exchange that
+    #: existed to parallelize it (the decontamination_13gram defect: a
+    #: ~10 KB condition evaluating 12 nested zip_withs twice per row in a
+    #: near-serial scan stage). Honest predicates render in tens-to-
+    #: hundreds of chars.
+    mega_filters: list[str] = field(default_factory=list)
 
     def ok(self) -> bool:
         return (
             self.cartesian == 0
             and not self.unbounded_global_windows
             and not self.dim_side_smj
+            and not self.mega_filters
         )
 
     def fingerprint(self) -> dict[str, int]:
@@ -207,6 +225,15 @@ def lint_plan(df: DataFrame) -> PlanReport:
                     rep.dim_side_smj.append(
                         f"SMJ side reads only {sorted(tables)} — should broadcast"
                     )
+        if cls == "FilterExec":
+            cond = node.condition().toString()
+            # both gates: big literals (a rendered Bloom bitmap constant)
+            # are long but O(1) to evaluate — the defect needs a
+            # higher-order function (lambda) executed per row
+            if len(cond) > _MEGA_FILTER_CHARS and "lambdafunction(" in cond:
+                rep.mega_filters.append(
+                    f"{len(cond)}-char Filter condition: {cond[:160]}…"
+                )
         for k in _children(node):
             walk(k)
 

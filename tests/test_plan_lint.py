@@ -100,6 +100,39 @@ def test_no_dim_side_sort_merge_join(lint_reports):
     )
 
 
+#: queries allowed a mega-expression lambda Filter, with the boundedness
+#: argument (R4 exceptions — same hygiene rules as the other allowlists)
+MEGA_FILTER_OK = {
+    "ann_ivf_topk": "the inferred isnotnull(centroid-assignment) rides the "
+    "PROBE-side filter, short-circuited behind `vec_id % 50 = 0` — the "
+    "expression runs for the ~2% probe rows only, and probes are small by "
+    "contract (similarity.py bounds the query count)",
+    "ann_ivfpq_topk": "same probe-side assignment inference as ann_ivf_topk",
+}
+
+
+def test_no_mega_expression_filters(lint_reports):
+    """R4: no Filter node may carry a mega-expression lambda condition
+    (> 4 KB rendered AND containing a per-row higher-order function). That
+    shape is Catalyst inferring a predicate (`size(arr) > 0` from a
+    non-outer Generate, isnotnull from a join key) over a computed array
+    and pushing the ENTIRE construction chain — duplicated as value +
+    isnotnull twin — below the exchange that existed to parallelize it
+    (the decontamination_13gram defect: 12 nested zip_withs evaluated
+    twice per row in a near-serial scan stage, found by
+    tools/parallelism_lint.py). House rule: explode computed arrays with
+    explode_outer + a cheap null filter."""
+    bad = {
+        n: r.mega_filters
+        for n, r in lint_reports.items()
+        if r.mega_filters and n not in MEGA_FILTER_OK
+    }
+    assert not bad, (
+        f"mega-expression Filter conditions (inferred-Generate pushdown?): "
+        f"{json.dumps(bad, indent=1)[:2000]}"
+    )
+
+
 def test_plan_fingerprints_match_pins(lint_reports):
     """Quantitative plan ratchet: every query's static-plan shape counts
     (shuffles, broadcasts, join-strategy mix) must equal the committed pin
@@ -134,4 +167,10 @@ def test_allowlists_reference_live_flagged_queries(lint_reports):
         assert name in QUERIES, f"DIM_SMJ_OK names unknown query {name}"
         assert lint_reports[name].dim_side_smj, (
             f"{name} no longer has a dim-side SMJ — remove from allowlist"
+        )
+    for name in MEGA_FILTER_OK:
+        assert name in QUERIES, f"MEGA_FILTER_OK names unknown query {name}"
+        assert lint_reports[name].mega_filters, (
+            f"{name} no longer has a mega-expression filter — remove from "
+            "allowlist"
         )
