@@ -2572,13 +2572,20 @@ def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         quality_score,
     )
 
-    docs = read_table(spark, sf_dir, "documents")
+    # parallel BEFORE the heavy text expressions, cache AFTER them: the
+    # quality/lang filter otherwise pushes below the repartition (alias
+    # substitution) and re-evaluates both scoring expressions inside the
+    # file-split-bounded scan stage (sf1 lint: 2 tasks × 4.4 s). The cache
+    # is a pushdown barrier — filters stop at the InMemoryRelation.
+    docs = ensure_min_parallelism(
+        read_table(spark, sf_dir, "documents"), "doc_id"
+    )
     enriched = docs.select(
         "doc_id",
         "text",
         lang_id(F.col("text")).alias("lang"),
         quality_score(F.col("text")).alias("quality"),
-    )
+    ).cache()
     filtered = enriched.where((F.col("quality") >= 0.5) & (F.col("lang") == "en"))
     w = Window.partitionBy(fingerprint_md5(F.col("text")))
     exact = (

@@ -962,10 +962,19 @@ def blocked_entity_pairs(
     Blocking keys in practice: phonetic codes, sorted token prefixes,
     geo cells — anything equality-joinable.
     """
-    a = df.select(
-        *[F.col(c) for c in block_cols],
-        F.col(id_col).alias("id_a"),
-        F.col(compare_col).alias("__va"),
+    from etl_cascalog_spark.io import ensure_min_parallelism
+
+    # probe side parallel BEFORE the quadratic fan-out: a single-file dim
+    # scan otherwise broadcast-joins in ONE task and serializes every
+    # pair's levenshtein (the fs_linkage_scores lesson — the sf1
+    # parallelism lint flagged this exact stage at 6.8 s of a 7.5 s wall)
+    a = ensure_min_parallelism(
+        df.select(
+            *[F.col(c) for c in block_cols],
+            F.col(id_col).alias("id_a"),
+            F.col(compare_col).alias("__va"),
+        ),
+        *block_cols,
     )
     b = df.select(
         *[F.col(c) for c in block_cols],
@@ -981,11 +990,15 @@ def blocked_entity_pairs(
         )
         a = a.join(F.broadcast(sizes), on=block_cols, how="left_semi")
         b = b.join(F.broadcast(sizes), on=block_cols, how="left_semi")
+    # banded 3-arg levenshtein: computes only the ±max_dist diagonal band,
+    # returns -1 past the threshold — O(k·n) per pair, identical <= truth
     return (
         a.join(b, on=block_cols)
         .where(F.col("id_a") < F.col("id_b"))
-        .withColumn("dist", F.levenshtein("__va", "__vb"))
-        .where(F.col("dist") <= max_dist)
+        .withColumn(
+            "dist", F.expr(f"levenshtein(__va, __vb, {int(max_dist)})")
+        )
+        .where(F.col("dist") != -1)
         .select("id_a", "id_b", "dist")
     )
 
