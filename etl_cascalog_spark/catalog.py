@@ -2114,6 +2114,109 @@ def delta_shadow_merge_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 _NORM_SQL = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
 
 
+def _url_canonical_oracle_sql() -> str:
+    """DuckDB mirror of operators.text.canonicalize_url over the same
+    deterministically-derived messy URLs. The strip list is interpolated
+    from the shared TRACKING_PARAM_PREFIXES constant (the max_bucket
+    lesson: an oracle must share the operator's constants, not repeat
+    them)."""
+    from etl_cascalog_spark.operators.text import TRACKING_PARAM_PREFIXES
+
+    not_tracking = " OR ".join(
+        f"starts_with(x, '{p}')" for p in TRACKING_PARAM_PREFIXES
+    )
+    return rf"""
+    WITH raw AS (
+      SELECT doc_id,
+             concat(
+               CASE WHEN doc_id % 2 = 0 THEN 'https://WWW.' ELSE 'https://' END,
+               CASE WHEN doc_id % 2 = 0 THEN upper(source) ELSE source END,
+               '.Example.COM',
+               CASE WHEN doc_id % 3 = 0 THEN ':443' ELSE '' END,
+               '/docs/', CAST(doc_id % 25 AS VARCHAR),
+               CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END,
+               '?utm_source=feed&page=', CAST(doc_id % 4 AS VARCHAR),
+               CASE WHEN doc_id % 7 = 0 THEN '&utm_campaign=x' ELSE '' END,
+               '#sec', CAST(doc_id % 9 AS VARCHAR)
+             ) AS url
+      FROM documents
+    ),
+    parts AS (
+      SELECT doc_id, regexp_replace(url, '#.*$', '') AS no_frag FROM raw
+    ),
+    split_parts AS (
+      SELECT doc_id,
+        lower(regexp_extract(no_frag, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+        regexp_replace(regexp_replace(
+          lower(regexp_extract(no_frag, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?]*)', 1)),
+          '^www\.', ''), ':(80|443)$', '') AS host,
+        regexp_extract(no_frag, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?]*(.*)$', 1) AS rest
+      FROM parts
+    ),
+    pq AS (
+      SELECT doc_id, scheme, host,
+        CASE WHEN p1 = '' THEN '/'
+             WHEN length(p1) > 1 AND p1 LIKE '%/' THEN substring(p1, 1, length(p1) - 1)
+             ELSE p1 END AS path,
+        array_to_string(
+          list_sort(list_filter(string_split(regexp_extract(rest, '\?(.*)$', 1), '&'),
+            x -> x <> '' AND NOT ({not_tracking}))), '&') AS qstr
+      FROM (SELECT *, regexp_extract(rest, '^([^?]*)', 1) AS p1 FROM split_parts)
+    ),
+    canon AS (
+      SELECT doc_id,
+        concat(scheme, '://', host, path,
+               CASE WHEN qstr = '' THEN '' ELSE concat('?', qstr) END) AS canonical_url
+      FROM pq
+    )
+    SELECT canonical_url,
+           CAST(count(*) AS BIGINT) AS n_variants,
+           CAST(min(doc_id) AS BIGINT) AS keep_id
+    FROM canon GROUP BY 1
+    """
+
+
+@register(
+    "url_canonical_dedup",
+    oracle=_url_canonical_oracle_sql(),
+    doc="URL canonicalization + dedup (beyond-reference; the first dedup "
+    "tier of every web-corpus pipeline — two crawls of one page differ in "
+    "host case, default port, fragment, tracking params, param order, "
+    "trailing slash): canonicalize_url is a pure Column expression chain "
+    "(RE2-safe regexes, higher-order filter/sort on the query params — "
+    "map-side, codegen'd, no UDF), then one groupBy(canonical) keeping "
+    "min(doc_id) + the variant count. The messy URLs are derived "
+    "deterministically from (doc_id, source) so the oracle constructs "
+    "the identical input. At 100 TB: one uniform-key shuffle on the "
+    "canonical string — the cheapest dedup pass there is, which is why "
+    "production pipelines run it before any content hashing.",
+)
+def url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_cascalog_spark.operators.text import canonicalize_url
+
+    docs = read_table(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    url = F.concat(
+        F.when(d % 2 == 0, F.lit("https://WWW.")).otherwise(F.lit("https://")),
+        F.when(d % 2 == 0, F.upper("source")).otherwise(F.col("source")),
+        F.lit(".Example.COM"),
+        F.when(d % 3 == 0, F.lit(":443")).otherwise(F.lit("")),
+        F.lit("/docs/"), (d % 25).cast("string"),
+        F.when(d % 5 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.lit("?utm_source=feed&page="), (d % 4).cast("string"),
+        F.when(d % 7 == 0, F.lit("&utm_campaign=x")).otherwise(F.lit("")),
+        F.lit("#sec"), (d % 9).cast("string"),
+    )
+    return (
+        docs.select("doc_id", canonicalize_url(url).alias("canonical_url"))
+        .groupBy("canonical_url")
+        .agg(
+            F.count("*").cast("long").alias("n_variants"),
+            F.min("doc_id").cast("long").alias("keep_id"),
+        )
+    )
+
+
 @register(
     "doc_fingerprint",
     oracle=f"""

@@ -983,3 +983,73 @@ def remove_duplicate_spans(
             .alias("n_removed"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# URL canonicalization (beyond-reference): the web-corpus dedup key
+# ---------------------------------------------------------------------------
+
+#: query parameters that never change page identity (tracking noise) —
+#: the standard CommonCrawl/Brave-style strip list, prefix-matched
+TRACKING_PARAM_PREFIXES = ("utm_", "fbclid", "gclid", "msclkid", "ref_src")
+
+
+def canonicalize_url(col: Column) -> Column:
+    """Canonical form of an http(s) URL — the dedup key of every web-corpus
+    pipeline (two crawls of the same page differ in case, default port,
+    fragment, tracking params, trailing slash; near-dup text dedup at
+    100 TB starts by collapsing those for free on the URL).
+
+    Steps (all RE2-safe — no lookaround, so the SAME regexes run in a SQL
+    oracle): lowercase scheme+host, drop a leading ``www.``, drop the
+    default port (``:80`` http / ``:443`` https), drop the fragment, strip
+    tracking query params (:data:`TRACKING_PARAM_PREFIXES`), SORT the
+    surviving params (param order is not page identity), drop ``?`` when
+    no params survive, and drop one trailing slash from a non-root path.
+
+    Pure ``Column`` expression — map-side, codegen'd, no UDF.
+    """
+    no_frag = F.regexp_replace(col, r"#.*$", "")
+    scheme = F.lower(F.regexp_extract(no_frag, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    hostport = F.lower(
+        F.regexp_extract(no_frag, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?]*)", 1)
+    )
+    host = F.regexp_replace(
+        F.regexp_replace(hostport, r"^www\.", ""),
+        r":(80|443)$",
+        "",
+    )
+    rest = F.regexp_extract(no_frag, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?]*(.*)$", 1)
+    return _canonical_assemble(scheme, host, rest)
+
+
+def _canonical_assemble(scheme: Column, host: Column, rest: Column) -> Column:
+    path = F.regexp_extract(rest, r"^([^?]*)", 1)
+    path = F.when(path == F.lit(""), F.lit("/")).otherwise(path)
+    path = F.when(
+        (F.length(path) > 1) & path.endswith("/"),
+        path.substr(F.lit(1), F.length(path) - 1),
+    ).otherwise(path)
+    query = F.regexp_extract(rest, r"\?(.*)$", 1)
+    kept = F.array_sort(
+        F.filter(
+            F.split(query, "&"),
+            lambda p: (p != F.lit(""))
+            & ~_is_tracking_param(p),
+        )
+    )
+    qstr = F.array_join(kept, "&")
+    return F.concat(
+        scheme,
+        F.lit("://"),
+        host,
+        path,
+        F.when(qstr == F.lit(""), F.lit("")).otherwise(F.concat(F.lit("?"), qstr)),
+    )
+
+
+def _is_tracking_param(p: Column) -> Column:
+    cond = F.lit(False)
+    for pref in TRACKING_PARAM_PREFIXES:
+        cond = cond | p.startswith(pref)
+    return cond

@@ -2207,3 +2207,29 @@ def test_remove_duplicate_spans_semantics(spark):
     assert got[1] == ("alpha omega", 6, 4)
     assert got[2] == ("start end", 6, 4)
     assert got[3] == ("totally unique text here with nothing shared at all", 9, 0)
+
+
+def test_canonicalize_url_edge_cases(spark):
+    """canonicalize_url: the web-corpus dedup key. Covers host case,
+    default ports (http and https), www-strip, fragment, tracking-param
+    strip, param SORTING, bare-host root path, trailing slash, and an
+    empty query left by stripping."""
+    from etl_cascalog_spark.operators.text import canonicalize_url
+
+    cases = {
+        "https://WWW.Example.COM:443/a/b/?utm_source=x&id=5&utm_campaign=y#f":
+            "https://example.com/a/b?id=5",
+        "http://example.com:80/a/b?id=5": "http://example.com/a/b?id=5",
+        "http://example.com:8080/a": "http://example.com:8080/a",  # non-default port kept
+        "https://example.com": "https://example.com/",
+        "https://example.com/?fbclid=abc": "https://example.com/",
+        "HTTPS://Sub.Example.com/Path/": "https://sub.example.com/Path",
+        "https://example.com/a?z=1&a=2&utm_x=3": "https://example.com/a?a=2&z=1",
+        "https://example.com/a?": "https://example.com/a",
+    }
+    df = spark.createDataFrame([(k,) for k in cases], "url: string")
+    got = {
+        r.url: r.c
+        for r in df.select("url", canonicalize_url(F.col("url")).alias("c")).collect()
+    }
+    assert got == cases
