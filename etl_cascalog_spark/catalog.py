@@ -2116,57 +2116,83 @@ _NORM_SQL = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
 
 def _url_canonical_oracle_sql() -> str:
     """DuckDB mirror of operators.text.canonicalize_url over the same
-    deterministically-derived messy URLs. The strip list is interpolated
-    from the shared TRACKING_PARAM_PREFIXES constant (the max_bucket
-    lesson: an oracle must share the operator's constants, not repeat
-    them)."""
-    from etl_cascalog_spark.operators.text import TRACKING_PARAM_PREFIXES
+    deterministically-derived messy URLs. The strip list AND the
+    percent-normalization chain are interpolated from the operator's own
+    constants (TRACKING_PARAM_PREFIXES, pct_normalize_sql — the
+    max_bucket lesson: an oracle must share the operator's constants,
+    not repeat them). Mirrors the scheme-conditional default-port strip
+    and the malformed-input passthrough guard."""
+    from etl_cascalog_spark.operators.text import (
+        TRACKING_PARAM_PREFIXES,
+        pct_normalize_sql,
+    )
 
     not_tracking = " OR ".join(
         f"starts_with(x, '{p}')" for p in TRACKING_PARAM_PREFIXES
     )
+    rest_norm = pct_normalize_sql(
+        r"regexp_extract(no_frag, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?]*(.*)$', 1)"
+    )
     return rf"""
     WITH raw AS (
       SELECT doc_id,
-             concat(
-               CASE WHEN doc_id % 2 = 0 THEN 'https://WWW.' ELSE 'https://' END,
+             CASE WHEN doc_id % 13 = 9 THEN
+               concat('relative/doc-', CAST(doc_id % 17 AS VARCHAR))
+             ELSE concat(
+               CASE WHEN doc_id % 11 < 3 THEN 'http://' ELSE 'https://' END,
+               CASE WHEN doc_id % 2 = 0 THEN 'WWW.' ELSE '' END,
                CASE WHEN doc_id % 2 = 0 THEN upper(source) ELSE source END,
                '.Example.COM',
-               CASE WHEN doc_id % 3 = 0 THEN ':443' ELSE '' END,
+               CASE WHEN doc_id % 3 = 0 THEN ':443'
+                    WHEN doc_id % 3 = 1 THEN ':80' ELSE '' END,
                '/docs/', CAST(doc_id % 25 AS VARCHAR),
+               CASE WHEN doc_id % 6 = 0 THEN '~u'
+                    WHEN doc_id % 6 = 1 THEN '%7Eu'
+                    WHEN doc_id % 6 = 2 THEN '%7eu' ELSE '' END,
                CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END,
                '?utm_source=feed&page=', CAST(doc_id % 4 AS VARCHAR),
                CASE WHEN doc_id % 7 = 0 THEN '&utm_campaign=x' ELSE '' END,
+               CASE WHEN doc_id % 8 = 0 THEN '&x=a%2Fb'
+                    WHEN doc_id % 8 = 4 THEN '&x=a%2fb' ELSE '' END,
                '#sec', CAST(doc_id % 9 AS VARCHAR)
-             ) AS url
+             ) END AS url
       FROM documents
     ),
     parts AS (
-      SELECT doc_id, regexp_replace(url, '#.*$', '') AS no_frag FROM raw
+      SELECT doc_id, url, regexp_replace(url, '#.*$', '') AS no_frag FROM raw
     ),
     split_parts AS (
-      SELECT doc_id,
+      SELECT doc_id, url,
         lower(regexp_extract(no_frag, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
-        regexp_replace(regexp_replace(
+        regexp_replace(
           lower(regexp_extract(no_frag, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?]*)', 1)),
-          '^www\.', ''), ':(80|443)$', '') AS host,
-        regexp_extract(no_frag, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?]*(.*)$', 1) AS rest
+          '^www\.', '') AS host0,
+        {rest_norm} AS rest
       FROM parts
     ),
+    ported AS (
+      SELECT doc_id, url, scheme, rest,
+        CASE WHEN scheme = 'http' THEN regexp_replace(host0, ':80$', '')
+             WHEN scheme = 'https' THEN regexp_replace(host0, ':443$', '')
+             ELSE host0 END AS host
+      FROM split_parts
+    ),
     pq AS (
-      SELECT doc_id, scheme, host,
+      SELECT doc_id, url, scheme, host,
         CASE WHEN p1 = '' THEN '/'
              WHEN length(p1) > 1 AND p1 LIKE '%/' THEN substring(p1, 1, length(p1) - 1)
              ELSE p1 END AS path,
         array_to_string(
           list_sort(list_filter(string_split(regexp_extract(rest, '\?(.*)$', 1), '&'),
             x -> x <> '' AND NOT ({not_tracking}))), '&') AS qstr
-      FROM (SELECT *, regexp_extract(rest, '^([^?]*)', 1) AS p1 FROM split_parts)
+      FROM (SELECT *, regexp_extract(rest, '^([^?]*)', 1) AS p1 FROM ported)
     ),
     canon AS (
       SELECT doc_id,
-        concat(scheme, '://', host, path,
-               CASE WHEN qstr = '' THEN '' ELSE concat('?', qstr) END) AS canonical_url
+        CASE WHEN scheme = '' THEN url ELSE
+          concat(scheme, '://', host, path,
+                 CASE WHEN qstr = '' THEN '' ELSE concat('?', qstr) END)
+        END AS canonical_url
       FROM pq
     )
     SELECT canonical_url,
@@ -2182,31 +2208,49 @@ def _url_canonical_oracle_sql() -> str:
     doc="URL canonicalization + dedup (beyond-reference; the first dedup "
     "tier of every web-corpus pipeline — two crawls of one page differ in "
     "host case, default port, fragment, tracking params, param order, "
-    "trailing slash): canonicalize_url is a pure Column expression chain "
-    "(RE2-safe regexes, higher-order filter/sort on the query params — "
-    "map-side, codegen'd, no UDF), then one groupBy(canonical) keeping "
-    "min(doc_id) + the variant count. The messy URLs are derived "
-    "deterministically from (doc_id, source) so the oracle constructs "
-    "the identical input. At 100 TB: one uniform-key shuffle on the "
-    "canonical string — the cheapest dedup pass there is, which is why "
-    "production pipelines run it before any content hashing.",
+    "trailing slash, percent-encoding): canonicalize_url is a pure Column "
+    "expression chain (RE2-safe regexes, higher-order filter/sort on the "
+    "query params — map-side, codegen'd, no UDF), then one "
+    "groupBy(canonical) keeping min(doc_id) + the variant count. The "
+    "messy URLs are derived deterministically from (doc_id, source) so "
+    "the oracle constructs the identical input; the derivation crosses "
+    "http/https with :80/:443 (only the scheme's OWN default port may be "
+    "stripped), mixes ~u / %7Eu / %7eu and %2F / %2f encodings, and "
+    "includes scheme-less rows that must pass through unchanged. At "
+    "100 TB: one uniform-key shuffle on the canonical string — the "
+    "cheapest dedup pass there is, which is why production pipelines "
+    "run it before any content hashing.",
 )
 def url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_cascalog_spark.operators.text import canonicalize_url
 
     docs = read_table(spark, sf_dir, "documents")
     d = F.col("doc_id")
-    url = F.concat(
-        F.when(d % 2 == 0, F.lit("https://WWW.")).otherwise(F.lit("https://")),
+    well_formed = F.concat(
+        F.when(d % 11 < 3, F.lit("http://")).otherwise(F.lit("https://")),
+        F.when(d % 2 == 0, F.lit("WWW.")).otherwise(F.lit("")),
         F.when(d % 2 == 0, F.upper("source")).otherwise(F.col("source")),
         F.lit(".Example.COM"),
-        F.when(d % 3 == 0, F.lit(":443")).otherwise(F.lit("")),
+        F.when(d % 3 == 0, F.lit(":443"))
+        .when(d % 3 == 1, F.lit(":80"))
+        .otherwise(F.lit("")),
         F.lit("/docs/"), (d % 25).cast("string"),
+        F.when(d % 6 == 0, F.lit("~u"))
+        .when(d % 6 == 1, F.lit("%7Eu"))
+        .when(d % 6 == 2, F.lit("%7eu"))
+        .otherwise(F.lit("")),
         F.when(d % 5 == 0, F.lit("/")).otherwise(F.lit("")),
         F.lit("?utm_source=feed&page="), (d % 4).cast("string"),
         F.when(d % 7 == 0, F.lit("&utm_campaign=x")).otherwise(F.lit("")),
+        F.when(d % 8 == 0, F.lit("&x=a%2Fb"))
+        .when(d % 8 == 4, F.lit("&x=a%2fb"))
+        .otherwise(F.lit("")),
         F.lit("#sec"), (d % 9).cast("string"),
     )
+    url = F.when(
+        d % 13 == 9,
+        F.concat(F.lit("relative/doc-"), (d % 17).cast("string")),
+    ).otherwise(well_formed)
     return (
         docs.select("doc_id", canonicalize_url(url).alias("canonical_url"))
         .groupBy("canonical_url")
@@ -5157,12 +5201,14 @@ _DAYS_SQL = "datediff('day', DATE '1992-01-01', o_orderdate)"
       FROM orders
     ), q AS (
       -- power-of-2 quantization by shift: exact integer math, the same
-      -- bits Spark computes (quantize_pow2); length(bin(span)) is
-      -- DuckDB's bit_length, Python's span.bit_length() twin
+      -- bits Spark computes (quantize_pow2); length(bin(greatest(1,
+      -- span))) is DuckDB's bit_length, Python's max(1, span)
+      -- .bit_length() twin (greatest keeps span-0 domains in sync:
+      -- bin(0) has length 1 but (0).bit_length() == 0)
       SELECT (o_custkey - lox)
-               >> greatest(0, length(bin(hix - lox)) - 16) AS qx,
+               >> greatest(0, length(bin(greatest(1, hix - lox))) - 16) AS qx,
              ({_DAYS_SQL} - loy)
-               >> greatest(0, length(bin(hiy - loy)) - 16) AS qy,
+               >> greatest(0, length(bin(greatest(1, hiy - loy))) - 16) AS qy,
              o_custkey, {_DAYS_SQL} AS days
       FROM orders, b
     )

@@ -206,9 +206,16 @@ def render_delete_range(table: str, date_col: str, start_dt: str, end_dt: str) -
         # The regex gates SHAPE only — '2017-99-99' or '25:61:61' would
         # sail through into the rendered DELETE and fail (or be coerced)
         # inside the target database. Round-trip through the stdlib parser
-        # so semantic invalidity fails here, at render time.
+        # so semantic invalidity fails here, at render time. The fraction
+        # is right-padded to 6 digits first: pre-3.11 fromisoformat only
+        # accepts exactly 3 or 6 fractional digits, and the rendered SQL
+        # uses the original v either way.
+        iso = v.replace(" ", "T")
+        if "." in iso:
+            head, frac = iso.rsplit(".", 1)
+            iso = f"{head}.{frac.ljust(6, '0')}"
         try:
-            datetime.datetime.fromisoformat(v.replace(" ", "T"))
+            datetime.datetime.fromisoformat(iso)
         except ValueError as exc:
             raise ValueError(
                 f"render_delete_range: bound {v!r} matches the literal "

@@ -65,7 +65,9 @@ def zvalue(x: Column, y: Column, bits: int = 16, strict: bool = True) -> Column:
     return out
 
 
-def quantize_pow2(col: Column, lo: int, hi: int, bits: int) -> Column:
+def quantize_pow2(
+    col: Column, lo: int, hi: int, bits: int, strict: bool = True
+) -> Column:
     """Map ``col`` ∈ [lo, hi] onto [0, 2**bits) by a RIGHT SHIFT — the
     scale-proof front end of :func:`zvalue` for unbounded key domains
     (o_custkey outgrows 16 raw bits around sf0.5; a z-key only needs
@@ -73,20 +75,39 @@ def quantize_pow2(col: Column, lo: int, hi: int, bits: int) -> Column:
 
     Power-of-2 cells via shift, deliberately not division: ``(x-lo) >>
     s`` is exact integer math reproducible bit-for-bit in any SQL dialect
-    (DuckDB twin: ``(x - lo) >> greatest(0, length(bin(hi - lo)) -
-    bits)``), whereas ``floor((x-lo)*2^bits / span)`` in float is
+    (DuckDB twin: ``(x - lo) >> greatest(0, length(bin(greatest(1, hi -
+    lo))) - bits)`` — the inner ``greatest(1, …)`` keeps the twins in
+    sync at the degenerate span-0 domain, where Python's
+    ``(0).bit_length() == 0`` but DuckDB's ``length(bin(0)) == 1``),
+    whereas ``floor((x-lo)*2^bits / span)`` in float is
     double-rounding-unsafe near cell boundaries exactly when spans get
     big. Bounds come in as plain Python ints (a bounded 1-row agg
-    collect — the scalar-read class, not a data collect). Skewed domains
-    get uneven occupancy per cell; if that matters, range-partition rank
-    quantization is the alternative (at the cost of a sort), same as
-    Delta's OPTIMIZE ZORDER interleaves range-partition ids.
+    collect — the scalar-read class, not a data collect).
+
+    ``strict=True`` (default) raises at run time on values outside
+    ``[lo, hi]`` — the same posture as :func:`zvalue`: an out-of-domain
+    key would otherwise shift to a negative or aliased cell and quietly
+    corrupt the layout; clamping would alias it silently, which is
+    worse. Skewed domains get uneven occupancy per cell; if that
+    matters, range-partition rank quantization is the alternative (at
+    the cost of a sort), same as Delta's OPTIMIZE ZORDER interleaves
+    range-partition ids.
     """
     span = hi - lo
     if span < 0:
         raise ValueError(f"quantize_pow2: hi={hi} < lo={lo}")
-    shift = max(0, span.bit_length() - bits)
-    return F.shiftright(col.cast("long") - F.lit(lo), shift)
+    shift = max(0, max(1, span).bit_length() - bits)
+    q = F.shiftright(col.cast("long") - F.lit(lo), shift)
+    if strict:
+        ok = (col >= F.lit(lo)) & (col <= F.lit(hi))
+        guard = F.assert_true(
+            ok,
+            f"quantize_pow2: value outside [{lo}, {hi}] — it would shift "
+            "to a negative or aliased cell; widen the bounds to the real "
+            "column domain (clamping would alias silently)",
+        )
+        q = F.when(guard.isNull(), q)
+    return q
 
 
 def zvalue_sql(x: str, y: str, bits: int = 16) -> str:

@@ -574,6 +574,7 @@ def hard_negatives(
     label_col: str = "label",
     k: int = 3,
     anchor_filter: Column | None = None,
+    max_anchors: int = 10_000,
 ) -> DataFrame:
     """Hard-negative mining for contrastive training: for each anchor, the
     ``k`` highest-cosine vectors with a DIFFERENT label — the near-boundary
@@ -584,15 +585,31 @@ def hard_negatives(
 
     Same plan discipline as :func:`cosine_topk`: anchors broadcast, corpus
     streams, per-row norms precomputed, partitioned window top-k (keyed on
-    anchor — scales with anchor count, no global sort). At corpus scale
-    mine within LSH buckets first (:func:`lsh_bucket`) exactly like
-    :func:`lsh_cosine_topk`, trading recall of the single hardest negative
-    for a bucket-local candidate set; hard-negative mining tolerates that
-    approximation by design (any sufficiently-hard negative works).
+    anchor — scales with anchor count, no global sort). The anchor side is
+    BOUNDED and the bound is ENFORCED (same posture as
+    :func:`cosine_topk_blas`): this operator broadcasts anchors and scores
+    anchors × corpus, so an unfiltered call on a large table would be an
+    unguarded O(N²) cross-join plus an over-broadcast — it raises past
+    ``max_anchors`` instead of silently melting the cluster. At corpus
+    scale use :func:`hard_negatives_lsh` (bucketed candidate join, no
+    broadcast of the anchor set), trading recall of the single hardest
+    negative for a bucket-local candidate set; hard-negative mining
+    tolerates that approximation by design (any sufficiently-hard
+    negative works).
     """
     from etl_cascalog_spark.io import ensure_min_parallelism
 
     anchors = emb if anchor_filter is None else emb.where(anchor_filter)
+    n_a = anchors.limit(max_anchors + 1).count()
+    if n_a > max_anchors:
+        raise ValueError(
+            f"hard_negatives: anchor side exceeds max_anchors={max_anchors} "
+            "— this miner broadcasts the anchors and scores anchors x "
+            "corpus by design (curated anchor sets). For corpus-scale "
+            "mining use hard_negatives_lsh (bucketed candidate join, "
+            "nothing broadcast-unbounded), pass an anchor_filter, or "
+            "raise max_anchors explicitly if you know the set fits."
+        )
     a = F.broadcast(
         anchors.select(
             F.col(id_col).alias("anchor_id"),

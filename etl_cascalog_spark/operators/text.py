@@ -993,19 +993,82 @@ def remove_duplicate_spans(
 #: the standard CommonCrawl/Brave-style strip list, prefix-matched
 TRACKING_PARAM_PREFIXES = ("utm_", "fbclid", "gclid", "msclkid", "ref_src")
 
+#: RFC 3986 unreserved characters — the only octets whose percent-escapes
+#: are semantically identical to the bare character, so decoding them is
+#: always identity-preserving (``%7Euser`` == ``~user``). Everything else
+#: (reserved ``/ ? & = #`` etc.) stays encoded; only its hex CASE is
+#: normalized (``%2f`` -> ``%2F``), per RFC 3986 §6.2.2.1.
+_URL_UNRESERVED = (
+    "ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+    "abcdefghijklmnopqrstuvwxyz"
+    "0123456789-._~"
+)
+#: (escape, char) pairs keyed by UPPERCASE hex — applied after hex-case
+#: normalization so one table covers both ``%7E`` and ``%7e``.
+_PCT_DECODE = tuple((f"%{ord(c):02X}", c) for c in _URL_UNRESERVED)
+_HEX_LOWER = "abcdef"
+
+
+def _pct_normalize(col: Column) -> Column:
+    """Percent-encoding normalization (canonicalization tier 1.5) as a
+    pure ``Column`` chain: (1) uppercase the hex digits of every ``%XX``
+    escape (plain ``replace`` for the first nibble, one capture-group
+    ``regexp_replace`` per lowercase hex letter for the second), then
+    (2) decode the 66 unreserved escapes via plain string replaces.
+    :func:`pct_normalize_sql` is the mechanically-generated DuckDB twin —
+    both are driven by the same ``_PCT_DECODE`` table so they cannot
+    drift."""
+    for h in _HEX_LOWER:
+        col = F.replace(col, F.lit(f"%{h}"), F.lit(f"%{h.upper()}"))
+    for h in _HEX_LOWER:
+        col = F.regexp_replace(col, f"%([0-9A-F]){h}", f"%$1{h.upper()}")
+    for esc, ch in _PCT_DECODE:
+        col = F.replace(col, F.lit(esc), F.lit(ch))
+    return col
+
+
+def pct_normalize_sql(expr: str) -> str:
+    """DuckDB mirror of :func:`_pct_normalize`, generated from the SAME
+    ``_PCT_DECODE`` table (the max_bucket lesson: an oracle must share
+    the operator's constants, not repeat them). DuckDB regex backrefs
+    are ``\\1`` where Spark's are ``$1`` — the only divergence, and it
+    is syntactic."""
+    for h in _HEX_LOWER:
+        expr = f"replace({expr}, '%{h}', '%{h.upper()}')"
+    for h in _HEX_LOWER:
+        expr = f"regexp_replace({expr}, '%([0-9A-F]){h}', '%\\1{h.upper()}', 'g')"
+    for esc, ch in _PCT_DECODE:
+        expr = f"replace({expr}, '{esc}', '{ch}')"
+    return expr
+
 
 def canonicalize_url(col: Column) -> Column:
     """Canonical form of an http(s) URL — the dedup key of every web-corpus
     pipeline (two crawls of the same page differ in case, default port,
-    fragment, tracking params, trailing slash; near-dup text dedup at
-    100 TB starts by collapsing those for free on the URL).
+    fragment, tracking params, percent-encoding, param order, trailing
+    slash; near-dup text dedup at 100 TB starts by collapsing those for
+    free on the URL).
 
     Steps (all RE2-safe — no lookaround, so the SAME regexes run in a SQL
     oracle): lowercase scheme+host, drop a leading ``www.``, drop the
-    default port (``:80`` http / ``:443`` https), drop the fragment, strip
-    tracking query params (:data:`TRACKING_PARAM_PREFIXES`), SORT the
-    surviving params (param order is not page identity), drop ``?`` when
-    no params survive, and drop one trailing slash from a non-root path.
+    default port SCHEME-CONDITIONALLY (``:80`` only when http, ``:443``
+    only when https — ``http://host:443`` is a DIFFERENT origin than
+    ``http://host`` and must not merge), drop the fragment,
+    percent-normalize the path+query (decode unreserved ``%XX``,
+    uppercase remaining hex — :func:`_pct_normalize`), strip tracking
+    query params (:data:`TRACKING_PARAM_PREFIXES`), SORT the surviving
+    params (param order is not page identity), drop ``?`` when no params
+    survive, and drop one trailing slash from a non-root path.
+
+    **Malformed-input guard**: anything without a ``scheme://`` prefix
+    (bare host, relative path, garbage) passes through UNCHANGED — a
+    dirty URL must stay its own dedup key, never collapse into a shared
+    sentinel that silently merges unrelated documents.
+
+    Non-goals (documented contract): IDN/punycode folding
+    (``bücher.de`` vs ``xn--bcher-kva.de`` stay distinct) and host
+    percent-encoding — both are false NEGATIVES that fall through to
+    content-hash dedup, never false merges.
 
     Pure ``Column`` expression — map-side, codegen'd, no UDF.
     """
@@ -1014,13 +1077,18 @@ def canonicalize_url(col: Column) -> Column:
     hostport = F.lower(
         F.regexp_extract(no_frag, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?]*)", 1)
     )
-    host = F.regexp_replace(
-        F.regexp_replace(hostport, r"^www\.", ""),
-        r":(80|443)$",
-        "",
+    host = F.regexp_replace(hostport, r"^www\.", "")
+    host = (
+        F.when(scheme == F.lit("http"), F.regexp_replace(host, r":80$", ""))
+        .when(scheme == F.lit("https"), F.regexp_replace(host, r":443$", ""))
+        .otherwise(host)
     )
-    rest = F.regexp_extract(no_frag, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?]*(.*)$", 1)
-    return _canonical_assemble(scheme, host, rest)
+    rest = _pct_normalize(
+        F.regexp_extract(no_frag, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?]*(.*)$", 1)
+    )
+    return F.when(scheme == F.lit(""), col).otherwise(
+        _canonical_assemble(scheme, host, rest)
+    )
 
 
 def _canonical_assemble(scheme: Column, host: Column, rest: Column) -> Column:

@@ -1512,6 +1512,72 @@ def test_pq_adc_equals_reconstruction_l2(spark):
         assert abs(adc - round(want, 4)) <= 2e-4, (qid, nid)
 
 
+def test_quantize_pow2_twin_parity_and_strict(spark):
+    """quantize_pow2: bit-exact parity with its documented DuckDB twin
+    (including the degenerate span-0 domain where bin(0)/bit_length()
+    disagree without the greatest(1, span) guard), and the strict
+    out-of-domain raise instead of silent negative/aliased cells."""
+    import duckdb
+    import pytest
+
+    from etl_cascalog_spark.operators.layout import quantize_pow2
+
+    lo, hi, bits = 100, 3_700, 5
+    vals = [100, 101, 1_000, 2_047, 2_048, 3_699, 3_700]
+    df = spark.createDataFrame([(v,) for v in vals], "x long")
+    got = {
+        r.x: r.q
+        for r in df.select("x", quantize_pow2(F.col("x"), lo, hi, bits).alias("q"))
+        .collect()
+    }
+    twin = duckdb.sql(
+        f"SELECT x, (x - {lo}) >> greatest(0, length(bin(greatest(1, {hi - lo})))"
+        f" - {bits}) AS q FROM (SELECT unnest({vals}) AS x)"
+    ).fetchall()
+    assert got == {x: q for x, q in twin}
+    assert all(0 <= q < (1 << bits) for q in got.values())
+
+    # span-0 domain: the single in-domain value maps to cell 0 on BOTH sides
+    one = spark.createDataFrame([(7,)], "x long")
+    assert one.select(quantize_pow2(F.col("x"), 7, 7, 4).alias("q")).first().q == 0
+    assert duckdb.sql(
+        "SELECT (7 - 7) >> greatest(0, length(bin(greatest(1, 0))) - 4)"
+    ).fetchone()[0] == 0
+
+    # strict (default): out-of-domain value raises instead of shifting to
+    # a negative cell
+    bad = spark.createDataFrame([(99,)], "x long")
+    with pytest.raises(Exception, match="quantize_pow2"):
+        bad.select(quantize_pow2(F.col("x"), lo, hi, bits).alias("q")).collect()
+    # non-strict opt-out passes the raw shift through
+    assert (
+        bad.select(
+            quantize_pow2(F.col("x"), lo, hi, bits, strict=False).alias("q")
+        ).first().q
+        == -1
+    )
+
+
+def test_hard_negatives_anchor_bound_enforced(spark):
+    """hard_negatives raises past max_anchors (the cosine_topk_blas
+    posture): broadcasting an unbounded anchor set is an O(N^2)
+    cross-join at scale, so the guard must fail loudly and name the
+    bucketed variant — and a bound that fits must still work."""
+    import pytest
+
+    from etl_cascalog_spark.io import read_table
+    from etl_cascalog_spark.operators.similarity import hard_negatives
+    from tests.conftest import SF_SMOKE
+
+    emb = read_table(spark, SF_SMOKE, "embeddings")
+    with pytest.raises(ValueError, match="hard_negatives_lsh"):
+        hard_negatives(emb, max_anchors=5)
+    flt = F.col("vec_id") % 50 == 0
+    n_anchors = emb.where(flt).count()
+    got = hard_negatives(emb, anchor_filter=flt, k=1, max_anchors=n_anchors)
+    assert got.count() == n_anchors
+
+
 def test_hard_negatives_lsh_subset_of_bucket(spark):
     """The bucketed hard-negative miner returns different-label negatives
     from the anchor's bucket, and whenever the brute-force hardest
@@ -2221,11 +2287,27 @@ def test_canonicalize_url_edge_cases(spark):
             "https://example.com/a/b?id=5",
         "http://example.com:80/a/b?id=5": "http://example.com/a/b?id=5",
         "http://example.com:8080/a": "http://example.com:8080/a",  # non-default port kept
+        # cross cases: a port that is NOT the scheme's own default is a
+        # different origin and must survive canonicalization
+        "http://example.com:443/a": "http://example.com:443/a",
+        "https://example.com:80/a": "https://example.com:80/a",
+        "ftp://example.com:80/a": "ftp://example.com:80/a",
         "https://example.com": "https://example.com/",
         "https://example.com/?fbclid=abc": "https://example.com/",
         "HTTPS://Sub.Example.com/Path/": "https://sub.example.com/Path",
         "https://example.com/a?z=1&a=2&utm_x=3": "https://example.com/a?a=2&z=1",
         "https://example.com/a?": "https://example.com/a",
+        # percent-encoding: unreserved escapes decode (any hex case),
+        # reserved escapes keep their bytes but normalize hex case
+        "https://example.com/%7Euser/a": "https://example.com/~user/a",
+        "https://example.com/%7euser/a": "https://example.com/~user/a",
+        "https://example.com/~user/a": "https://example.com/~user/a",
+        "https://example.com/a?x=b%2fc": "https://example.com/a?x=b%2Fc",
+        # malformed / scheme-less inputs pass through unchanged — they
+        # must each stay their own dedup key
+        "example.com/a/b?id=5": "example.com/a/b?id=5",
+        "relative/path#frag": "relative/path#frag",
+        "": "",
     }
     df = spark.createDataFrame([(k,) for k in cases], "url: string")
     got = {
