@@ -2513,12 +2513,18 @@ def minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _simhash_oracle_sql() -> str:
+def _simhash_oracle_sql(banded: bool = False) -> str:
     """DuckDB oracle for simhash_dedup: the sketch hash is md5 (shared by
     both engines, bit-identical lowercase hex), so the 64 sign-sums are
     plain conditional aggregates; candidates need no banding here — the
     band pigeonhole gives EXACT recall at Hamming ≤ bands-1, so all-pairs
-    Hamming ≤ 3 is the same set the banded Spark plan emits."""
+    Hamming ≤ 3 is the same set the banded Spark plan emits.
+
+    ``banded=True`` swaps the all-pairs candidate join for the SAME
+    16-bit-band equi-join the engine runs (pigeonhole: Hamming ≤ 3 with
+    4 bands forces ≥1 identical band, so the result set is IDENTICAL) —
+    used by tools/sf1_oracle.py, where all-pairs is O(N²) at 50k docs
+    but the banded join stays affordable."""
     digits = ", ".join(
         f"strpos('0123456789abcdef', substr(hx, {i + 1}, 1)) - 1 AS d{i}"
         for i in range(16)
@@ -2528,18 +2534,43 @@ def _simhash_oracle_sql() -> str:
         for b in range(64)
     )
     bits = ", ".join(f"CASE WHEN v{b} > 0 THEN 1 ELSE 0 END" for b in range(64))
+    if banded:
+        cand = """
+    bands AS (
+      SELECT doc_id,
+             CAST(g.b AS INT) AS b,
+             array_to_string(list_slice(bits, g.b * 16 + 1, g.b * 16 + 16),
+                             '') AS bkey
+      FROM bits, (SELECT unnest(range(0, 4)) AS b) g
+    ),
+    cand AS (
+      SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+      FROM bands x JOIN bands y
+        ON x.b = y.b AND x.bkey = y.bkey AND x.doc_id < y.doc_id
+    ),
+    pairs AS (
+      SELECT c.doc_a, c.doc_b,
+             CAST(list_sum(list_transform(range(1, 65),
+                  i -> CASE WHEN a.bits[i] != b.bits[i] THEN 1 ELSE 0 END)) AS INTEGER) AS hamming
+      FROM cand c
+      JOIN bits a ON a.doc_id = c.doc_a
+      JOIN bits b ON b.doc_id = c.doc_b
+    )"""
+    else:
+        cand = """
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(list_sum(list_transform(range(1, 65),
+                  i -> CASE WHEN a.bits[i] != b.bits[i] THEN 1 ELSE 0 END)) AS INTEGER) AS hamming
+      FROM bits a JOIN bits b ON a.doc_id < b.doc_id
+    )"""
     return f"""
     WITH {_SHINGLE_BASE_CTE},
     hx AS (SELECT doc_id, md5(s) AS hx FROM sh),
     dig AS (SELECT doc_id, {digits} FROM hx),
     votes AS (SELECT doc_id, {votes} FROM dig GROUP BY doc_id),
     bits AS (SELECT doc_id, [{bits}] AS bits FROM votes),
-    pairs AS (
-      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-             CAST(list_sum(list_transform(range(1, 65),
-                  i -> CASE WHEN a.bits[i] != b.bits[i] THEN 1 ELSE 0 END)) AS INTEGER) AS hamming
-      FROM bits a JOIN bits b ON a.doc_id < b.doc_id
-    )
+    {cand}
     SELECT doc_a, doc_b, hamming FROM pairs WHERE hamming <= 3
     """
 

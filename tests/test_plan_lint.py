@@ -47,6 +47,35 @@ GLOBAL_WINDOW_OK = {
     "global_token_offsets inside the pipeline",
 }
 
+#: queries allowed a RUNTIME `WindowExec: No Partition Defined` warning that
+#: the STATIC lint cannot attribute (the window sits behind a cache/
+#: localCheckpoint boundary or inside an operator the static scan sees as
+#: bounded). Same hygiene contract as GLOBAL_WINDOW_OK: entry = boundedness
+#: argument. The runtime budget (tools/correctness_local.py) allows
+#: GLOBAL_WINDOW_OK ∪ this set and fails every other emitter.
+RUNTIME_GLOBAL_WINDOW_OK = {
+    "bm25_lexical_topk": "limit-before-rank: TakeOrderedAndProject keeps "
+    "k=10 rows, the global rank window runs over those 10 only "
+    "(text.bm25_topk docstring — the house top-k rule)",
+    "hybrid_search_rerank": "two limit-before-rank stages: lexical top-50 "
+    "candidates, then final top-10 — both windows over ≤50 rows",
+    "vocab_induction": "limit-before-rank over k=50 vocabulary rows "
+    "(text.vocab_top_tokens)",
+    "bpe_merge_candidates": "limit-before-rank over the top-20 pair rows",
+    "key_skew_profile": "limit-before-rank over top_k=5 heavy-key rows "
+    "(operators/profiling.py)",
+    "kmeans_cluster_profile": "seed-selection window over limit(k=8) rows "
+    "(operators/semantic.py:146-150)",
+    "semantic_dedup_kmeans": "same k=8 seed-selection window",
+    "surrogate_ids": "assign_dense_ids_scaled's offset-rebase window runs "
+    "over ONE ROW PER RANGE PARTITION (surrogate.py:77), never data rows",
+    "ods_merge_pipeline": "dw_id continuation: one window over the "
+    "s_suppkey<=6 ODS stand-in rows, one over the new-keys side of a "
+    "dim-sized merge (catalog ods_merge_pipeline; DIM_SMJ_OK twin note)",
+    "window_rank_suite": "rank semantics DEMAND a total order; input is "
+    "the supplier DIMENSION, documented size bound in the builder",
+}
+
 #: queries allowed a SortMergeJoin on a dim-only side — the dim table is a
 #: STAND-IN for a production fact-scale input, so SMJ is the intended shape.
 DIM_SMJ_OK = {
@@ -152,6 +181,41 @@ def test_plan_fingerprints_match_pins(lint_reports):
         "plan fingerprints drifted from PLAN_PINS.json (review, then "
         f"`python tools/plan_pin.py --write`): {json.dumps(diffs, indent=1)}"
     )
+
+
+def test_runtime_global_window_budget_artifact():
+    """Runtime twin of R2 (VERDICT r6 #5): the committed sf0.01 sweep
+    artifact carries per-query counts of actual `WindowExec: No Partition
+    Defined` warnings (captured from the driver JVM's stderr between
+    query markers — visible through cache boundaries the static lint
+    cannot cross). Budget: a nonzero count is allowed ONLY for queries
+    with a boundedness argument in GLOBAL_WINDOW_OK."""
+    art = PINS_PATH.parent / "CORRECTNESS_local_sf0.01.json"
+    data = json.loads(art.read_text())
+    missing = [n for n, r in data.items() if "global_window_warnings" not in r]
+    assert not missing, (
+        f"artifact predates the runtime warning budget — rerun "
+        f"tools/correctness_local.py: {missing[:5]}"
+    )
+    allowed = set(GLOBAL_WINDOW_OK) | set(RUNTIME_GLOBAL_WINDOW_OK)
+    bad = {
+        n: r["global_window_warnings"]
+        for n, r in data.items()
+        if r["global_window_warnings"] and n not in allowed
+    }
+    assert not bad, (
+        "runtime global-window warnings outside the allowlists "
+        f"(add ONLY with a boundedness argument): {bad}"
+    )
+    # hygiene: runtime-allowlist entries must name live queries that DID
+    # warn in the artifact — a silent entry means the window was fixed
+    for name, why in RUNTIME_GLOBAL_WINDOW_OK.items():
+        assert name in QUERIES, f"RUNTIME_GLOBAL_WINDOW_OK unknown: {name}"
+        if name in data:
+            assert data[name]["global_window_warnings"] > 0, (
+                f"{name} no longer warns at runtime — remove from "
+                "RUNTIME_GLOBAL_WINDOW_OK"
+            )
 
 
 def test_allowlists_reference_live_flagged_queries(lint_reports):

@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 import time
 from pathlib import Path
@@ -25,6 +26,46 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 from etl_cascalog_spark.session import get_spark, scoped_storage  # noqa: E402
 from etl_cascalog_spark.catalog import QUERIES  # noqa: E402
 from tests.oracle_utils import duckdb_con, normalize  # noqa: E402
+from tests.test_plan_lint import (  # noqa: E402
+    GLOBAL_WINDOW_OK,
+    RUNTIME_GLOBAL_WINDOW_OK,
+)
+
+#: the Spark executor's log text when a Window runs with an empty
+#: partitionSpec — the runtime twin of the static lint's R2, able to see
+#: through cache boundaries the static scan cannot
+_GLOBAL_WINDOW_WARN = "No Partition Defined for Window operation"
+_MARKER = "===QUERY "
+
+
+def _capture_stderr_to(path: str):
+    """Redirect OS-level fd 2 into ``path`` (so the driver JVM, launched
+    later, inherits it) and return a line-buffered writer on the ORIGINAL
+    stderr for progress output. Must run before the SparkSession exists."""
+    orig_fd = os.dup(2)
+    log_fd = os.open(path, os.O_CREAT | os.O_WRONLY | os.O_TRUNC)
+    os.dup2(log_fd, 2)
+    os.close(log_fd)
+    return os.fdopen(orig_fd, "w", buffering=1)
+
+
+def _mark_query(name: str) -> None:
+    """Interleave a query marker into the shared JVM/Python stderr stream
+    (raw fd write — Python and JVM both write fd 2, so ordering holds)."""
+    os.write(2, f"\n{_MARKER}{name}===\n".encode())
+
+
+def _window_warnings_per_query(path: str) -> dict[str, int]:
+    counts: dict[str, int] = {}
+    cur = None
+    with open(path, errors="replace") as fh:
+        for line in fh:
+            s = line.strip()
+            if s.startswith(_MARKER) and s.endswith("==="):
+                cur = s[len(_MARKER):-3]
+            elif _GLOBAL_WINDOW_WARN in line and cur is not None:
+                counts[cur] = counts.get(cur, 0) + 1
+    return counts
 
 
 def main() -> int:
@@ -56,12 +97,21 @@ def main() -> int:
         / f"CORRECTNESS_local_sf{args.sf.rstrip('/').split('sf')[-1]}.json"
     )
 
+    # Runtime global-window warning budget (VERDICT r6 #5): the driver JVM
+    # inherits fd 2, so every WindowExec warning lands in this log between
+    # our per-query markers — runtime evidence the static lint cannot get
+    # through cache boundaries. Progress lines keep going to the real
+    # stderr via the saved dup.
+    warn_log = f"/tmp/etl_gw_warn_{os.getpid()}.log"
+    progress = _capture_stderr_to(warn_log)
+
     spark = get_spark("correctness_local")
     con = duckdb_con(args.sf)
     results: dict[str, dict] = {}
     n_fail = 0
     t_start = time.perf_counter()
     for name in names:
+        _mark_query(name)
         spec = QUERIES[name]
         row = {
             "rows_match": False,
@@ -108,9 +158,29 @@ def main() -> int:
         print(
             f"# {'PASS' if good else 'FAIL'} {name} "
             f"({row['spark_rows']} rows)",
-            file=sys.stderr,
+            file=progress,
         )
         results[name] = row
+
+    # flush the JVM's console appender before parsing, then enforce the
+    # budget: a runtime global-window warning is a FAILURE unless the
+    # query carries a boundedness argument in GLOBAL_WINDOW_OK (single
+    # source of truth: tests/test_plan_lint.py)
+    spark.stop()
+    warn_counts = _window_warnings_per_query(warn_log)
+    budget_bad: list[str] = []
+    for name in names:
+        n_warn = warn_counts.get(name, 0)
+        results[name]["global_window_warnings"] = n_warn
+        if n_warn and name not in GLOBAL_WINDOW_OK and name not in RUNTIME_GLOBAL_WINDOW_OK:
+            budget_bad.append(name)
+            if results[name]["err"] is None:
+                results[name]["err"] = (
+                    f"runtime global-window budget: {n_warn} WindowExec "
+                    "warning(s) and not allowlisted (GLOBAL_WINDOW_OK / "
+                    "RUNTIME_GLOBAL_WINDOW_OK)"
+                )
+            n_fail += 1
 
     out_path.write_text(json.dumps(results, indent=1) + "\n")
     total = time.perf_counter() - t_start
@@ -121,6 +191,10 @@ def main() -> int:
                 "failed": n_fail,
                 "sf": args.sf,
                 "wall_sec": round(total, 1),
+                "global_window_warnings": sum(
+                    warn_counts.get(n, 0) for n in names
+                ),
+                "global_window_budget_violations": budget_bad,
                 "artifact": str(out_path),
             }
         )

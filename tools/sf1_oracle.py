@@ -1,0 +1,403 @@
+"""Exact sf1 oracles for the heavy queries (VERDICT r6 #1).
+
+``SF1_UNORACLED.json``'s 14 queries carried only invariant/rows evidence at
+sf1 because their catalog DuckDB oracles are unaffordable there — the
+recursive-CTE transitive closures enumerate ALL (source, reachable) pairs
+(quadratic in component size) and the simhash/semantic oracles verify
+all-pairs. This harness computes the SAME results with affordable
+formulations and hash-compares them against the Spark engine, driver-style:
+
+- **shared pair set**: the exact-Jaccard ``jpairs`` CTE (the catalog's own
+  ``_SHINGLE_CTE`` fragment, imported — not copied) is materialized ONCE
+  and reused by the six document-graph queries;
+- **connected components**: min-label-propagation FIXPOINT loop over DuckDB
+  temp tables (each round one edge join; rounds = graph diameter) instead
+  of the recursive closure. At the fixpoint every node holds
+  min(component) — exactly what ``least(s, min(t)) … FROM reach`` computes
+  — so the catalog oracle SQL is reused VERBATIM with only the ``reach``
+  CTE swapped for ``SELECT node AS s, label AS t FROM <cc table>``
+  (textual surgery on the exact fragment; any drift in the catalog oracle
+  breaks the substitution loudly, not silently);
+- **simhash**: the catalog builder's ``banded=True`` variant — the same
+  16-bit-band candidate join the engine runs, EXACT at Hamming ≤ 3 by the
+  band pigeonhole (validated equal to all-pairs at sf0.01);
+- **semantic k-means**: a third-engine witness — quantization to integer
+  units in DuckDB (the proven float→int boundary, same expression as the
+  catalog oracle), then the Lloyd iterations, tie-broken argmin,
+  truncating-division centroid updates, and within-cluster pair distances
+  in EXACT numpy int64 (blockwise, no float path);
+- **pagerank / triangle / blocking / linkage**: catalog oracles VERBATIM —
+  non-recursive, affordable at sf1 (measured here, recorded per query).
+
+Output: driver-format rows (rows/schema/hash per query) written to
+``--out`` (default /tmp/sf1_heavy.json). Merge with the affordable-subset
+sweep via tools/sf1_merge.py into CORRECTNESS_local_sf1.json.
+
+Usage: python tools/sf1_oracle.py [--sf /tmp/etl_sf1] [--out PATH]
+       [--only a,b]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import numpy as np  # noqa: E402
+import pandas as pd  # noqa: E402
+
+from etl_cascalog_spark.catalog import (  # noqa: E402
+    QUERIES,
+    _SHINGLE_CTE,
+    _simhash_oracle_sql,
+)
+from etl_cascalog_spark.session import get_spark, scoped_storage  # noqa: E402
+from tests.oracle_utils import duckdb_con, normalize  # noqa: E402
+
+#: exact textual fragments of the catalog oracles this tool rewrites —
+#: if a catalog edit changes them, the substitution asserts instead of
+#: silently verifying something else
+_REACH_DOCGRAPH = """reach(s, t) AS (
+      SELECT s, t FROM e
+      UNION
+      SELECT r.s, e2.t FROM reach r JOIN e e2 ON r.t = e2.s
+    )"""
+_REACH_PIPELINE = """reach(s, t) AS (
+      SELECT s, t FROM eg
+      UNION SELECT r.s, e2.t FROM reach r JOIN eg e2 ON r.t = e2.s
+    )"""
+
+HEAVY = [
+    "prefix_filter_jaccard_dedup",
+    "neardup_clusters",
+    "neardup_clusters_star",
+    "dedup_cluster_sizes",
+    "neardup_keep_best",
+    "cluster_keyed_split_audit",
+    "corpus_curation_pipeline",
+    "training_data_pipeline",
+    "simhash_dedup",
+    "semantic_dedup_kmeans",
+    "pagerank_copurchase",
+    "triangle_count",
+    "entity_blocking_pairs",
+    "fs_linkage_scores",
+]
+
+
+def _sub(sql: str, old: str, new: str) -> str:
+    assert old in sql, (
+        "catalog oracle no longer contains the fragment this tool rewrites "
+        f"— update tools/sf1_oracle.py:\n{old}"
+    )
+    return sql.replace(old, new)
+
+
+def cc_fixpoint(con, pairs_table: str, out_table: str) -> int:
+    """Exact connected components by min-label propagation to FIXPOINT.
+
+    ``pairs_table`` has (doc_a, doc_b); labels start at least(self, min
+    neighbor) and each round take the min over self ∪ neighbors. At the
+    fixpoint every node's label is min(component) — the identical value
+    the recursive-closure oracle derives — in O(diameter) rounds of one
+    edge join each, never a quadratic closure."""
+    con.execute(
+        f"""CREATE OR REPLACE TEMP TABLE __edges AS
+        SELECT doc_a AS s, doc_b AS t FROM {pairs_table}
+        UNION SELECT doc_b, doc_a FROM {pairs_table}"""
+    )
+    con.execute(
+        """CREATE OR REPLACE TEMP TABLE __lbl AS
+        SELECT s AS node, least(s, min(t)) AS label FROM __edges GROUP BY s"""
+    )
+    rounds = 0
+    while True:
+        rounds += 1
+        con.execute(
+            """CREATE OR REPLACE TEMP TABLE __lbl2 AS
+            SELECT node, min(label) AS label FROM (
+              SELECT node, label FROM __lbl
+              UNION ALL
+              SELECT e.s AS node, l.label FROM __edges e
+              JOIN __lbl l ON l.node = e.t
+            ) GROUP BY node"""
+        )
+        changed = con.execute(
+            """SELECT count(*) FROM __lbl a JOIN __lbl2 b
+               ON a.node = b.node AND a.label <> b.label"""
+        ).fetchone()[0]
+        con.execute("CREATE OR REPLACE TEMP TABLE __lbl AS SELECT * FROM __lbl2")
+        if changed == 0:
+            break
+    con.execute(
+        f"CREATE OR REPLACE TEMP TABLE {out_table} AS SELECT * FROM __lbl"
+    )
+    return rounds
+
+
+def _docgraph_sql(name: str, cc_table: str) -> str:
+    """Catalog oracle verbatim, with (1) the shingle self-join replaced by
+    the materialized pair table and (2) the recursive closure replaced by
+    the fixpoint labels."""
+    sql = QUERIES[name].oracle
+    sql = _sub(
+        sql,
+        _SHINGLE_CTE,
+        "\n    jpairs AS (SELECT doc_a, doc_b, jaccard FROM t_jpairs)\n",
+    )
+    if _REACH_DOCGRAPH in sql:
+        sql = _sub(
+            sql,
+            _REACH_DOCGRAPH,
+            f"reach(s, t) AS (SELECT node AS s, label AS t FROM {cc_table})",
+        )
+        sql = _sub(sql, "WITH RECURSIVE", "WITH")
+    return sql
+
+
+def _pipeline_head(name: str) -> str:
+    """The pipeline oracle's prefix up to the survivor pair set ``jp`` —
+    used to materialize t_jp2 once for both pipelines."""
+    sql = QUERIES[name].oracle
+    head = sql.split("), eg AS (", 1)[0] + ")"
+    return _sub(head, "WITH RECURSIVE", "WITH")
+
+
+def _pipeline_sql(name: str, cc_table: str) -> str:
+    """Pipeline oracle with the survivor-graph shingle join + closure
+    block replaced: jp comes from t_jp2, losers from the fixpoint."""
+    sql = QUERIES[name].oracle
+    pre, rest = sql.split("), tok AS (", 1)
+    marker = "HAVING min(t) < s\n    )"
+    assert marker in rest, "pipeline oracle tail drifted — update sf1_oracle"
+    post = rest.split(marker, 1)[1]
+    sql = (
+        pre
+        + f"), losers AS (SELECT node AS s FROM {cc_table} WHERE label < node)"
+        + post
+    )
+    return _sub(sql, "WITH RECURSIVE", "WITH")
+
+
+# ---------------------------------------------------------------------------
+# semantic k-means: numpy int64 witness
+# ---------------------------------------------------------------------------
+
+
+def _trunc_div(a: np.ndarray, n: int) -> np.ndarray:
+    """SQL integer division (DuckDB ``//``, Spark ``div``): truncation
+    toward zero — numpy's ``//`` floors, which differs on negatives."""
+    return np.sign(a) * (np.abs(a) // n)
+
+
+def semantic_kmeans_witness(con, k: int = 8, iters: int = 3) -> pd.DataFrame:
+    """Third-engine twin of semantic_dedup_kmeans: DuckDB quantization
+    (catalog-oracle expression), exact int64 Lloyd iterations + pair
+    distances in numpy. Mirrors operators/semantic.py: seed = k lowest
+    ids, ties -> lower cid, centroid = sum div count (truncating), final
+    pairs within clusters at dist <= 1.5e12."""
+    rows = con.execute(
+        """SELECT vec_id AS id,
+                  list_transform(embedding,
+                    x -> CAST(round(CAST(x AS DOUBLE) * 1000000, 0) AS BIGINT))
+                    AS units
+           FROM embeddings ORDER BY vec_id"""
+    ).fetchall()
+    ids = np.array([r[0] for r in rows], dtype=np.int64)
+    units = np.array([r[1] for r in rows], dtype=np.int64)
+
+    seed_idx = np.argsort(ids, kind="stable")[:k]
+    cents = units[np.sort(seed_idx)]  # cid 0..k-1 in id order
+    cids = np.arange(k, dtype=np.int64)
+    assign = None
+    for it in range(iters):
+        # exact int64 distances to each live centroid; argmin picks the
+        # FIRST minimum and cids are ascending -> tie goes to lower cid
+        d = np.empty((len(ids), len(cids)), dtype=np.int64)
+        for j in range(len(cids)):
+            diff = units - cents[j]
+            d[:, j] = np.einsum("ij,ij->i", diff, diff)
+        assign = cids[np.argmin(d, axis=1)]
+        if it < iters - 1:
+            live, new_cents = [], []
+            for c in np.unique(assign):
+                m = assign == c
+                s = units[m].sum(axis=0, dtype=np.int64)
+                live.append(c)
+                new_cents.append(_trunc_div(s, int(m.sum())))
+            cids = np.array(live, dtype=np.int64)
+            cents = np.array(new_cents, dtype=np.int64)
+
+    out_a, out_b, out_c, out_d = [], [], [], []
+    for c in np.unique(assign):
+        m = assign == c
+        cid_ids, cu = ids[m], units[m]
+        order = np.argsort(cid_ids, kind="stable")
+        cid_ids, cu = cid_ids[order], cu[order]
+        n = len(cid_ids)
+        block = 512
+        for i0 in range(0, n, block):
+            a = cu[i0 : i0 + block]
+            diff = a[:, None, :] - cu[None, :, :]  # int64 exact
+            dist = np.einsum("ijk,ijk->ij", diff, diff)
+            for ii in range(a.shape[0]):
+                gi = i0 + ii
+                sel = np.arange(gi + 1, n)  # id_a < id_b via sorted ids
+                keep = sel[dist[ii, gi + 1 :] <= 1_500_000_000_000]
+                if len(keep):
+                    out_a.extend([cid_ids[gi]] * len(keep))
+                    out_b.extend(cid_ids[keep])
+                    out_c.extend([int(c)] * len(keep))
+                    out_d.extend(dist[ii, keep])
+    return pd.DataFrame(
+        {
+            "id_a": np.array(out_a, dtype=np.int64),
+            "id_b": np.array(out_b, dtype=np.int64),
+            "cluster": np.array(out_c, dtype=np.int32),
+            "dist": np.array(out_d, dtype=np.int64),
+        }
+    )
+
+
+# ---------------------------------------------------------------------------
+
+
+def compare_frames(got: pd.DataFrame, want: pd.DataFrame) -> dict:
+    row = {
+        "rows_match": len(got) == len(want),
+        "schema_match": list(got.columns) == list(want.columns),
+        "hash_match": False,
+        "spark_rows": int(len(got)),
+        "oracle_rows": int(len(want)),
+        "err": None,
+    }
+    if row["rows_match"] and row["schema_match"]:
+        ok = True
+        for c in got.columns:
+            g, w = got[c], want[c]
+            if g.dtype.kind == "f" or w.dtype.kind == "f":
+                g, w = g.astype(float), w.astype(float)
+            eq = (g == w) | (g.isna() & w.isna())
+            if not bool(eq.all()):
+                ok = False
+                row["err"] = f"values differ in column {c}"
+                break
+        row["hash_match"] = ok
+    return row
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf", default="/tmp/etl_sf1")
+    ap.add_argument("--out", default="/tmp/sf1_heavy.json")
+    ap.add_argument("--only", default=None)
+    args = ap.parse_args()
+    names = [n for n in args.only.split(",") if n] if args.only else HEAVY
+
+    spark = get_spark("sf1_oracle")
+    con = duckdb_con(args.sf)
+    results: dict[str, dict] = {}
+    t0 = time.perf_counter()
+
+    # shared materializations (timed + attributed in the artifact)
+    shared: dict[str, float] = {}
+    doc_graph = {
+        "prefix_filter_jaccard_dedup",
+        "neardup_clusters",
+        "neardup_clusters_star",
+        "dedup_cluster_sizes",
+        "neardup_keep_best",
+        "cluster_keyed_split_audit",
+    }
+    if doc_graph & set(names):
+        t = time.perf_counter()
+        con.execute(
+            f"CREATE OR REPLACE TEMP TABLE t_jpairs AS WITH {_SHINGLE_CTE} "
+            "SELECT doc_a, doc_b, jaccard FROM jpairs"
+        )
+        shared["t_jpairs_sec"] = round(time.perf_counter() - t, 1)
+        t = time.perf_counter()
+        shared["cc_rounds"] = cc_fixpoint(con, "t_jpairs", "t_cc")
+        shared["t_cc_sec"] = round(time.perf_counter() - t, 1)
+    pipelines = {"corpus_curation_pipeline", "training_data_pipeline"}
+    if pipelines & set(names):
+        # both pipelines share the survivor-pair prefix; t_jp2 is built
+        # from one of them, so they must still be textually identical
+        assert _pipeline_head("corpus_curation_pipeline") == _pipeline_head(
+            "training_data_pipeline"
+        ), "pipeline oracle prefixes diverged — update sf1_oracle"
+        t = time.perf_counter()
+        con.execute(
+            "CREATE OR REPLACE TEMP TABLE t_jp2 AS "
+            + _pipeline_head("corpus_curation_pipeline")
+            + " SELECT doc_a, doc_b FROM jp"
+        )
+        shared["cc2_rounds"] = cc_fixpoint(con, "t_jp2", "t_cc2")
+        shared["t_jp2_cc2_sec"] = round(time.perf_counter() - t, 1)
+
+    def oracle_df(name: str) -> pd.DataFrame:
+        if name in doc_graph:
+            return con.execute(_docgraph_sql(name, "t_cc")).df()
+        if name in pipelines:
+            return con.execute(_pipeline_sql(name, "t_cc2")).df()
+        if name == "simhash_dedup":
+            return con.execute(_simhash_oracle_sql(banded=True)).df()
+        if name == "semantic_dedup_kmeans":
+            return semantic_kmeans_witness(con)
+        return con.execute(QUERIES[name].oracle).df()
+
+    n_fail = 0
+    for name in names:
+        t = time.perf_counter()
+        try:
+            with scoped_storage(spark):
+                got = normalize(QUERIES[name].build(spark, args.sf).toPandas())
+            t_spark = time.perf_counter()
+            want = normalize(oracle_df(name))
+            row = compare_frames(got, want)
+            row["spark_sec"] = round(t_spark - t, 1)
+            row["oracle_sec"] = round(time.perf_counter() - t_spark, 1)
+        except Exception as e:  # noqa: BLE001 — report, don't abort
+            row = {
+                "rows_match": False,
+                "schema_match": False,
+                "hash_match": False,
+                "spark_rows": None,
+                "oracle_rows": None,
+                "err": f"{type(e).__name__}: {e}"[:500],
+            }
+        good = (
+            row["rows_match"] and row["schema_match"] and row["hash_match"]
+            and row["err"] is None
+        )
+        n_fail += 0 if good else 1
+        print(
+            f"# {'PASS' if good else 'FAIL'} {name} ({row['spark_rows']} rows,"
+            f" spark {row.get('spark_sec')}s oracle {row.get('oracle_sec')}s)",
+            file=sys.stderr,
+        )
+        results[name] = row
+
+    out = {"shared": shared, "results": results}
+    Path(args.out).write_text(json.dumps(out, indent=1) + "\n")
+    print(
+        json.dumps(
+            {
+                "checked": len(results),
+                "failed": n_fail,
+                "sf": args.sf,
+                "wall_sec": round(time.perf_counter() - t0, 1),
+                "shared": shared,
+                "artifact": args.out,
+            }
+        )
+    )
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
