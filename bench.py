@@ -29,6 +29,17 @@ from etl_cascalog_spark.session import (  # noqa: E402
 from etl_cascalog_spark.catalog import QUERIES  # noqa: E402
 
 
+def loadavg() -> float:
+    """1-minute host load — stamped per query so driver-vs-builder swings
+    on this co-tenant box are attributable mechanically (same code, same
+    day measured 0.8 s vs 1.6 s on tpch_q8; the load stamp is the
+    instrument that says which run was squeezed)."""
+    try:
+        return float(open("/proc/loadavg").read().split()[0])
+    except OSError:  # non-Linux fallback: absent, not fabricated
+        return float("nan")
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").split("sf")[-1]
@@ -96,14 +107,18 @@ def main() -> None:
     jvm_system = spark._jvm.java.lang.System  # noqa: SLF001
 
     timings: dict[str, float] = {}
+    query_meta: dict[str, dict] = {}
+    load_start = loadavg()
     for name in sorted(QUERIES):
         if n_samples > 1:
             jvm_system.gc()
+        load_q = loadavg()
         first = run_once(name)
+        samples = [first]
         if n_samples > 1 and first >= MIN_FLOOR_S:
             # honor the requested N exactly (N=5 takes 5 base samples,
             # N=2 takes 2) — the knob is a sample count, not an on/off bit
-            samples = [first] + [run_once(name) for _ in range(n_samples - 1)]
+            samples += [run_once(name) for _ in range(n_samples - 1)]
             # adaptive escalation: a wide 3-sample spread means a noise
             # window covered part of the triple — two more samples give
             # min() a shot at a quiet slot (bounded: only volatile
@@ -117,6 +132,11 @@ def main() -> None:
             )
         else:
             timings[name] = first
+        query_meta[name] = {
+            "n_samples": len(samples),
+            "samples": samples,
+            "loadavg": load_q,
+        }
 
     release_all_blocks(spark)  # sweep epilogue: also clears SQL-cache metadata
     total = round(sum(timings.values()), 3)
@@ -127,6 +147,9 @@ def main() -> None:
             "unit": "sec",
             "queries": timings,
             "sf": float(sf),
+            "loadavg_start": load_start,
+            "loadavg_end": loadavg(),
+            "query_meta": query_meta,
         }
     )
     # Full per-query map -> committed artifact (survives any pipe handling).

@@ -7601,6 +7601,127 @@ def fs_linkage_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_FS_FINE_ORACLE = """
+    WITH blk AS (
+      SELECT c_custkey, c_nationkey, c_mktsegment, c_name,
+             CAST(c_acctbal AS DECIMAL(12,2)) AS bal,
+             CAST(floor(CAST(c_acctbal AS DECIMAL(12,2)) / 1000) AS BIGINT)
+               AS bband
+      FROM customer
+    ),
+    pairs AS (
+      SELECT levenshtein(a.c_name, b.c_name) <= 3 AS ag_name,
+             abs(a.bal - b.bal) <= 500 AS ag_bal,
+             substr(a.c_name, 1, 8) = substr(b.c_name, 1, 8) AS ag_prefix
+      FROM blk a JOIN blk b
+        ON a.c_nationkey = b.c_nationkey AND a.c_mktsegment = b.c_mktsegment
+       AND a.bband = b.bband
+       AND a.c_custkey < b.c_custkey
+    ),
+    u AS (
+      SELECT CAST(sum(CASE WHEN ag_name THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS u_name,
+             CAST(sum(CASE WHEN ag_bal THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS u_bal,
+             CAST(sum(CASE WHEN ag_prefix THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS u_prefix
+      FROM pairs
+    ),
+    scored AS (
+      SELECT CAST(floor(
+          (CASE WHEN ag_name   THEN log2(0.9 / u_name)   ELSE log2(0.1 / (1 - u_name))   END)
+        + (CASE WHEN ag_bal    THEN log2(0.7 / u_bal)    ELSE log2(0.3 / (1 - u_bal))    END)
+        + (CASE WHEN ag_prefix THEN log2(0.8 / u_prefix) ELSE log2(0.2 / (1 - u_prefix)) END)
+      ) AS BIGINT) AS score_band
+      FROM pairs, u
+    )
+    SELECT score_band, count(*) AS n_pairs
+    FROM scored GROUP BY 1
+    """
+
+
+@register(
+    "fs_linkage_scores_fine",
+    oracle=_FS_FINE_ORACLE,
+    doc="fs_linkage_scores on the SCALE-REAL composite blocking key: "
+    "nation x segment x acctbal-thousand-band (~1375 blocks vs the "
+    "125-key demo — TPC-H names are uniform 'Customer#NNN', so the "
+    "data-honest finer key is the balance band; real linkage would use "
+    "a phonetic name key the same way). Blocking is a RECALL parameter "
+    "by linkage semantics: this query's contract is the finer pair set. "
+    "Pair count drops ~11x (quadratic-in-block-size: 90M -> 8M pairs at "
+    "sf1), which is the difference between a demo and a deployable "
+    "blocking pass; same one-pass collapse to 2^3 agreement patterns, "
+    "banded 3-arg levenshtein, 8-row metadata after the fan-out.",
+)
+def fs_linkage_scores_fine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = read_table(spark, sf_dir, "customer")
+    bband = F.floor(money(F.col("c_acctbal")) / 1000).cast("long")
+    a = ensure_min_parallelism(
+        cust.select(
+            F.col("c_custkey").alias("ka"),
+            F.col("c_nationkey").alias("blk_n"),
+            F.col("c_mktsegment").alias("blk_s"),
+            bband.alias("blk_b"),
+            F.col("c_name").alias("name_a"),
+            money(F.col("c_acctbal")).alias("bal_a"),
+        ),
+        "blk_n",
+        "blk_s",
+    )
+    b = cust.select(
+        F.col("c_custkey").alias("kb"),
+        F.col("c_nationkey").alias("blk_n"),
+        F.col("c_mktsegment").alias("blk_s"),
+        bband.alias("blk_b"),
+        F.col("c_name").alias("name_b"),
+        money(F.col("c_acctbal")).alias("bal_b"),
+    )
+    pairs = (
+        a.join(b, ["blk_n", "blk_s", "blk_b"])
+        .where(F.col("ka") < F.col("kb"))
+        .select(
+            (F.expr("levenshtein(name_a, name_b, 3)") != -1).alias("ag_name"),
+            (F.abs(F.col("bal_a") - F.col("bal_b")) <= 500).alias("ag_bal"),
+            (F.substring("name_a", 1, 8) == F.substring("name_b", 1, 8)).alias(
+                "ag_prefix"
+            ),
+        )
+    )
+    patterns = pairs.groupBy("ag_name", "ag_bal", "ag_prefix").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    tot = F.sum("c").over(Window.partitionBy())
+    agree_rate = lambda col: (  # noqa: E731
+        F.sum(F.when(F.col(col), F.col("c")).otherwise(0)).over(Window.partitionBy())
+        .cast("double")
+        / tot.cast("double")
+    )
+    with_u = patterns.select(
+        "ag_name",
+        "ag_bal",
+        "ag_prefix",
+        "c",
+        agree_rate("ag_name").alias("u_name"),
+        agree_rate("ag_bal").alias("u_bal"),
+        agree_rate("ag_prefix").alias("u_prefix"),
+    )
+    log2 = lambda c: F.log2(c)  # noqa: E731
+    weight = (
+        F.when(F.col("ag_name"), log2(F.lit(0.9) / F.col("u_name"))).otherwise(
+            log2(F.lit(0.1) / (F.lit(1) - F.col("u_name")))
+        )
+        + F.when(F.col("ag_bal"), log2(F.lit(0.7) / F.col("u_bal"))).otherwise(
+            log2(F.lit(0.3) / (F.lit(1) - F.col("u_bal")))
+        )
+        + F.when(F.col("ag_prefix"), log2(F.lit(0.8) / F.col("u_prefix"))).otherwise(
+            log2(F.lit(0.2) / (F.lit(1) - F.col("u_prefix")))
+        )
+    )
+    return (
+        with_u.select(F.floor(weight).cast("long").alias("score_band"), "c")
+        .groupBy("score_band")
+        .agg(F.sum("c").alias("n_pairs"))
+    )
+
+
 from etl_cascalog_spark.operators.sketches import portable_hash32_sql as _ph32_sql  # noqa: E402
 
 

@@ -36,6 +36,8 @@ GLOBAL_WINDOW_OK = {
     "(bin = least(floor(price/6000), 99) — hard cap in the binning expr)",
     "fs_linkage_scores": "window input is the 2^3-row agreement-pattern "
     "aggregate (three booleans group to ≤8 rows at any scale)",
+    "fs_linkage_scores_fine": "same ≤8-row agreement-pattern aggregate "
+    "(finer blocking changes the pair set, not the pattern collapse)",
     "id_gap_audit": "window input is one row per 65536-id bucket "
     "(65536× reduction; ~2M metadata rows even at 150B orders)",
     "order_interval_concurrency": "window input is one row per calendar "

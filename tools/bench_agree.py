@@ -27,8 +27,23 @@ def main() -> int:
     ap.add_argument("--floor", type=float, default=1.0, help="gate only queries >= this wall (s) in either run")
     args = ap.parse_args()
 
-    qa = json.load(open(args.run_a))["queries"]
-    qb = json.load(open(args.run_b))["queries"]
+    da = json.load(open(args.run_a))
+    db = json.load(open(args.run_b))
+    qa, qb = da["queries"], db["queries"]
+    ma, mb = da.get("query_meta", {}), db.get("query_meta", {})
+
+    def load_of(meta: dict, name: str) -> str:
+        q = meta.get(name)
+        return f"{q['loadavg']:.1f}" if q and q.get("loadavg") == q.get(
+            "loadavg"
+        ) else "-"
+
+    for tag, d in (("A", da), ("B", db)):
+        if "loadavg_start" in d:
+            print(
+                f"run {tag}: loadavg {d['loadavg_start']:.1f} -> "
+                f"{d.get('loadavg_end', float('nan')):.1f}"
+            )
     shared = sorted(set(qa) & set(qb))
     missing = sorted(set(qa) ^ set(qb))
     if missing:
@@ -49,13 +64,19 @@ def main() -> int:
 
     print(f"shared={len(shared)} gated(>= {args.floor}s)={gated_n} "
           f"geomean(B/A)={geomean:.3f} tol={args.tol:.0%}")
-    print("worst 12 ratios (ratio, query, A, B, gated):")
+    print("worst 12 ratios (ratio, query, A, B, loadA, loadB, gated):")
     for r, n, a, b, g in rows[:12]:
-        print(f"  {r:5.2f}  {n:<35s} {a:6.2f} {b:6.2f} {'GATED' if g else ''}")
+        print(
+            f"  {r:5.2f}  {n:<35s} {a:6.2f} {b:6.2f} "
+            f"{load_of(ma, n):>5s} {load_of(mb, n):>5s} {'GATED' if g else ''}"
+        )
     if fails:
         print(f"FAIL: {len(fails)} gated queries beyond {args.tol:.0%}:")
         for r, n, a, b in fails:
-            print(f"  {r:5.2f}  {n:<35s} {a:6.2f} {b:6.2f}")
+            print(
+                f"  {r:5.2f}  {n:<35s} {a:6.2f} {b:6.2f} "
+                f"{load_of(ma, n):>5s} {load_of(mb, n):>5s}"
+            )
         return 1
     print(f"OK: all {gated_n} gated queries within {args.tol:.0%}")
     return 0
