@@ -5174,15 +5174,30 @@ def ann_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quantized_dot_topk(queries, emb, k=5)
 
 
+from etl_cascalog_spark.operators.dedup import (  # noqa: E402
+    DEFAULT_MAX_BLOCK as _EB_MAX_BLOCK,
+)
+
+
 @register(
     "entity_blocking_pairs",
-    oracle="""
+    oracle=f"""
     WITH c AS (
       SELECT c_custkey, c_nationkey, c_mktsegment, c_name FROM customer
-    )
+    ),
+    -- the operator's max_block skew cap, interpolated from the SAME
+    -- constant (dedup.DEFAULT_MAX_BLOCK): blocks past the cap are
+    -- DROPPED by the engine, so the oracle must drop them too — the cap
+    -- first binds at sf1 (~1200-row blocks), where the unmirrored
+    -- oracle diverged 3.93M vs 99.6k pairs
+    ok_blocks AS (
+      SELECT c_nationkey, c_mktsegment FROM c
+      GROUP BY 1, 2 HAVING count(*) <= {_EB_MAX_BLOCK}
+    ),
+    kept AS (SELECT c.* FROM c SEMI JOIN ok_blocks USING (c_nationkey, c_mktsegment))
     SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
            CAST(levenshtein(a.c_name, b.c_name) AS INT) AS dist
-    FROM c a JOIN c b
+    FROM kept a JOIN kept b
       ON a.c_nationkey = b.c_nationkey AND a.c_mktsegment = b.c_mktsegment
     WHERE a.c_custkey < b.c_custkey
       AND levenshtein(a.c_name, b.c_name) <= 2
@@ -5191,7 +5206,11 @@ def ann_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "(nation, segment), verify within-block pairs by Levenshtein on the "
     "name — the blocking discipline of the LSH dedup family applied to "
     "record linkage. One block-key shuffle; quadratic only within a "
-    "block, with a max_block skew cap.",
+    "block, with a max_block skew cap MIRRORED in the oracle from the "
+    "shared dedup.DEFAULT_MAX_BLOCK constant (a dropped block signals a "
+    "too-coarse blocking key; at sf1 every nation x segment block "
+    "crosses the cap's neighborhood, which is exactly the signal to "
+    "switch to the finer key — see fs_linkage_scores_fine).",
 )
 def entity_blocking_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_cascalog_spark.operators.dedup import blocked_entity_pairs

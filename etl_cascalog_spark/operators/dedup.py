@@ -49,6 +49,14 @@ _MERSENNE = (1 << 31) - 1
 #: never silently de-sync from the banding the operator runs.
 DEFAULT_MAX_BUCKET = 500
 
+#: skew cap for entity-resolution blocking (blocked_entity_pairs) — a
+#: module constant for the same reason as DEFAULT_MAX_BUCKET: the catalog
+#: oracle interpolates it, so the cap the oracle mirrors can never
+#: de-sync from the cap the operator enforces. (Round-7 lesson: the cap
+#: first BINDS at sf1 — blocks of ~1200 > 1000 — and the unmirrored
+#: oracle reported 3.93M pairs against the engine's 99.6k.)
+DEFAULT_MAX_BLOCK = 1000
+
 
 def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Exact dedup on normalized-text digest. Returns one representative row
@@ -944,7 +952,7 @@ def blocked_entity_pairs(
     block_cols: list[str],
     compare_col: str,
     max_dist: int,
-    max_block: int = 1000,
+    max_block: int = DEFAULT_MAX_BLOCK,
 ) -> DataFrame:
     """Entity-resolution candidate pairs: block on ``block_cols``, then
     verify every within-block pair by Levenshtein edit distance on
