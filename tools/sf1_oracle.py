@@ -264,6 +264,117 @@ def semantic_kmeans_witness(con, k: int = 8, iters: int = 3) -> pd.DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# pagerank / triangle: staged temp-table witnesses
+# ---------------------------------------------------------------------------
+# The catalog oracles are correct but MONOLITHIC: at sf1 DuckDB's planner
+# materializes the multiply-referenced CTE chains (edges re-derived per
+# iteration, deg twice, the path join in one shot) and spilled >60 GB of
+# temp — twice exhausting the disk. The witnesses below run the SAME
+# algebra (each stage mirrors its CTE line for line) as staged temp
+# tables, with the triangle path join stratified by hash(u) so no single
+# probe materializes the full path set. Exactness is preserved: stages
+# are exact relational ops, and strata partition the e1 edge set.
+
+
+def pagerank_witness(con) -> pd.DataFrame:
+    """Staged twin of the pagerank_copurchase oracle: 3 integer PageRank
+    rounds, each one edge join over materialized (src, dst, out_deg)."""
+    con.execute(
+        """CREATE OR REPLACE TEMP TABLE pr_bounded AS
+        WITH baskets AS (
+          SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+        ), sizes AS (SELECT ok, count(*) AS n FROM baskets GROUP BY ok)
+        SELECT b.ok, b.pk FROM baskets b JOIN sizes s ON b.ok = s.ok
+        WHERE s.n <= 7"""
+    )
+    con.execute(
+        """CREATE OR REPLACE TEMP TABLE pr_edges AS
+        SELECT DISTINCT a.pk AS src, b.pk AS dst
+        FROM pr_bounded a JOIN pr_bounded b ON a.ok = b.ok AND a.pk != b.pk"""
+    )
+    con.execute(
+        """CREATE OR REPLACE TEMP TABLE pr_ce AS
+        SELECT e.src, e.dst, d.out_deg FROM pr_edges e
+        JOIN (SELECT src, count(*) AS out_deg FROM pr_edges GROUP BY src) d
+          ON e.src = d.src"""
+    )
+    n_nodes = con.execute(
+        "SELECT count(DISTINCT node) FROM (SELECT src AS node FROM pr_edges"
+        " UNION ALL SELECT dst FROM pr_edges)"
+    ).fetchone()[0]
+    base = 1_000_000_000_000 // n_nodes
+    con.execute(
+        f"""CREATE OR REPLACE TEMP TABLE pr_r AS
+        SELECT DISTINCT node, CAST({base} AS BIGINT) AS rank_units
+        FROM (SELECT src AS node FROM pr_edges UNION ALL SELECT dst FROM pr_edges)"""
+    )
+    for _ in range(3):
+        con.execute(
+            f"""CREATE OR REPLACE TEMP TABLE pr_r2 AS
+            WITH s AS (
+              SELECT ce.dst AS node,
+                     CAST(sum(r.rank_units // ce.out_deg) AS BIGINT) AS s
+              FROM pr_ce ce JOIN pr_r r ON ce.src = r.node GROUP BY 1
+            )
+            SELECT n.node,
+                   CAST((15 * CAST({base} AS BIGINT)
+                         + 85 * coalesce(s.s, 0)) // 100 AS BIGINT)
+                     AS rank_units
+            FROM pr_r n LEFT JOIN s ON n.node = s.node"""
+        )
+        con.execute("CREATE OR REPLACE TEMP TABLE pr_r AS SELECT * FROM pr_r2")
+    return con.execute("SELECT node, rank_units FROM pr_r").df()
+
+
+def triangle_witness(con, strata: int = 16) -> pd.DataFrame:
+    """Staged twin of the triangle_count oracle; the path join runs per
+    hash(u) stratum of e1 so its intermediate never materializes whole."""
+    con.execute(
+        """CREATE OR REPLACE TEMP TABLE tr_und AS
+        WITH baskets AS (
+          SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+        ), sizes AS (SELECT ok, count(*) AS n FROM baskets GROUP BY ok),
+        bounded AS (
+          SELECT b.ok, b.pk FROM baskets b JOIN sizes s ON b.ok = s.ok
+          WHERE s.n <= 5
+        )
+        SELECT DISTINCT least(a.pk, b.pk) AS u, greatest(a.pk, b.pk) AS v
+        FROM bounded a JOIN bounded b ON a.ok = b.ok AND a.pk < b.pk"""
+    )
+    con.execute(
+        """CREATE OR REPLACE TEMP TABLE tr_kept AS
+        WITH deg AS (
+          SELECT node, count(*) AS d FROM (
+            SELECT u AS node FROM tr_und UNION ALL SELECT v FROM tr_und
+          ) GROUP BY 1
+        )
+        SELECT e.u, e.v FROM tr_und e
+        JOIN deg du ON du.node = e.u JOIN deg dv ON dv.node = e.v
+        WHERE du.d <= 25 AND dv.d <= 25"""
+    )
+    n_nodes = con.execute(
+        "SELECT count(*) FROM (SELECT DISTINCT u AS n FROM tr_kept"
+        " UNION SELECT v FROM tr_kept)"
+    ).fetchone()[0]
+    n_edges = con.execute("SELECT count(*) FROM tr_kept").fetchone()[0]
+    n_tri = 0
+    for s in range(strata):
+        n_tri += con.execute(
+            f"""SELECT count(*) FROM tr_kept e1
+            JOIN tr_kept e2 ON e2.u = e1.v
+            JOIN tr_kept e3 ON e3.u = e1.u AND e3.v = e2.v
+            WHERE hash(e1.u) % {strata} = {s}"""
+        ).fetchone()[0]
+    return pd.DataFrame(
+        {
+            "n_nodes": [n_nodes],
+            "n_edges": [n_edges],
+            "n_triangles": [n_tri],
+        }
+    )
+
+
+# ---------------------------------------------------------------------------
 
 
 def compare_frames(got: pd.DataFrame, want: pd.DataFrame) -> dict:
@@ -348,6 +459,10 @@ def main() -> int:
             return con.execute(_simhash_oracle_sql(banded=True)).df()
         if name == "semantic_dedup_kmeans":
             return semantic_kmeans_witness(con)
+        if name == "pagerank_copurchase":
+            return pagerank_witness(con)
+        if name == "triangle_count":
+            return triangle_witness(con)
         return con.execute(QUERIES[name].oracle).df()
 
     n_fail = 0
