@@ -194,8 +194,20 @@ def soak_jdbc_kill_replay(spark, rows_per_sec: int, secs: int) -> dict:
             .start()
         )
 
+    def run_until_rows(q, min_rows: int, timeout: float) -> int:
+        """Let the stream run until >= min_rows input rows committed (so
+        the kill/replay is never vacuous), then return the count."""
+        seen, t0, last = 0, time.time(), -1
+        while seen < min_rows and time.time() - t0 < timeout:
+            time.sleep(1)
+            p = q.lastProgress
+            if p and p["batchId"] != last:
+                last = p["batchId"]
+                seen += p["numInputRows"]
+        return seen
+
     q = start()
-    time.sleep(secs / 2)
+    rows_first = run_until_rows(q, rows_per_sec * secs // 2, 4 * secs)
     q.stop()  # mid-soak kill
     # Deterministic crash simulation: Spark's checkpoint commit is the
     # LAST step of a micro-batch, so "crash after the DB effect, before
@@ -213,12 +225,18 @@ def soak_jdbc_kill_replay(spark, rows_per_sec: int, secs: int) -> dict:
         newest = max(commits, key=lambda p: int(os.path.basename(p)))
         bid = int(os.path.basename(newest))
         os.remove(newest)
+        # the Hadoop checksum SIDECAR must go too: a leftover .N.crc makes
+        # the restarted query crash renaming the re-written commit record
+        crc = os.path.join(os.path.dirname(newest), f".{bid}.crc")
+        if os.path.exists(crc):
+            os.remove(crc)
         marker = os.path.join(ledger, f"batch-{bid}.committed")
         if os.path.exists(marker):
             os.remove(marker)
         replayed = bid
     q = start()  # restart from the same checkpoint -> re-delivery
-    time.sleep(secs / 2)
+    rows_second = run_until_rows(q, rows_per_sec * secs // 4, 4 * secs)
+    err = q.exception()
     q.stop()
 
     rows = jdbc_read(spark, url, "kv", props).collect()
@@ -226,11 +244,14 @@ def soak_jdbc_kill_replay(spark, rows_per_sec: int, secs: int) -> dict:
     one_row_per_key = len(keys) == len(set(keys))
     congruent = all(r[1] % n_keys == r[0] for r in rows)
     return {
+        "rows_first_half": rows_first,
+        "rows_second_half": rows_second,
         "keys_seen": len(set(keys)),
         "table_rows": len(rows),
-        "one_row_per_key": one_row_per_key,
+        "one_row_per_key": one_row_per_key and len(keys) == n_keys,
         "values_congruent": congruent,
         "marker_removed_for_replay": replayed is not None,
+        "restart_error": str(err) if err else None,
     }
 
 
@@ -253,6 +274,8 @@ def main() -> int:
         and res["hll"]["state_bounded_by_groups"]
         and res["jdbc"]["one_row_per_key"]
         and res["jdbc"]["values_congruent"]
+        and res["jdbc"]["marker_removed_for_replay"]
+        and res["jdbc"]["restart_error"] is None
     )
     res["ok"] = ok
     print(json.dumps(res))
