@@ -2222,9 +2222,16 @@ def _url_canonical_oracle_sql() -> str:
     "run it before any content hashing.",
 )
 def url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_cascalog_spark.io import ensure_min_parallelism
     from etl_cascalog_spark.operators.text import canonicalize_url
 
-    docs = read_table(spark, sf_dir, "documents")
+    # the canonicalization chain (regex splits + 78 percent-normalization
+    # string ops per row) is compute-heavy map work — parallel BEFORE the
+    # fan-out, or a 2-file sf1 scan runs it on 2 of 32 cores (caught by
+    # tools/parallelism_lint.py at sf1: 6.6 s mean-task 2-task stage)
+    docs = ensure_min_parallelism(
+        read_table(spark, sf_dir, "documents"), "doc_id"
+    )
     d = F.col("doc_id")
     well_formed = F.concat(
         F.when(d % 11 < 3, F.lit("http://")).otherwise(F.lit("https://")),
