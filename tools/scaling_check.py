@@ -33,6 +33,10 @@ HEADLINE = [
     "ann_ivf_topk",
     "substring_dup_spans",
     "pagerank_copurchase",
+    # round-12 additions: the web-corpus dedup tier and the scale-real
+    # linkage blocking key
+    "url_canonical_dedup",
+    "fs_linkage_scores_fine",
 ]
 
 #: default three driver-shipped decades; pass extra dirs as argv to extend
