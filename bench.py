@@ -29,15 +29,19 @@ from etl_cascalog_spark.session import (  # noqa: E402
 from etl_cascalog_spark.catalog import QUERIES  # noqa: E402
 
 
-def loadavg() -> float:
+def loadavg() -> float | None:
     """1-minute host load — stamped per query so driver-vs-builder swings
     on this co-tenant box are attributable mechanically (same code, same
     day measured 0.8 s vs 1.6 s on tpch_q8; the load stamp is the
-    instrument that says which run was squeezed)."""
+    instrument that says which run was squeezed).
+
+    Returns None (JSON null) on non-Linux: ``float("nan")`` would make
+    json.dumps emit the literal ``NaN``, which is not strict JSON and
+    breaks jq / non-Python parsers (ADVICE r7)."""
     try:
         return float(open("/proc/loadavg").read().split()[0])
     except OSError:  # non-Linux fallback: absent, not fabricated
-        return float("nan")
+        return None
 
 
 def main() -> None:

@@ -589,27 +589,43 @@ def hard_negatives(
     BOUNDED and the bound is ENFORCED (same posture as
     :func:`cosine_topk_blas`): this operator broadcasts anchors and scores
     anchors × corpus, so an unfiltered call on a large table would be an
-    unguarded O(N²) cross-join plus an over-broadcast — it raises past
-    ``max_anchors`` instead of silently melting the cluster. At corpus
-    scale use :func:`hard_negatives_lsh` (bucketed candidate join, no
-    broadcast of the anchor set), trading recall of the single hardest
-    negative for a bucket-local candidate set; hard-negative mining
-    tolerates that approximation by design (any sufficiently-hard
-    negative works).
+    unguarded O(N²) cross-join plus an over-broadcast — it fails past
+    ``max_anchors`` instead of silently melting the cluster. The bound is
+    enforced LAZILY (a broadcast 1-row ``assert_true`` over a map-side
+    count aggregate, raising at action time), so plan-only consumers —
+    plan lint, fingerprinting, EXPLAIN — never execute a job, and the
+    anchors frame is cached so the guard's count is not a second full
+    scan (ADVICE r7). At corpus scale use :func:`hard_negatives_lsh`
+    (bucketed candidate join, no broadcast of the anchor set), trading
+    recall of the single hardest negative for a bucket-local candidate
+    set; hard-negative mining tolerates that approximation by design
+    (any sufficiently-hard negative works).
     """
     from etl_cascalog_spark.io import ensure_min_parallelism
 
-    anchors = emb if anchor_filter is None else emb.where(anchor_filter)
-    n_a = anchors.limit(max_anchors + 1).count()
-    if n_a > max_anchors:
-        raise ValueError(
-            f"hard_negatives: anchor side exceeds max_anchors={max_anchors} "
-            "— this miner broadcasts the anchors and scores anchors x "
-            "corpus by design (curated anchor sets). For corpus-scale "
-            "mining use hard_negatives_lsh (bucketed candidate join, "
-            "nothing broadcast-unbounded), pass an anchor_filter, or "
-            "raise max_anchors explicitly if you know the set fits."
+    anchors = (emb if anchor_filter is None else emb.where(anchor_filter)).cache()
+    # lazy anchor-count guard: a partial-aggregate count (no global window,
+    # no shuffle of anchor rows) feeding assert_true; 1-row frame broadcast
+    # onto the anchor rows so the check rides the same action as the query
+    guard = F.broadcast(
+        anchors.select(
+            F.assert_true(
+                F.count(F.lit(1)) <= F.lit(max_anchors),
+                F.lit(
+                    f"hard_negatives: anchor side exceeds max_anchors={max_anchors}"
+                    " -- this miner broadcasts the anchors and scores anchors x"
+                    " corpus by design (curated anchor sets). For corpus-scale"
+                    " mining use hard_negatives_lsh (bucketed candidate join,"
+                    " nothing broadcast-unbounded), pass an anchor_filter, or"
+                    " raise max_anchors explicitly if you know the set fits."
+                ),
+            ).alias("_anchor_guard")
         )
+        # the filter (always-true: assert_true yields NULL or throws) forces
+        # evaluation — a bare projected-then-dropped column would be pruned
+        # by Catalyst and the assert would never run
+        .where(F.isnull(F.col("_anchor_guard")))
+    )
     a = F.broadcast(
         anchors.select(
             F.col(id_col).alias("anchor_id"),
@@ -617,6 +633,8 @@ def hard_negatives(
             norm(F.col(vec_col)).alias("na"),
             F.col(label_col).alias("a_label"),
         )
+        .crossJoin(guard)
+        .drop("_anchor_guard")
     )
     c = (
         ensure_min_parallelism(emb, id_col)

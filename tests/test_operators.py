@@ -1559,10 +1559,12 @@ def test_quantize_pow2_twin_parity_and_strict(spark):
 
 
 def test_hard_negatives_anchor_bound_enforced(spark):
-    """hard_negatives raises past max_anchors (the cosine_topk_blas
+    """hard_negatives fails past max_anchors (the cosine_topk_blas
     posture): broadcasting an unbounded anchor set is an O(N^2)
     cross-join at scale, so the guard must fail loudly and name the
-    bucketed variant — and a bound that fits must still work."""
+    bucketed variant — and a bound that fits must still work. The guard
+    is LAZY (assert_true at action time, ADVICE r7): constructing the
+    plan must run zero jobs; the raise fires on the first action."""
     import pytest
 
     from etl_cascalog_spark.io import read_table
@@ -1570,8 +1572,10 @@ def test_hard_negatives_anchor_bound_enforced(spark):
     from tests.conftest import SF_SMOKE
 
     emb = read_table(spark, SF_SMOKE, "embeddings")
-    with pytest.raises(ValueError, match="hard_negatives_lsh"):
-        hard_negatives(emb, max_anchors=5)
+    over = hard_negatives(emb, max_anchors=5)  # plan-time: no job, no raise
+    over.explain()  # plan-only consumers stay job-free
+    with pytest.raises(Exception, match="hard_negatives_lsh"):
+        over.count()
     flt = F.col("vec_id") % 50 == 0
     n_anchors = emb.where(flt).count()
     got = hard_negatives(emb, anchor_filter=flt, k=1, max_anchors=n_anchors)

@@ -79,22 +79,25 @@ def soak_sessions(spark, rows_per_sec: int, secs: int) -> dict:
     try:
         while total_in < target and time.time() - t0 < 3 * secs:
             time.sleep(2)
-            p = q.lastProgress
-            if not p or p["batchId"] == last_batch:
-                continue
-            last_batch = p["batchId"]
-            total_in += p["numInputRows"]
-            if not p.get("stateOperators"):
-                continue
-            so = p["stateOperators"][0]
-            samples.append(
-                {
-                    "t": round(time.time() - t0, 1),
-                    "input_rows": p["numInputRows"],
-                    "state_rows": so["numRowsTotal"],
-                    "rows_removed": so.get("numRowsRemoved", 0),
-                }
-            )
+            # drain recentProgress (deduped by batchId) rather than sampling
+            # lastProgress: batches that complete between polls are still
+            # counted, so total_in reflects true throughput (ADVICE r7)
+            for p in q.recentProgress:
+                if not p or p["batchId"] <= last_batch:
+                    continue
+                last_batch = p["batchId"]
+                total_in += p["numInputRows"]
+                if not p.get("stateOperators"):
+                    continue
+                so = p["stateOperators"][0]
+                samples.append(
+                    {
+                        "t": round(time.time() - t0, 1),
+                        "input_rows": p["numInputRows"],
+                        "state_rows": so["numRowsTotal"],
+                        "rows_removed": so.get("numRowsRemoved", 0),
+                    }
+                )
     finally:
         q.stop()
     removed = sum(s["rows_removed"] for s in samples)
@@ -146,13 +149,14 @@ def soak_hll(spark, rows_per_sec: int, secs: int) -> dict:
     try:
         while total_in < target and time.time() - t0 < 4 * secs:
             time.sleep(2)
-            p = q.lastProgress
-            if not p or p["batchId"] == last_batch:
-                continue
-            last_batch = p["batchId"]
-            total_in += p["numInputRows"]
-            if p.get("stateOperators"):
-                state_rows.append(p["stateOperators"][0]["numRowsTotal"])
+            # drain recentProgress so batches completing between polls count
+            for p in q.recentProgress:
+                if not p or p["batchId"] <= last_batch:
+                    continue
+                last_batch = p["batchId"]
+                total_in += p["numInputRows"]
+                if p.get("stateOperators"):
+                    state_rows.append(p["stateOperators"][0]["numRowsTotal"])
     finally:
         q.stop()
     return {
@@ -200,10 +204,10 @@ def soak_jdbc_kill_replay(spark, rows_per_sec: int, secs: int) -> dict:
         seen, t0, last = 0, time.time(), -1
         while seen < min_rows and time.time() - t0 < timeout:
             time.sleep(1)
-            p = q.lastProgress
-            if p and p["batchId"] != last:
-                last = p["batchId"]
-                seen += p["numInputRows"]
+            for p in q.recentProgress:
+                if p and p["batchId"] > last:
+                    last = p["batchId"]
+                    seen += p["numInputRows"]
         return seen
 
     q = start()
