@@ -319,8 +319,11 @@ def minhash_lsh_pairs(
     Banding: ``num_hashes/bands`` rows per band; docs sharing any band
     bucket become candidates; candidates are verified with the exact
     n-gram Jaccard so the output is a SUBSET of the exact pairs ≥
-    threshold with recall ≈ 1-(1-j^r)^b (0.9998 at j=0.7 with 64/16
-    banding, → 1 as j → 1). That recall is PROBABILISTIC: at sf1 the
+    threshold with recall ≈ 1-(1-j^r)^b (0.988 at j=0.70 with 64/16
+    banding, → 1 as j → 1; measured against a controlled-Jaccard corpus
+    in tests/test_operators.py::test_minhash_banding_recall_curve —
+    0.168/0.644/0.988/1.000 at j=0.33/0.51/0.70/0.86 vs theory
+    0.180/0.672/0.988/1.000). That recall is PROBABILISTIC: at sf1 the
     corpus holds ~250k qualifying pairs and ~5 misses materialize — an
     oracle asserting equality with the exact pair set is wrong BY DESIGN;
     value-exact oracles must mirror the banding step (``hash_fn="md5"``).

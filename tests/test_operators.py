@@ -2319,3 +2319,106 @@ def test_canonicalize_url_edge_cases(spark):
         for r in df.select("url", canonicalize_url(F.col("url")).alias("c")).collect()
     }
     assert got == cases
+
+
+def _controlled_jaccard_corpus(levels: dict[int, int]) -> list[tuple[str, str]]:
+    """Doc pairs with EXACT designed n=3 word-shingle Jaccard: each doc is
+    m=42 globally-unique words, a pair shares a c-word prefix, so shared
+    shingles k = c-2, per-doc shingles S = 40, j = k/(2S-k). Words are
+    namespaced per (level, pair) so cross-pair Jaccard is 0."""
+    rows = []
+    for c, n_pairs in levels.items():
+        for p in range(n_pairs):
+            base = [f"c{c}p{p}w{i}" for i in range(c)]
+            ta = [f"c{c}p{p}a{i}" for i in range(42 - c)]
+            tb = [f"c{c}p{p}b{i}" for i in range(42 - c)]
+            rows.append((f"c{c}p{p}A", " ".join(base + ta)))
+            rows.append((f"c{c}p{p}B", " ".join(base + tb)))
+    return rows
+
+
+def test_minhash_banding_recall_curve(spark):
+    """MinHash banding recall vs the 1-(1-j^r)^b curve (VERDICT r7 #3a):
+    the SCALE.md claim that borderline-j recall follows the banding
+    probability was documented, never measured. A controlled-Jaccard
+    corpus (250 pairs per level, zero cross-pair overlap) pins the
+    measured candidate recall to theory at four j levels, including the
+    borderline j~=0.70 band that real corpora leave empty. threshold=0
+    disables the exact-Jaccard verification filter so the output *is*
+    the banded candidate set restricted to true pairs.
+
+    The corpus and seed are fixed, so the measured recalls are
+    deterministic (0.168 / 0.644 / 0.988 / 1.000); tolerances are ~3-4x
+    the binomial sigma so an implementation-neutral reshuffle of the
+    permutation constants still passes, while a real recall break
+    (banding bug, cap regression) fails loudly."""
+    from etl_cascalog_spark.operators.dedup import minhash_lsh_pairs
+
+    n_pairs = 250
+    levels = {22: n_pairs, 29: n_pairs, 35: n_pairs, 39: n_pairs}
+    df = spark.createDataFrame(
+        _controlled_jaccard_corpus(levels), ["doc_id", "text"]
+    )
+    found = {
+        (r.doc_a, r.doc_b)
+        for r in minhash_lsh_pairs(df, "doc_id", "text", n=3, threshold=0.0).collect()
+    }
+    tol = {22: 0.07, 29: 0.09, 35: 0.03}
+    for c in levels:
+        k = c - 2
+        j = k / (80 - k)
+        p_theory = 1 - (1 - j**4) ** 16
+        hit = sum(
+            1
+            for p in range(n_pairs)
+            if (f"c{c}p{p}A", f"c{c}p{p}B") in found
+            or (f"c{c}p{p}B", f"c{c}p{p}A") in found
+        )
+        measured = hit / n_pairs
+        if c == 39:  # j=0.86: theory 1-3e-6 — all pairs must band
+            assert measured == 1.0, f"j={j:.3f}: measured {measured}"
+        else:
+            assert abs(measured - p_theory) <= tol[c], (
+                f"j={j:.3f}: measured recall {measured:.4f} vs theory "
+                f"{p_theory:.4f} outside +-{tol[c]}"
+            )
+
+
+def test_minhash_cap_drop_fails_sweep(spark):
+    """Mutation test for the max_bucket designed-failure posture
+    (VERDICT r7 #3b): SCALE.md claims "if a cap-dropped bucket loses a
+    true pair, the sweep will say so" — demonstrate it. A 30-doc
+    boilerplate clique (identical text -> every band bucket holds all 30
+    docs) plus normal near-dup pairs:
+
+    - mutated cap (max_bucket=20 < 30): every clique bucket is dropped,
+      the engine loses all 435 clique pairs, and equality against the
+      exact-Jaccard oracle FAILS — the sweep detects the loss;
+    - restored cap (default 500): engine == exact oracle, sweep green.
+    """
+    from etl_cascalog_spark.operators.dedup import jaccard_pairs, minhash_lsh_pairs
+
+    hot = [(f"hot{i}", "hot " + " ".join(f"h{k}" for k in range(41))) for i in range(30)]
+    normal = _controlled_jaccard_corpus({39: 5})  # j=0.86 pairs, recall ~1
+    df = spark.createDataFrame(hot + normal, ["doc_id", "text"])
+
+    def pairs(out):
+        return {tuple(sorted((r.doc_a, r.doc_b))) for r in out.collect()}
+
+    exact = pairs(jaccard_pairs(df, "doc_id", "text", n=3, threshold=0.7))
+    clique = {
+        tuple(sorted((f"hot{i}", f"hot{k}")))
+        for i in range(30)
+        for k in range(i + 1, 30)
+    }
+    assert clique <= exact and len(exact) == len(clique) + 5
+
+    capped = pairs(
+        minhash_lsh_pairs(df, "doc_id", "text", n=3, threshold=0.7, max_bucket=20)
+    )
+    assert capped != exact, "sweep-equality must FAIL under the mutated cap"
+    assert capped.isdisjoint(clique), "dropped bucket must lose the clique pairs"
+    assert len(exact - capped) == len(clique), "non-clique pairs must survive the cap"
+
+    restored = pairs(minhash_lsh_pairs(df, "doc_id", "text", n=3, threshold=0.7))
+    assert restored == exact, "restored cap must re-match the exact oracle"
