@@ -238,6 +238,32 @@ def _jdbc_connection(spark: SparkSession, url: str, properties: dict[str, str] |
     return jvm, jvm.java.sql.DriverManager.getConnection(url, props)
 
 
+def jdbc_table_exists(
+    spark: SparkSession,
+    url: str,
+    table: str,
+    properties: dict[str, str] | None = None,
+) -> bool:
+    """True iff ``table`` exists on the JDBC backend — via DatabaseMetaData
+    (no probe query, no dialect-specific error-message matching). Checked
+    against the verbatim, upper- and lower-cased name so unquoted
+    identifiers resolve on case-folding backends (Derby/PG)."""
+    _, conn = _jdbc_connection(spark, url, properties)
+    try:
+        md = conn.getMetaData()
+        bare = table.split(".")[-1]
+        for name in (bare, bare.upper(), bare.lower()):
+            rs = md.getTables(None, None, name, None)
+            try:
+                if rs.next():
+                    return True
+            finally:
+                rs.close()
+        return False
+    finally:
+        conn.close()
+
+
 def jdbc_execute(
     spark: SparkSession, url: str, sql: str, properties: dict[str, str] | None = None
 ) -> None:

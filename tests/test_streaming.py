@@ -681,6 +681,153 @@ def test_jdbc_upsert_sink_exactly_once_with_replay(spark, tmp_path):
     assert got.select("USER_ID").distinct().count() == n_users
 
 
+def test_jdbc_upsert_stage_duplicates_collapse(spark):
+    """Task-retry duplicate corruption, unit level (VERDICT r7 #4): a
+    Spark JDBC write task that fails AFTER its per-partition commit is
+    retried and its rows land twice — inside a single 'successful'
+    append. With the staged design that artifact lives in the STAGE
+    only; _merge_stage_into_target must collapse exact-row duplicates
+    before the target is touched. Seed the stage with every row written
+    TWICE (the worst case: every task retried post-commit) and assert
+    the merged target is exactly-once."""
+    from etl_cascalog_spark.io import jdbc_append, jdbc_execute, jdbc_read
+    from etl_cascalog_spark.streaming.sinks import _merge_stage_into_target
+
+    url = "jdbc:derby:memory:etl_stage_dup;create=true"
+    props = {"driver": "org.apache.derby.jdbc.EmbeddedDriver"}
+    jdbc_execute(spark, url, "CREATE TABLE t (k BIGINT NOT NULL, v VARCHAR(16))")
+    jdbc_execute(
+        spark, url, "CREATE TABLE t_stage AS SELECT * FROM t WITH NO DATA"
+    )
+    # pre-existing target rows: key 2 must be replaced, key 9 untouched
+    jdbc_execute(spark, url, "INSERT INTO t VALUES (2, 'old'), (9, 'keep')")
+    batch = spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string")
+    jdbc_append(batch, url, "t_stage", props)
+    jdbc_append(batch, url, "t_stage", props)  # post-commit retry artifact
+    assert jdbc_read(spark, url, "t_stage", props).count() == 4
+    _merge_stage_into_target(
+        spark, url, "t", "t", "t_stage", ["k", "v"], ["k"], props
+    )
+    got = sorted((r.K, r.V) for r in jdbc_read(spark, url, "t", props).collect())
+    assert got == [(1, "a"), (2, "b"), (9, "keep")]
+
+
+def test_jdbc_upsert_mid_append_failure_then_redelivery(spark, tmp_path):
+    """Partial JDBC write + re-delivery convergence (VERDICT r7 #4): a
+    CHECK constraint on the stage rejects one poison row, so the staged
+    append fails MID-BATCH with a real JDBC error while sibling
+    partitions' transactions may already be committed (Spark's JDBC
+    writer commits per partition). The sink must raise, leave no ledger
+    marker, and leave the TARGET untouched (the merge never ran); after
+    the fault clears, re-delivery of the same batch must converge to
+    exactly-once."""
+    import os
+
+    import pytest
+
+    from etl_cascalog_spark.io import jdbc_execute, jdbc_read
+    from etl_cascalog_spark.streaming.sinks import idempotent_jdbc_upsert_sink
+
+    url = "jdbc:derby:memory:etl_partial;create=true"
+    props = {"driver": "org.apache.derby.jdbc.EmbeddedDriver"}
+    jdbc_execute(spark, url, "CREATE TABLE kv (k BIGINT NOT NULL, v BIGINT)")
+    jdbc_execute(spark, url, "INSERT INTO kv VALUES (1, 10)")
+    # pre-create the stage WITH the fault: v >= 1000 is rejected
+    jdbc_execute(
+        spark,
+        url,
+        "CREATE TABLE kv_stage (k BIGINT NOT NULL, v BIGINT, "
+        "CONSTRAINT poison CHECK (v < 1000))",
+    )
+    ledger = str(tmp_path / "ledger")
+    sink = idempotent_jdbc_upsert_sink(url, "kv", ["k"], ledger, props)
+    batch = spark.createDataFrame(
+        [(1, 11), (2, 22), (3, 33), (4, 9999)], "k long, v long"
+    ).repartition(4, "k")
+    with pytest.raises(Exception, match="(?i)check constraint|poison"):
+        sink(batch, 0)
+    assert not os.path.exists(os.path.join(ledger, "batch-0.committed"))
+    # target untouched: the merge step never ran
+    assert sorted(
+        (r.K, r.V) for r in jdbc_read(spark, url, "kv", props).collect()
+    ) == [(1, 10)]
+    # fault clears (constraint dropped), engine re-delivers the batch
+    jdbc_execute(spark, url, "ALTER TABLE kv_stage DROP CONSTRAINT poison")
+    sink(batch, 0)
+    assert os.path.exists(os.path.join(ledger, "batch-0.committed"))
+    got = sorted((r.K, r.V) for r in jdbc_read(spark, url, "kv", props).collect())
+    assert got == [(1, 11), (2, 22), (3, 33), (4, 9999)]
+    sink(batch, 0)  # marker short-circuit: no further effect
+    assert got == sorted(
+        (r.K, r.V) for r in jdbc_read(spark, url, "kv", props).collect()
+    )
+
+
+def test_jdbc_upsert_survives_real_task_retry(tmp_path):
+    """A REAL Spark task retry inside the sink's batch job (VERDICT r7
+    #4): a subprocess session with master local[4,3] (task maxFailures=3)
+    runs the sink over a batch whose lineage contains a poison
+    mapInPandas that raises on every task's FIRST attempt
+    (TaskContext.attemptNumber() == 0). The sink call must succeed in
+    ONE delivery — Spark retries the failed tasks, the failed attempts'
+    JDBC transactions roll back, and the table converges to exactly-once
+    with the ledger marker written."""
+    import json
+    import subprocess
+    import sys
+    from pathlib import Path
+
+    script = r"""
+import json, os, sys, tempfile
+sys.path.insert(0, %(repo)r)
+from pyspark.sql import SparkSession
+from pyspark import TaskContext
+from etl_cascalog_spark.io import jdbc_execute, jdbc_read
+from etl_cascalog_spark.streaming.sinks import idempotent_jdbc_upsert_sink
+
+spark = (
+    SparkSession.builder.master("local[4,3]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.session.timeZone", "UTC")
+    .appName("task_retry_sink")
+    .getOrCreate()
+)
+spark.sparkContext.setLogLevel("ERROR")
+url = "jdbc:derby:memory:etl_retry;create=true"
+props = {"driver": "org.apache.derby.jdbc.EmbeddedDriver"}
+jdbc_execute(spark, url, "CREATE TABLE kv (k BIGINT NOT NULL, v BIGINT)")
+ledger = tempfile.mkdtemp(prefix="retry_ledger_")
+sink = idempotent_jdbc_upsert_sink(url, "kv", ["k"], ledger, props)
+
+def poison(its):
+    if TaskContext.get().attemptNumber() == 0:
+        raise RuntimeError("injected first-attempt task failure")
+    yield from its
+
+base = spark.range(0, 40).selectExpr("id as k", "id * 10 as v")
+batch = base.mapInPandas(poison, "k long, v long")
+sink(batch, 0)
+rows = sorted((r.K, r.V) for r in jdbc_read(spark, url, "kv", props).collect())
+print(json.dumps({
+    "rows": rows,
+    "marker": os.path.exists(os.path.join(ledger, "batch-0.committed")),
+}))
+spark.stop()
+"""
+    repo = str(Path(__file__).resolve().parent.parent)
+    r = subprocess.run(
+        [sys.executable, "-c", script % {"repo": repo}],
+        capture_output=True,
+        text=True,
+        timeout=300,
+    )
+    assert r.returncode == 0, r.stderr[-3000:]
+    out = json.loads(r.stdout.strip().splitlines()[-1])
+    assert out["marker"] is True
+    assert out["rows"] == [[k, k * 10] for k in range(40)]
+
+
 def test_stream_static_dedup_against_corpus(spark, tmp_path):
     """dedup_against_corpus: a file-streamed batch of documents anti-joined
     against a static digest table keeps exactly the docs batch
