@@ -2422,3 +2422,73 @@ def test_minhash_cap_drop_fails_sweep(spark):
 
     restored = pairs(minhash_lsh_pairs(df, "doc_id", "text", n=3, threshold=0.7))
     assert restored == exact, "restored cap must re-match the exact oracle"
+
+
+def test_pct_normalize_contract_full_unreserved(spark):
+    """Percent-encoding contract breadth (VERDICT r7 #7), pinning the
+    documented behavior over the ENTIRE input space so a future RE2 edit
+    cannot silently narrow it:
+
+    - all 66 unreserved octets decode, in upper/lower/mixed escape hex;
+    - reserved octets stay ENCODED with hex uppercased (no semantic
+      decode — %2F must not become '/');
+    - double-encoding is preserved verbatim (%2527 stays %2527: the %25
+      is not an unreserved escape, and decoding it would manufacture a
+      NEW escape);
+    - '+' in query values stays '+' and %20 stays %20 — they are
+      DISTINCT dedup keys by contract (false-negative direction; form
+      '+'-for-space folding would false-merge path segments);
+    - the Spark chain and the generated DuckDB twin (pct_normalize_sql)
+      agree byte-for-byte on every case (the anti-drift gate).
+    """
+    import duckdb
+
+    from etl_cascalog_spark.operators.text import (
+        _URL_UNRESERVED,
+        _pct_normalize,
+        pct_normalize_sql,
+    )
+
+    cases: list[tuple[str, str]] = []
+    # 1) every unreserved octet, three hex casings
+    for c in _URL_UNRESERVED:
+        hx = f"{ord(c):02X}"
+        for esc in (f"%{hx}", f"%{hx.lower()}", f"%{hx[0]}{hx[1].lower()}"):
+            cases.append((f"/x{esc}y", f"/x{c}y"))
+    # 2) reserved + space + percent stay encoded, hex uppercased
+    for r in ':/?#[]@!$&\'()*+,;= %"<>{}|\\^':
+        hx = f"{ord(r):02X}"
+        cases.append((f"/a%{hx}b", f"/a%{hx}b"))
+        cases.append((f"/a%{hx.lower()}b", f"/a%{hx}b"))
+    # 3) double-encoding preserved (decoding %25 would mint new escapes)
+    cases += [
+        ("/p%2527q", "/p%2527q"),
+        ("/p%252Fq", "/p%252Fq"),
+        # '2f' after the %25 escape is LITERAL text, not an escape — hex
+        # uppercasing must leave it alone ('%252F' would be different
+        # literal characters)
+        ("/p%252fq", "/p%252fq"),
+        ("/p%25q", "/p%25q"),
+    ]
+    # 4) '+' vs %20 stay distinct keys
+    cases += [("?a=b+c", "?a=b+c"), ("?a=b%20c", "?a=b%20c")]
+    # 5) cascades: adjacent escapes, decoded char abutting an escape
+    cases += [
+        ("/%7E%2F%7e", "/~%2F~"),
+        ("/%41%61%30%2D%2E%5F%7E", "/Aa0-._~"),
+        ("/%2541", "/%2541"),  # %25+41: NOT '%41', NOT 'A'
+    ]
+
+    df = spark.createDataFrame(cases, ["raw", "want"])
+    got = df.select(
+        "raw", "want", _pct_normalize(F.col("raw")).alias("got")
+    ).collect()
+    bad = [(r.raw, r.want, r.got) for r in got if r.got != r.want]
+    assert not bad, f"spark chain: {len(bad)} mismatches, first 5: {bad[:5]}"
+
+    con = duckdb.connect()
+    for raw, want in cases:
+        (dk,) = con.execute(
+            f"SELECT {pct_normalize_sql('?')}", [raw]
+        ).fetchone()
+        assert dk == want, f"duckdb twin: {raw!r} -> {dk!r}, want {want!r}"
