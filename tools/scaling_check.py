@@ -37,6 +37,8 @@ HEADLINE = [
     # linkage blocking key
     "url_canonical_dedup",
     "fs_linkage_scores_fine",
+    # round-13 addition: hard-negative mining on the bucketed scale path
+    "hard_negative_mining_lsh",
 ]
 
 #: default three driver-shipped decades; pass extra dirs as argv to extend
