@@ -37,6 +37,41 @@ def _rows(df):
     )
 
 
+def test_gate_detects_a_partition_sensitive_result(spark):
+    """Mutation test for the gate itself: the comparison must be ABLE to
+    fail. collect_list without a sort is the canonical partition-order
+    leak — its element order follows shuffle/partition layout. Assert
+    the exact comparison this gate uses (sorted rows of stringified
+    cells) distinguishes a 32-partition run from a 7-partition run on
+    such a frame; if this ever starts passing, the gate has gone blind
+    (e.g. a future _rows() change that sorts INSIDE cells)."""
+    from pyspark.sql import functions as F
+
+    def build():
+        df = (
+            spark.range(0, 2000)
+            .select((F.col("id") % 3).alias("k"), F.col("id").alias("v"))
+            # shuffle-dependent input order into the aggregation
+            .repartition(int(spark.conf.get("spark.sql.shuffle.partitions")), "v")
+        )
+        return df.groupBy("k").agg(
+            F.concat_ws(",", F.slice(F.collect_list("v"), 1, 20)).alias("head")
+        )
+
+    prior = spark.conf.get("spark.sql.shuffle.partitions")
+    base = _rows(build())
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "7")
+        alt = _rows(build())
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prior)
+    assert base != alt, (
+        "gate blindness: a sort-free collect_list ordered identically "
+        "under 32 and 7 shuffle partitions — the invariance comparison "
+        "can no longer detect partition-sensitive results"
+    )
+
+
 @pytest.mark.parametrize("name", sorted(QUERIES))
 def test_result_invariant_under_shuffle_partitions(spark, name):
     prior = spark.conf.get("spark.sql.shuffle.partitions")
