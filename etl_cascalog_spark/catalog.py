@@ -2746,8 +2746,11 @@ def _curation_oracle_sql() -> str:
     "(losers = non-canonical members of each connected component over "
     "verified pairs ≥ 0.7 — pairwise drop-the-larger over-deletes on "
     "chains). One corpus scan feeds everything; the only shuffles are the "
-    "digest window, the LSH band join, and the per-round component joins "
-    "— the shape a 100 TB curation run wants.",
+    "digest window, the LSH band join, the per-round component joins, and "
+    "the final id-keyed anti join — which deliberately carries NO "
+    "broadcast hint (the loser set is proportional to the corpus near-dup "
+    "population; AQE broadcasts only when it fits). The shape a 100 TB "
+    "curation run wants.",
 )
 def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_cascalog_spark.operators.dedup import minhash_lsh_pairs
@@ -2783,14 +2786,17 @@ def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     pairs = minhash_lsh_pairs(exact, "doc_id", "text", n=3, threshold=0.7)
     # cluster-canonical keep: one survivor per connected component (the
-    # pairwise doc_b loser set over-deletes on chains a-b-c). losers ≈ the
-    # near-dup fraction of the corpus id space — broadcast-able by
-    # construction (ids only), keeping the anti join shuffle-free
+    # pairwise doc_b loser set over-deletes on chains a-b-c). losers is
+    # PROPORTIONAL to the corpus near-dup population (30%+ of a web corpus
+    # = billions of ids at 100 TB), so it must NOT carry a mandatory
+    # broadcast hint — a bare id-keyed anti join lets AQE broadcast at
+    # runtime when the side actually fits and shuffle when it doesn't
+    # (see SCALE.md "Never force-broadcast the dup population").
     comp = connected_components(pairs)
     losers = comp.where(F.col("node") != F.col("label")).select(
         F.col("node").alias("doc_id")
     )
-    return exact.join(F.broadcast(losers), "doc_id", "left_anti").select(
+    return exact.join(losers, "doc_id", "left_anti").select(
         "doc_id", "lang", "quality"
     )
 
@@ -5241,7 +5247,7 @@ def entity_blocking_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 from etl_cascalog_spark.operators.layout import (  # noqa: E402
-    quantize_pow2,
+    quantize_pow2_col,
     zorder_bucket_stats,
     zvalue_sql,
 )
@@ -5285,26 +5291,35 @@ _DAYS_SQL = "datediff('day', DATE '1992-01-01', o_orderdate)"
     "into the 16 top-bits z-buckets (pure map-side, no sort), and report "
     "each bucket's per-dimension min/max span in RAW units — the "
     "row-group skipping stats a z-ordered writer achieves, tight on "
-    "BOTH dimensions. The domain bounds are a 1-row scalar agg (the "
-    "config-read collect class); everything else stays map-side. Zero "
-    "shuffles beyond one 16-group agg; at write time the same key feeds "
-    "repartitionByRange(z)+sortWithinPartitions.",
+    "BOTH dimensions. The domain bounds are a LAZY broadcast 1-row "
+    "min/max aggregate cross-joined onto the rows (the oracle's 'FROM "
+    "orders, b' shape) — zero Spark jobs at plan-build time; everything "
+    "else stays map-side. Zero shuffles beyond one 16-group agg; at "
+    "write time the same key feeds repartitionByRange(z)+"
+    "sortWithinPartitions.",
 )
 def zorder_layout_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = read_table(spark, sf_dir, "orders")
     days = F.datediff(F.col("o_orderdate"), F.lit("1992-01-01"))
-    lox, hix, loy, hiy = (
-        int(v)
-        for v in orders.agg(
-            F.min("o_custkey"), F.max("o_custkey"), F.min(days), F.max(days)
-        ).collect()[0]
+    # domain bounds as a LAZY broadcast 1-row aggregate (the oracle's
+    # `FROM orders, b` shape) instead of a plan-build collect — zero
+    # Spark jobs at DataFrame-construction time; the 1-row broadcast is
+    # genuinely bounded, unlike the dup-population frames (SCALE.md)
+    bounds = orders.agg(
+        F.min("o_custkey").alias("__lox"),
+        F.max("o_custkey").alias("__hix"),
+        F.min(days).alias("__loy"),
+        F.max(days).alias("__hiy"),
     )
+    with_bounds = orders.crossJoin(F.broadcast(bounds))
     return zorder_bucket_stats(
-        orders,
+        with_bounds,
         F.col("o_custkey"),
         days,
-        z_x=quantize_pow2(F.col("o_custkey"), lox, hix, 16),
-        z_y=quantize_pow2(days, loy, hiy, 16),
+        z_x=quantize_pow2_col(
+            F.col("o_custkey"), F.col("__lox"), F.col("__hix"), 16
+        ),
+        z_y=quantize_pow2_col(days, F.col("__loy"), F.col("__hiy"), 16),
     ).select(
         "z_bucket",
         F.col("n_rows").cast("long").alias("n_rows"),
@@ -8284,8 +8299,9 @@ def keyset_pagination_page2(spark: SparkSession, sf_dir: str) -> DataFrame:
     "trained on). This is the audit that motivates keying hash_split "
     "on the dedup CLUSTER id rather than the raw doc id "
     "(train_split_assignment doc); run it after any split to prove the "
-    "off-diagonal is empty — or how bad it is. Split lookup broadcasts "
-    "(ids only); the pair pass is the audited LSH/shingle machinery.",
+    "off-diagonal is empty — or how bad it is. The split lookup is "
+    "corpus-sized, so it attaches via BARE id equi-joins (AQE decides "
+    "broadcast at runtime); the pair pass is the audited LSH machinery.",
 )
 def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_cascalog_spark.operators.dedup import jaccard_pairs
@@ -8297,11 +8313,14 @@ def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select("doc_id"), "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1},
         salt="v1",
     )
+    # splits is CORPUS-sized (one row per doc): no broadcast hint — the
+    # attach is a plain id equi-join; AQE broadcasts at runtime only when
+    # the side fits (SCALE.md "Never force-broadcast the dup population")
     sa = splits.select(F.col("doc_id").alias("doc_a"), F.col("split").alias("split_a"))
     sb = splits.select(F.col("doc_id").alias("doc_b"), F.col("split").alias("split_b"))
     return (
-        pairs.join(F.broadcast(sa), "doc_a")
-        .join(F.broadcast(sb), "doc_b")
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
         .groupBy(
             "split_a",
             "split_b",
@@ -8358,7 +8377,9 @@ def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     "empty — the hash match against the recursive-CTE oracle certifies "
     "it. This is the leakage-safe production split recipe the "
     "train_split_assignment doc promises; same plan machinery as "
-    "dedup_cluster_sizes plus two broadcast id-only joins.",
+    "dedup_cluster_sizes plus bare id equi-join attaches — the label "
+    "and split sides scale with the corpus, so no mandatory broadcast "
+    "hints (AQE decides at runtime).",
 )
 def cluster_keyed_split_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_cascalog_spark.operators.dedup import connected_components, jaccard_pairs
@@ -8372,7 +8393,11 @@ def cluster_keyed_split_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     labels = connected_components(pairs).select(
         F.col("node").alias("doc_id"), F.col("label")
     )
-    keyed = docs.select("doc_id").join(F.broadcast(labels), "doc_id", "left").select(
+    # labels is proportional to the near-dup population and splits is
+    # corpus-sized: bare id equi-joins, never a mandatory broadcast hint —
+    # AQE converts to broadcast at runtime only when the side fits
+    # (SCALE.md "Never force-broadcast the dup population")
+    keyed = docs.select("doc_id").join(labels, "doc_id", "left").select(
         "doc_id", F.coalesce("label", "doc_id").alias("split_key")
     )
     splits = hash_split(
@@ -8381,8 +8406,8 @@ def cluster_keyed_split_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     sa = splits.select(F.col("doc_id").alias("doc_a"), F.col("split").alias("split_a"))
     sb = splits.select(F.col("doc_id").alias("doc_b"), F.col("split").alias("split_b"))
     return (
-        pairs.join(F.broadcast(sa), "doc_a")
-        .join(F.broadcast(sb), "doc_b")
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
         .groupBy(
             "split_a",
             "split_b",
@@ -9549,10 +9574,11 @@ def dedup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     "the best-formatted copy of a boilerplate family rather than an "
     "arbitrary one. Composes MinHash+LSH pairs, the (star-default) "
     "connected components, the portable quality score, and one rank-1 "
-    "window per cluster; the per-cluster keeper set is id-sized and "
-    "broadcast into the final doc-level join, so the corpus never "
-    "shuffles for the verdict attach. Oracle: recursive-CTE closure + "
-    "the same argmax in SQL.",
+    "window per cluster; the component/keeper attaches are BARE id "
+    "equi-joins — the pair-graph membership is proportional to the "
+    "corpus near-dup population, so it never carries a mandatory "
+    "broadcast hint (AQE broadcasts at runtime only when the side "
+    "fits). Oracle: recursive-CTE closure + the same argmax in SQL.",
 )
 def neardup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_cascalog_spark.operators.dedup import (
@@ -9568,12 +9594,14 @@ def neardup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = minhash_lsh_pairs(
         docs, "doc_id", "text", n=3, num_hashes=64, bands=16, threshold=0.7
     )
-    # comp has one row per member of the PAIR graph — the near-dup fraction
-    # of the id space, broadcast-able by construction (same reasoning as
-    # the curation pipeline's losers set): the corpus-sized side never
-    # shuffles for any of these attaches
+    # comp has one row per member of the PAIR graph — PROPORTIONAL to the
+    # corpus near-dup population (billions of rows on a 100 TB web corpus),
+    # so none of these attaches may carry a mandatory broadcast hint: bare
+    # id/label equi-joins let AQE broadcast at runtime when the side fits
+    # and fall back to a shuffle join when it doesn't (SCALE.md "Never
+    # force-broadcast the dup population")
     comp = connected_components(pairs)
-    member = F.broadcast(comp).join(
+    member = comp.join(
         scored.withColumnRenamed("doc_id", "node"), "node"
     )
     w = Window.partitionBy("label").orderBy(F.col("quality").desc(), F.col("node"))
@@ -9584,8 +9612,8 @@ def neardup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         scored.select("doc_id")
-        .join(F.broadcast(comp.withColumnRenamed("node", "doc_id")), "doc_id", "left")
-        .join(F.broadcast(best), "label", "left")
+        .join(comp.withColumnRenamed("node", "doc_id"), "doc_id", "left")
+        .join(best, "label", "left")
         .select(
             "doc_id",
             F.coalesce("keeper", F.col("doc_id")).cast("long").alias("keeper_id"),

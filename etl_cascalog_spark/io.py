@@ -247,18 +247,47 @@ def jdbc_table_exists(
     """True iff ``table`` exists on the JDBC backend — via DatabaseMetaData
     (no probe query, no dialect-specific error-message matching). Checked
     against the verbatim, upper- and lower-cased name so unquoted
-    identifiers resolve on case-folding backends (Derby/PG)."""
+    identifiers resolve on case-folding backends (Derby/PG).
+
+    The name is passed to ``getTables`` as a *pattern* argument, where
+    ``_`` and ``%`` are LIKE wildcards — and every staged-sink name
+    (``{table}_stage``) contains ``_``, so an unescaped probe would
+    report a similarly-shaped table (``kvXstage``) as a hit and the sink
+    would then skip CREATE and fail on the missing table. Wildcards are
+    escaped with the driver's own ``getSearchStringEscape()``, and the
+    schema pattern is pinned to the connection's current schema (when
+    the driver reports one) instead of a match-anything null, so a
+    same-named table in another schema can't shadow the probe."""
     _, conn = _jdbc_connection(spark, url, properties)
     try:
         md = conn.getMetaData()
-        bare = table.split(".")[-1]
-        for name in (bare, bare.upper(), bare.lower()):
-            rs = md.getTables(None, None, name, None)
+        esc = md.getSearchStringEscape() or "\\"
+
+        def _escape(pat: str) -> str:
+            return (
+                pat.replace(esc, esc + esc)
+                .replace("_", esc + "_")
+                .replace("%", esc + "%")
+            )
+
+        if "." in table:
+            qualifier, bare = table.rsplit(".", 1)
+            schemas = [qualifier, qualifier.upper(), qualifier.lower()]
+        else:
+            bare = table
             try:
-                if rs.next():
-                    return True
-            finally:
-                rs.close()
+                schemas = [conn.getSchema()]
+            except Exception:
+                schemas = [None]  # optional JDBC 4.1 API; null = any
+        for schema in schemas:
+            schema_pat = _escape(schema) if schema else None
+            for name in (bare, bare.upper(), bare.lower()):
+                rs = md.getTables(None, schema_pat, _escape(name), None)
+                try:
+                    if rs.next():
+                        return True
+                finally:
+                    rs.close()
         return False
     finally:
         conn.close()

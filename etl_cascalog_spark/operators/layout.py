@@ -110,6 +110,46 @@ def quantize_pow2(
     return q
 
 
+def quantize_pow2_col(
+    col: Column, lo: Column, hi: Column, bits: int, strict: bool = True
+) -> Column:
+    """LAZY-bounds twin of :func:`quantize_pow2`: ``lo``/``hi`` arrive as
+    Columns (a broadcast 1-row min/max aggregate cross-joined onto the
+    rows), so bound discovery rides the same action as the query — zero
+    Spark jobs at plan-build time, the same discipline as the lazy
+    anchor guard in ``similarity.hard_negatives``.
+
+    The shift amount mirrors the DuckDB twin exactly:
+    ``greatest(0, length(bin(greatest(1, hi - lo))) - bits)`` — bin() of
+    a positive long is its minimal binary string, so its length IS
+    Python's ``bit_length()`` (the inner greatest keeps span-0 domains in
+    sync: ``bin(0)`` has length 1 but ``(0).bit_length() == 0``).
+    ``shiftright`` is invoked through the SQL function registry
+    (``F.call_function``) because the Python wrapper only accepts a
+    literal int shift.
+    """
+    span = (hi - lo).cast("long")
+    shift = F.greatest(
+        F.lit(0), F.length(F.bin(F.greatest(F.lit(1), span))) - F.lit(bits)
+    )
+    q = F.call_function("shiftright", col.cast("long") - lo.cast("long"), shift)
+    if strict:
+        ok = (col >= lo) & (col <= hi)
+        guard = F.assert_true(
+            ok,
+            F.format_string(
+                "quantize_pow2_col: value outside [%s, %s] — it would "
+                "shift to a negative or aliased cell; widen the bounds "
+                "to the real column domain (clamping would alias "
+                "silently)",
+                lo,
+                hi,
+            ),
+        )
+        q = F.when(guard.isNull(), q)
+    return q
+
+
 def zvalue_sql(x: str, y: str, bits: int = 16) -> str:
     """The DuckDB/ANSI twin of :func:`zvalue` (``>>``/``&`` operators)."""
     terms = []

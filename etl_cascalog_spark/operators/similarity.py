@@ -130,11 +130,14 @@ def cosine_topk_blas(
     exact near-ties, which is why the catalog checks this operator on
     (query_id, neighbor_id, rank) with the exact-SQL oracle.
 
-    The bounded-query contract is ENFORCED, not just documented: the query
-    side is counted first and anything over ``max_queries`` (default 100k
-    vectors ≈ tens of MB at typical dims — comfortably driver-sized)
-    raises before the collect, because a corpus-sized ``queries`` frame
-    would otherwise OOM the driver. For unbounded query sides use
+    The bounded-query contract is ENFORCED, not just documented — and the
+    guard is FUSED into the operator's one mandatory collect (a
+    ``limit(max_queries + 1)`` collect that refuses on overflow), so
+    construction runs exactly one Spark job, never a separate counting
+    pass. Anything over ``max_queries`` (default 100k vectors ≈ tens of
+    MB at typical dims — comfortably driver-sized) raises before
+    materializing more, because a corpus-sized ``queries`` frame would
+    otherwise OOM the driver. For unbounded query sides use
     :func:`lsh_cosine_topk` / :func:`lsh_multiprobe_topk` /
     :func:`ivf_cosine_topk`, whose candidate generation is a bucket
     equi-join with no driver materialization.
@@ -147,8 +150,17 @@ def cosine_topk_blas(
     from etl_cascalog_spark.io import ensure_min_parallelism
 
     corpus = ensure_min_parallelism(corpus, id_col)
-    n_q = queries.limit(max_queries + 1).count()
-    if n_q > max_queries:
+    # guard fused into the one mandatory collect (this operator's
+    # contract IS a driver-side query matrix, so construction runs
+    # exactly ONE job — the former separate limit().count() probe was a
+    # second full pass over the query side): collect max_queries+1 rows
+    # and refuse on overflow BEFORE materializing anything bigger
+    q_rows = (
+        queries.select(F.col(id_col), F.col(vec_col))
+        .limit(max_queries + 1)
+        .collect()
+    )
+    if len(q_rows) > max_queries:
         raise ValueError(
             f"cosine_topk_blas: query side exceeds max_queries={max_queries} "
             "— this scorer collects the query set to the driver by design "
@@ -157,7 +169,6 @@ def cosine_topk_blas(
             "(bucketed candidate joins, nothing driver-side), or raise "
             "max_queries explicitly if you know the set fits."
         )
-    q_rows = queries.select(F.col(id_col), F.col(vec_col)).collect()
     qids = [r[0] for r in q_rows]
     Q = np.asarray([r[1] for r in q_rows], dtype=np.float64)
     Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
@@ -575,6 +586,7 @@ def hard_negatives(
     k: int = 3,
     anchor_filter: Column | None = None,
     max_anchors: int = 10_000,
+    cache: bool = True,
 ) -> DataFrame:
     """Hard-negative mining for contrastive training: for each anchor, the
     ``k`` highest-cosine vectors with a DIFFERENT label — the near-boundary
@@ -600,10 +612,18 @@ def hard_negatives(
     recall of the single hardest negative for a bucket-local candidate
     set; hard-negative mining tolerates that approximation by design
     (any sufficiently-hard negative works).
+
+    ``cache=False`` skips the internal anchor/corpus caches for callers
+    outside ``scoped_storage`` that cannot unpersist them (same escape
+    hatch as :func:`mmr_rerank` / ``global_token_offsets``).
     """
     from etl_cascalog_spark.io import ensure_min_parallelism
 
-    anchors = (emb if anchor_filter is None else emb.where(anchor_filter)).cache()
+    anchors = emb if anchor_filter is None else emb.where(anchor_filter)
+    if cache:
+        # feeds the guard count AND the broadcast projection
+        # (lifecycle: scoped_storage at the call site, or cache=False)
+        anchors = anchors.cache()
     # lazy anchor-count guard: a partial-aggregate count (no global window,
     # no shuffle of anchor rows) feeding assert_true; 1-row frame broadcast
     # onto the anchor rows so the check rides the same action as the query
@@ -636,16 +656,14 @@ def hard_negatives(
         .crossJoin(guard)
         .drop("_anchor_guard")
     )
-    c = (
-        ensure_min_parallelism(emb, id_col)
-        .select(
-            F.col(id_col).alias("negative_id"),
-            F.col(vec_col).alias("cv"),
-            norm(F.col(vec_col)).alias("nc"),
-            F.col(label_col).alias("c_label"),
-        )
-        .cache()
+    c = ensure_min_parallelism(emb, id_col).select(
+        F.col(id_col).alias("negative_id"),
+        F.col(vec_col).alias("cv"),
+        norm(F.col(vec_col)).alias("nc"),
+        F.col(label_col).alias("c_label"),
     )
+    if cache:
+        c = c.cache()
     scored = (
         c.crossJoin(a)
         .where(F.col("a_label") != F.col("c_label"))
@@ -957,13 +975,23 @@ def hard_negatives_lsh(
     dim: int = 64,
     n_planes: int = 8,
     seed: int = 7,
+    cache: bool = True,
 ) -> DataFrame:
     """Corpus-scale hard-negative mining: the bucketed sibling of
     :func:`hard_negatives` — candidates come from the anchor's hyperplane
-    bucket only, so the shuffle is a bucket equi-join, not a broadcast
-    cross of all anchors. Mining tolerates the bucket approximation by
-    design (any sufficiently-hard different-label negative carries the
+    bucket only, so the plan is a bucket equi-join with NO broadcast hint
+    on either side: the anchor set scales with the caller's filter (an
+    unbounded fraction of the corpus), so forcing a broadcast would
+    re-create exactly the over-broadcast hazard the dense path's
+    ``max_anchors`` guard exists to prevent. AQE converts the join to
+    broadcast at runtime only when the anchor side actually fits; at
+    corpus scale both sides shuffle on the bucket key — the correct
+    100 TB plan. Mining tolerates the bucket approximation by design
+    (any sufficiently-hard different-label negative carries the
     contrastive gradient; the single hardest one is not required).
+
+    ``cache=False`` skips the internal corpus-side cache for callers
+    outside ``scoped_storage`` (same escape hatch as :func:`mmr_rerank`).
 
     Same output contract: (anchor_id, negative_id, rank, cos_sim)."""
     from etl_cascalog_spark.io import ensure_min_parallelism
@@ -977,19 +1005,17 @@ def hard_negatives_lsh(
         F.col(label_col).alias("a_label"),
         lsh_bucket(F.col(vec_col), planes).alias("bucket"),
     )
-    c = (
-        ensure_min_parallelism(emb, id_col)
-        .select(
-            F.col(id_col).alias("negative_id"),
-            F.col(vec_col).alias("cv"),
-            norm(F.col(vec_col)).alias("nc"),
-            F.col(label_col).alias("c_label"),
-            lsh_bucket(F.col(vec_col), planes).alias("bucket"),
-        )
-        .cache()
+    c = ensure_min_parallelism(emb, id_col).select(
+        F.col(id_col).alias("negative_id"),
+        F.col(vec_col).alias("cv"),
+        norm(F.col(vec_col)).alias("nc"),
+        F.col(label_col).alias("c_label"),
+        lsh_bucket(F.col(vec_col), planes).alias("bucket"),
     )
+    if cache:
+        c = c.cache()
     scored = (
-        c.join(F.broadcast(a), on="bucket")
+        c.join(a, on="bucket")
         .where(F.col("a_label") != F.col("c_label"))
         .select(
             "anchor_id",

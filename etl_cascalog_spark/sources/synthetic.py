@@ -216,11 +216,31 @@ class SyntheticEventsDataSource(DataSource):
         return SyntheticEventsStreamReader(self.options)
 
 
+class SyntheticEventsRateDataSource(DataSource):
+    """``format("synthetic_events_rate")`` — the rate-limited,
+    partition-PARALLEL streaming flavor (Kafka-shaped without a broker):
+    offsets live on the driver, data is generated executor-side. See
+    :class:`SyntheticEventsParallelStreamReader`."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "synthetic_events_rate"
+
+    def schema(self) -> StructType:
+        return SCHEMA
+
+    def streamReader(self, schema: StructType):
+        return SyntheticEventsParallelStreamReader(self.options)
+
+
 # ---------------------------------------------------------------------------
 # Streaming flavor: the same deterministic generator as an unbounded source
 # ---------------------------------------------------------------------------
 
-from pyspark.sql.datasource import SimpleDataSourceStreamReader  # noqa: E402
+from pyspark.sql.datasource import (  # noqa: E402
+    DataSourceStreamReader,
+    SimpleDataSourceStreamReader,
+)
 
 
 def _gen_rows(start: int, end: int, seed: int):
@@ -284,3 +304,81 @@ class SyntheticEventsStreamReader(SimpleDataSourceStreamReader):
 
     def readBetweenOffsets(self, start: dict, end: dict):
         return list(_gen_rows(int(start["index"]), int(end["index"]), self.seed))
+
+
+class SyntheticEventsParallelStreamReader(DataSourceStreamReader):
+    """Rate-limited, partition-parallel streaming reader — the
+    Kafka-shaped scale path the Simple reader's docstring promises:
+
+    - **offsets on the driver, data on the executors**: ``latestOffset``
+      only advances an integer row index; ``partitions(start, end)``
+      splits [start, end) into ``n_partitions`` ranges and ``read`` runs
+      in the executors' Python workers, generating Arrow-friendly tuples
+      from (seed, index) — the driver never touches row data (the Simple
+      reader feeds rows through the driver; this one doesn't).
+    - **rate-limited like the built-in rate source**: the target offset
+      is ``rows_per_second × elapsed-wall-clock``, capped at
+      ``max_batch_rows`` per micro-batch (backpressure: a slow batch
+      doesn't snowball the next one).
+    - **replayable by construction**: rows are pure functions of
+      (seed, index), so re-reading any committed offset range after a
+      driver crash reproduces byte-identical rows — the exactly-once
+      recovery contract an external broker provides with retention, here
+      provided by determinism (proven by a kill-resume test that SIGKILLs
+      the driver mid-stream and resumes from the checkpoint).
+    - **restart-safe offsets**: after a driver kill the reader's wall
+      clock restarts but the checkpoint's offset doesn't; until the
+      engine reveals the committed position (via ``partitions``/
+      ``commit``) the target could lag it, so ``partitions`` clamps
+      ``end = max(start, end)`` (an empty first batch, never a backwards
+      range) and the internal index ratchets up to every start/commit
+      position it sees.
+    """
+
+    def __init__(self, options):
+        self.seed = int(options.get("seed", 42))
+        self.rows_per_second = int(options.get("rows_per_second", 10_000))
+        self.n_partitions = int(options.get("n_partitions", 4))
+        self.max_batch_rows = int(options.get("max_batch_rows", 100_000))
+        self._t0: float | None = None
+        self._index = 0  # highest offset handed to the engine
+
+    def initialOffset(self) -> dict:
+        return {"index": 0}
+
+    def latestOffset(self) -> dict:
+        import time
+
+        now = time.monotonic()
+        if self._t0 is None:
+            self._t0 = now
+        budget = int((now - self._t0) * self.rows_per_second)
+        target = min(budget, self._index + self.max_batch_rows)
+        self._index = max(self._index, target)
+        return {"index": self._index}
+
+    def partitions(self, start: dict, end: dict):
+        s, e = int(start["index"]), int(end["index"])
+        e = max(s, e)  # never a backwards range after a restart
+        # ratchet: a restart resumes from the checkpoint's offset, which
+        # outruns a freshly-started wall clock — credit it as elapsed
+        if e > self._index:
+            self._index = e
+        if e == s:
+            return []
+        n = max(1, self.n_partitions)
+        step = (e - s + n - 1) // n
+        return [
+            _RangePartition(p, min(p + step, e), self.seed)
+            for p in range(s, e, step)
+        ]
+
+    def read(self, partition: _RangePartition):
+        # executor-side: same (seed, index) derivation as the batch reader
+        return _gen_rows(partition.start, partition.end, partition.seed)
+
+    def commit(self, end: dict) -> None:
+        # offsets below `end` are durable in the checkpoint; nothing to
+        # retire — determinism IS the retention
+        if int(end["index"]) > self._index:
+            self._index = int(end["index"])

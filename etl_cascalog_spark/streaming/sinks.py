@@ -132,6 +132,15 @@ def idempotent_jdbc_upsert_sink(
     On a warehouse-grade sink the DELETE+INSERT pair becomes a MERGE
     from the same stage; the ledger and re-delivery reasoning carry
     over unchanged.
+
+    TARGET MUST PRE-EXIST: the first batch clones the stage from the
+    target's definition (``CREATE .. AS SELECT .. WITH NO DATA``), so —
+    unlike a plain Spark ``jdbc`` append, which auto-creates its table —
+    this sink needs ``table`` created up front (:func:`io.jdbc_execute`
+    DDL, or the S8 ``create_table_if`` lifecycle). A missing target is
+    probed on the first delivery of each batch and raises a clear
+    error naming the target instead of a confusing stage-side
+    table-not-found from the clone DDL.
     """
     from etl_cascalog_spark.io import jdbc_append, jdbc_execute, jdbc_table_exists
 

@@ -1718,6 +1718,38 @@ def test_pagerank_integer_mass_and_sink_behavior(spark):
     assert r[2] == (15 * base) // 100
 
 
+def test_pagerank_early_exit_is_exact_and_fires(spark):
+    """VERDICT r8 #5: the convergence early-exit must (a) actually stop
+    before the iteration cap on a graph that reaches its integer
+    fixpoint, and (b) be result-IDENTICAL to running every iteration —
+    the exactness claim that lets the oracle stay unchanged."""
+    from etl_cascalog_spark.operators.graph import pagerank_int
+
+    # 3-cycle in both directions: regular symmetric graph — every node's
+    # in_sum equals its own rank each round, so round 1 == round 0 and
+    # the integer fixpoint is immediate
+    e = [(0, 1), (1, 0), (1, 2), (2, 1), (2, 0), (0, 2)]
+    edges = spark.createDataFrame(e, "src: long, dst: long")
+    stats: dict = {}
+    fast = sorted(
+        map(tuple, pagerank_int(edges, iters=25, stats=stats).collect())
+    )
+    assert stats["rounds_run"] < 25, "early exit never fired on a fixpoint"
+    full = sorted(
+        map(tuple, pagerank_int(edges, iters=25, early_exit=False).collect())
+    )
+    assert fast == full
+
+    # non-regular graph (the star from the mass test): whether or not it
+    # converges within the cap, results must match the no-exit run
+    star = spark.createDataFrame(
+        [(1, 0), (2, 0), (3, 0), (4, 0), (0, 1)], "src: long, dst: long"
+    )
+    a = sorted(map(tuple, pagerank_int(star, iters=6).collect()))
+    b = sorted(map(tuple, pagerank_int(star, iters=6, early_exit=False).collect()))
+    assert a == b
+
+
 def test_copurchase_edges_cap_drops_mega_basket(spark):
     from etl_cascalog_spark.operators.graph import copurchase_edges
 
