@@ -7716,7 +7716,7 @@ def fs_linkage_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_FS_FINE_ORACLE = """
+_FS_FINE_ORACLE = f"""
     WITH blk AS (
       SELECT c_custkey, c_nationkey, c_mktsegment, c_name,
              CAST(c_acctbal AS DECIMAL(12,2)) AS bal,
@@ -7724,11 +7724,25 @@ _FS_FINE_ORACLE = """
                AS bband
       FROM customer
     ),
+    -- the engine's max_block skew cap, interpolated from the SAME
+    -- constant (dedup.DEFAULT_MAX_BLOCK — the entity_blocking_pairs
+    -- lesson: an unmirrored cap first diverges at the SF where it
+    -- triggers). Blocks past the cap are DROPPED: an oversize block
+    -- means the blocking key is too coarse there, and emitting
+    -- |block|^2 pairs is never the deployable answer.
+    ok_blocks AS (
+      SELECT c_nationkey, c_mktsegment, bband FROM blk
+      GROUP BY 1, 2, 3 HAVING count(*) <= {_EB_MAX_BLOCK}
+    ),
+    kept AS (
+      SELECT blk.* FROM blk
+      SEMI JOIN ok_blocks USING (c_nationkey, c_mktsegment, bband)
+    ),
     pairs AS (
       SELECT levenshtein(a.c_name, b.c_name) <= 3 AS ag_name,
              abs(a.bal - b.bal) <= 500 AS ag_bal,
              substr(a.c_name, 1, 8) = substr(b.c_name, 1, 8) AS ag_prefix
-      FROM blk a JOIN blk b
+      FROM kept a JOIN kept b
         ON a.c_nationkey = b.c_nationkey AND a.c_mktsegment = b.c_mktsegment
        AND a.bband = b.bband
        AND a.c_custkey < b.c_custkey
@@ -7764,30 +7778,65 @@ _FS_FINE_ORACLE = """
     "Pair count drops ~11x (quadratic-in-block-size: 90M -> 8M pairs at "
     "sf1), which is the difference between a demo and a deployable "
     "blocking pass; same one-pass collapse to 2^3 agreement patterns, "
-    "banded 3-arg levenshtein, 8-row metadata after the fan-out.",
+    "banded 3-arg levenshtein, 8-row metadata after the fan-out. A "
+    "max_block skew cap (dedup.DEFAULT_MAX_BLOCK, MIRRORED in the "
+    "oracle) drops oversize blocks before the fan-out, bounding the "
+    "worst case to |blocks| x cap^2 — linear in block count at any "
+    "scale; it never triggers on TPC-H-shaped data through sf3 (cut "
+    "semantics unit-tested synthetically).",
 )
 def fs_linkage_scores_fine(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = read_table(spark, sf_dir, "customer")
+    return fs_linkage_fine_frame(cust, max_block=_EB_MAX_BLOCK)
+
+
+def fs_linkage_fine_frame(
+    cust: DataFrame, max_block: int = 1000
+) -> DataFrame:
+    """The fs_linkage_scores_fine plan, parametric in the ``max_block``
+    skew cap so the cap's CUT semantics are unit-testable below the
+    shipped SFs (the default never triggers on TPC-H-shaped data until
+    far past sf3 — it exists to bound the 100 TB worst case: with every
+    block ≤ cap, the pair count is ≤ |blocks| × cap², linear in block
+    count instead of quadratic in the largest block)."""
     bband = F.floor(money(F.col("c_acctbal")) / 1000).cast("long")
+    blk = cust.select(
+        "c_custkey",
+        F.col("c_nationkey").alias("blk_n"),
+        F.col("c_mktsegment").alias("blk_s"),
+        bband.alias("blk_b"),
+        "c_name",
+        money(F.col("c_acctbal")).alias("bal"),
+    )
+    # skew cap mirrored in the oracle (dedup.DEFAULT_MAX_BLOCK): drop
+    # oversize blocks BEFORE the quadratic fan-out — same discipline as
+    # blocked_entity_pairs / max_bucket
+    ok_blocks = (
+        blk.groupBy("blk_n", "blk_s", "blk_b")
+        .agg(F.count(F.lit(1)).alias("__bn"))
+        .where(F.col("__bn") <= max_block)
+        .select("blk_n", "blk_s", "blk_b")
+    )
+    kept = blk.join(ok_blocks, ["blk_n", "blk_s", "blk_b"], "left_semi")
     a = ensure_min_parallelism(
-        cust.select(
+        kept.select(
             F.col("c_custkey").alias("ka"),
-            F.col("c_nationkey").alias("blk_n"),
-            F.col("c_mktsegment").alias("blk_s"),
-            bband.alias("blk_b"),
+            "blk_n",
+            "blk_s",
+            "blk_b",
             F.col("c_name").alias("name_a"),
-            money(F.col("c_acctbal")).alias("bal_a"),
+            F.col("bal").alias("bal_a"),
         ),
         "blk_n",
         "blk_s",
     )
-    b = cust.select(
+    b = kept.select(
         F.col("c_custkey").alias("kb"),
-        F.col("c_nationkey").alias("blk_n"),
-        F.col("c_mktsegment").alias("blk_s"),
-        bband.alias("blk_b"),
+        "blk_n",
+        "blk_s",
+        "blk_b",
         F.col("c_name").alias("name_b"),
-        money(F.col("c_acctbal")).alias("bal_b"),
+        F.col("bal").alias("bal_b"),
     )
     pairs = (
         a.join(b, ["blk_n", "blk_s", "blk_b"])

@@ -251,41 +251,41 @@ def jdbc_table_exists(
 
     The name is passed to ``getTables`` as a *pattern* argument, where
     ``_`` and ``%`` are LIKE wildcards — and every staged-sink name
-    (``{table}_stage``) contains ``_``, so an unescaped probe would
+    (``{table}_stage``) contains ``_``, so a raw pattern alone would
     report a similarly-shaped table (``kvXstage``) as a hit and the sink
-    would then skip CREATE and fail on the missing table. Wildcards are
-    escaped with the driver's own ``getSearchStringEscape()``, and the
-    schema pattern is pinned to the connection's current schema (when
-    the driver reports one) instead of a match-anything null, so a
+    would then skip CREATE and fail on the missing table. Candidates
+    from the (possibly over-matching) pattern are therefore post-filtered
+    by EXACT ``TABLE_NAME``/``TABLE_SCHEM`` equality — the only portable
+    discipline: Derby's ``getSearchStringEscape()`` returns ``""`` (its
+    metadata patterns have no escape mechanism at all), so
+    escape-the-pattern cannot work everywhere. The schema is pinned to
+    the connection's current schema (or the name's own qualifier), so a
     same-named table in another schema can't shadow the probe."""
     _, conn = _jdbc_connection(spark, url, properties)
     try:
         md = conn.getMetaData()
-        esc = md.getSearchStringEscape() or "\\"
-
-        def _escape(pat: str) -> str:
-            return (
-                pat.replace(esc, esc + esc)
-                .replace("_", esc + "_")
-                .replace("%", esc + "%")
-            )
-
         if "." in table:
             qualifier, bare = table.rsplit(".", 1)
-            schemas = [qualifier, qualifier.upper(), qualifier.lower()]
+            schemas = {qualifier, qualifier.upper(), qualifier.lower()}
         else:
             bare = table
             try:
-                schemas = [conn.getSchema()]
+                schemas = {conn.getSchema()}
             except Exception:
-                schemas = [None]  # optional JDBC 4.1 API; null = any
+                schemas = {None}  # optional JDBC 4.1 API; null = any
+        names = {bare, bare.upper(), bare.lower()}
         for schema in schemas:
-            schema_pat = _escape(schema) if schema else None
-            for name in (bare, bare.upper(), bare.lower()):
-                rs = md.getTables(None, schema_pat, _escape(name), None)
+            for name in names:
+                rs = md.getTables(None, schema, name, None)
                 try:
-                    if rs.next():
-                        return True
+                    while rs.next():
+                        # exact match only: the pattern may over-match
+                        # through unescapable LIKE wildcards
+                        if rs.getString("TABLE_NAME") in names and (
+                            schema is None
+                            or rs.getString("TABLE_SCHEM") in schemas
+                        ):
+                            return True
                 finally:
                     rs.close()
         return False

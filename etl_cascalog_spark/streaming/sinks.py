@@ -138,9 +138,9 @@ def idempotent_jdbc_upsert_sink(
     unlike a plain Spark ``jdbc`` append, which auto-creates its table —
     this sink needs ``table`` created up front (:func:`io.jdbc_execute`
     DDL, or the S8 ``create_table_if`` lifecycle). A missing target is
-    probed on the first delivery of each batch and raises a clear
-    error naming the target instead of a confusing stage-side
-    table-not-found from the clone DDL.
+    probed before the stage clone and raises a clear error naming the
+    TARGET, instead of the confusing stage-side table-not-found the
+    clone DDL would surface.
     """
     from etl_cascalog_spark.io import jdbc_append, jdbc_execute, jdbc_table_exists
 
@@ -158,6 +158,15 @@ def idempotent_jdbc_upsert_sink(
         if jdbc_table_exists(spark, url, stage, properties):
             jdbc_execute(spark, url, f"DELETE FROM {stage}", properties)
         else:
+            if not jdbc_table_exists(spark, url, table, properties):
+                raise RuntimeError(
+                    f"idempotent_jdbc_upsert_sink: target table {table!r} "
+                    "does not exist — this sink clones its stage from the "
+                    "target's definition, so the target must be created "
+                    "up front (unlike a plain Spark jdbc append, which "
+                    "auto-creates). Create it via jdbc_execute DDL or the "
+                    "create_table_if lifecycle before starting the stream."
+                )
             # clone the TARGET's definition (CREATE..AS..WITH NO DATA is
             # both Derby and PG syntax) so identifier case-folding matches
             # the target exactly — letting Spark create the stage would

@@ -282,6 +282,33 @@ def test_csv_corrupt_records_quarantined(spark, tmp_path):
     assert bad.count() == 1
 
 
+def test_jdbc_table_exists_escapes_like_wildcards(spark):
+    """ADVICE r8: DatabaseMetaData.getTables treats its table-name
+    argument as a LIKE pattern ('_'/'%' are wildcards), and every staged
+    sink name ('{t}_stage') contains '_' — so a similarly-shaped table
+    (kvXstage) must NOT make the probe report kv_stage as existing (the
+    sink would then skip CREATE and fail on the missing stage). Also:
+    a schema-qualified name must be honored, and a name in ANOTHER
+    schema must not shadow an unqualified probe."""
+    from etl_cascalog_spark.io import jdbc_execute, jdbc_table_exists
+
+    url = "jdbc:derby:memory:etl_exists_probe;create=true"
+    props = {"driver": "org.apache.derby.jdbc.EmbeddedDriver"}
+    jdbc_execute(spark, url, "CREATE TABLE kvXstage (k BIGINT)")
+    assert jdbc_table_exists(spark, url, "kvXstage", props)
+    assert not jdbc_table_exists(spark, url, "kv_stage", props)
+    jdbc_execute(spark, url, "CREATE TABLE kv_stage (k BIGINT)")
+    assert jdbc_table_exists(spark, url, "kv_stage", props)
+    # '%' would match anything if unescaped
+    assert not jdbc_table_exists(spark, url, "%", props)
+    # other-schema table must not satisfy an unqualified probe (the
+    # connection's current schema is pinned), but the qualified name must
+    jdbc_execute(spark, url, "CREATE SCHEMA elsewhere")
+    jdbc_execute(spark, url, "CREATE TABLE elsewhere.only_there (k BIGINT)")
+    assert not jdbc_table_exists(spark, url, "only_there", props)
+    assert jdbc_table_exists(spark, url, "elsewhere.only_there", props)
+
+
 def test_jdbc_embedded_derby_round_trip(spark):
     """S1 live-JDBC integration against embedded Derby (ships inside the
     Spark distro — no network, no external DB): DDL via jdbc_execute,

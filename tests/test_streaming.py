@@ -681,6 +681,28 @@ def test_jdbc_upsert_sink_exactly_once_with_replay(spark, tmp_path):
     assert got.select("USER_ID").distinct().count() == n_users
 
 
+def test_jdbc_upsert_sink_missing_target_raises_clearly(spark, tmp_path):
+    """ADVICE r8: the staged sink clones its stage FROM the target, so —
+    unlike a plain Spark jdbc append — the target must pre-exist. A
+    missing target must raise an error NAMING THE TARGET, not a
+    confusing stage-side table-not-found from the clone DDL; and no
+    ledger marker may be written for the failed delivery."""
+    import os
+
+    import pytest
+
+    from etl_cascalog_spark.streaming.sinks import idempotent_jdbc_upsert_sink
+
+    url = "jdbc:derby:memory:etl_upsert_notgt;create=true"
+    props = {"driver": "org.apache.derby.jdbc.EmbeddedDriver"}
+    ledger = str(tmp_path / "ledger")
+    sink = idempotent_jdbc_upsert_sink(url, "never_created", ["k"], ledger, props)
+    batch = spark.createDataFrame([(1, "a")], "k long, v string")
+    with pytest.raises(RuntimeError, match="never_created.*does not exist"):
+        sink(batch, 0)
+    assert not os.path.exists(os.path.join(ledger, "batch-0.committed"))
+
+
 def test_jdbc_upsert_stage_duplicates_collapse(spark):
     """Task-retry duplicate corruption, unit level (VERDICT r7 #4): a
     Spark JDBC write task that fails AFTER its per-partition commit is

@@ -259,6 +259,63 @@ def soak_jdbc_kill_replay(spark, rows_per_sec: int, secs: int) -> dict:
     }
 
 
+def soak_offset_resume(spark, rows_per_sec: int, secs: int) -> dict:
+    """The broker-shaped source at soak volume (VERDICT r8 #6): the
+    rate-limited offset-based reader (``synthetic_events_rate``,
+    sources/synthetic.py — Kafka-shaped offsets, executor-side reads,
+    deterministic replay) streams into a parquet file sink, is STOPPED
+    mid-flight, resumed from the same checkpoint (fresh reader instance,
+    wall clock restarted — the hostile offset shape), and run on.
+    Invariant: event_id coverage is exactly-once AND gap-free across the
+    stop/resume boundary. The harsher driver-SIGKILL variant of the same
+    invariant lives in tests/test_rate_source.py; this leg proves it at
+    soak volume."""
+    from etl_cascalog_spark.sources.synthetic import (
+        SyntheticEventsRateDataSource,
+    )
+
+    spark.dataSource.register(SyntheticEventsRateDataSource)
+    out = tempfile.mkdtemp(prefix="soak_rate_out_")
+    ckpt = tempfile.mkdtemp(prefix="soak_rate_ckpt_")
+
+    def start():
+        return (
+            spark.readStream.format("synthetic_events_rate")
+            .option("rows_per_second", rows_per_sec)
+            .option("n_partitions", 8)
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+
+    q = start()
+    time.sleep(max(secs // 2, 10))
+    q.stop()  # mid-flight: the last batch may be half-written
+    df1 = spark.read.parquet(out)
+    rows_first = df1.count()
+    q = start()  # fresh reader: offsets resume from the checkpoint
+    time.sleep(max(secs // 2, 10))
+    err = q.exception()
+    q.stop()
+
+    df = spark.read.parquet(out)
+    n = df.count()
+    d = df.select("event_id").distinct().count()
+    mx = df.agg(F.max("event_id")).collect()[0][0]
+    return {
+        "rows_first_half": rows_first,
+        "rows_total": n,
+        "distinct_ids": d,
+        "max_id": mx,
+        "resumed_past_first_half": n > rows_first > 0,
+        "exactly_once": n == d,
+        "gap_free": mx is not None and d == mx + 1,
+        "restart_error": str(err) if err else None,
+    }
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--rate", type=int, default=100_000)
@@ -271,6 +328,9 @@ def main() -> int:
         "sessions": soak_sessions(spark, args.rate, args.secs),
         "hll": soak_hll(spark, max(args.rate // 2, 1), max(args.secs // 2, 20)),
         "jdbc": soak_jdbc_kill_replay(spark, 5_000, max(args.secs // 3, 30)),
+        "offset_resume": soak_offset_resume(
+            spark, args.rate, max(args.secs // 3, 20)
+        ),
     }
     ok = (
         res["sessions"]["plateau"]
@@ -280,6 +340,10 @@ def main() -> int:
         and res["jdbc"]["values_congruent"]
         and res["jdbc"]["marker_removed_for_replay"]
         and res["jdbc"]["restart_error"] is None
+        and res["offset_resume"]["resumed_past_first_half"]
+        and res["offset_resume"]["exactly_once"]
+        and res["offset_resume"]["gap_free"]
+        and res["offset_resume"]["restart_error"] is None
     )
     res["ok"] = ok
     print(json.dumps(res))
