@@ -156,7 +156,9 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY 1, 2
     """,
     doc="J1 N-way star join (mlin/d_bolome_user_order.clj:73-86 shape): fact "
-    "⋈ 4 dims, small dims broadcast so the fact never re-shuffles.",
+    "⋈ 4 dims. BOUNDED dims (nation 25 rows, region 5) carry broadcast "
+    "hints; customer scales with the corpus, so its attach is a bare "
+    "join AQE broadcast-converts only while it fits.",
 )
 def star_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = read_table(spark, sf_dir, "lineitem")
@@ -170,7 +172,8 @@ def star_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = star_join(
         li.join(orders, li.l_orderkey == orders.o_orderkey, "inner"),
         [
-            (cust.select("c_custkey", "c_nationkey"), [F.col("o_custkey") == F.col("c_custkey")], "inner"),
+            # customer scales with the corpus — no mandatory hint
+            (cust.select("c_custkey", "c_nationkey"), [F.col("o_custkey") == F.col("c_custkey")], "inner", False),
             (nation.select("n_nationkey", "n_name", "n_regionkey"), [F.col("c_nationkey") == F.col("n_nationkey")], "inner"),
             (region, [F.col("n_regionkey") == F.col("r_regionkey")], "inner"),
         ],
@@ -197,12 +200,15 @@ def star_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
       ON l.l_partkey = p.p_partkey
     """,
     doc="J2 left-outer dim lookup that may miss (!!var binding, mlin:81) + "
-    "X6 nvl2/coalesce on the miss. Dim is broadcast.",
+    "X6 nvl2/coalesce on the miss. part scales with the corpus, so the "
+    "lookup is a bare left join (planner broadcasts while it fits).",
 )
 def left_lookup_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = read_table(spark, sf_dir, "lineitem")
     part = read_table(spark, sf_dir, "part").where(F.col("p_size") < 25).select("p_partkey", "p_brand")
-    out = left_lookup(li, part, on=[F.col("l_partkey") == F.col("p_partkey")])
+    out = left_lookup(
+        li, part, on=[F.col("l_partkey") == F.col("p_partkey")], broadcast=False
+    )
     return out.select(
         "l_orderkey",
         "l_linenumber",
@@ -2031,11 +2037,14 @@ def star_feature_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("s_suppkey") % 3 != 0)
         .select("s_suppkey", "s_name")
     )
+    # part and supplier both scale with the corpus — no mandatory hints
     joined = star_join(
         li.join(orders, li.l_orderkey == orders.o_orderkey, "inner"),
-        [(part, [F.col("l_partkey") == F.col("p_partkey")], "inner")],
+        [(part, [F.col("l_partkey") == F.col("p_partkey")], "inner", False)],
     )
-    joined = left_lookup(joined, supp, on=[F.col("l_suppkey") == F.col("s_suppkey")])
+    joined = left_lookup(
+        joined, supp, on=[F.col("l_suppkey") == F.col("s_suppkey")], broadcast=False
+    )
     price = money(F.col("l_extendedprice"))
     disc = money(F.col("l_discount"), "decimal(4,2)")
     return joined.select(
@@ -5906,14 +5915,17 @@ def backfill_plan_months(spark: SparkSession, sf_dir: str) -> DataFrame:
     "EXACT integer/decimal accumulators — double sums are partition-"
     "order dependent, exact sums make the slope bit-stable at any "
     "parallelism (one double divide at the end, rounded). One shuffle: "
-    "the nation groupBy; dims broadcast.",
+    "the nation groupBy; nation (fixed 25 rows) broadcast, the "
+    "customer attach a bare join (it scales with the corpus).",
 )
 def trend_slope_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = read_table(spark, sf_dir, "orders")
     cust = read_table(spark, sf_dir, "customer")
     nation = read_table(spark, sf_dir, "nation")
     m = (
-        orders.join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        # customer SCALES with the corpus (a TPC-H "dimension" only at
+        # test SF) — bare equi-join, AQE decides; nation is fixed 25 rows
+        orders.join(cust, orders["o_custkey"] == cust["c_custkey"])
         .join(F.broadcast(nation), cust["c_nationkey"] == nation["n_nationkey"])
         .select(
             F.col("n_name").alias("nation"),
@@ -6681,7 +6693,9 @@ def resample_interpolate_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation = read_table(spark, sf_dir, "nation")
     known = (
         orders.where(F.dayofmonth("o_orderdate").isin(1, 15))
-        .join(F.broadcast(cust.select("c_custkey", "c_nationkey")),
+        # customer scales with the corpus: bare join, AQE decides;
+        # nation is fixed 25 rows
+        .join(cust.select("c_custkey", "c_nationkey"),
               orders["o_custkey"] == F.col("c_custkey"))
         .join(F.broadcast(nation.select("n_nationkey", "n_name")),
               F.col("c_nationkey") == F.col("n_nationkey"))
@@ -7243,12 +7257,14 @@ def association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("s_ab"))
     )
     return (
+        # per-item supports scale with the item vocabulary: bare id
+        # equi-joins, AQE decides broadcast (nb stays — 1-row aggregate)
         pair.join(
-            F.broadcast(supp.select(F.col("pk").alias("ia"), F.col("s").alias("sa"))),
+            supp.select(F.col("pk").alias("ia"), F.col("s").alias("sa")),
             "ia",
         )
         .join(
-            F.broadcast(supp.select(F.col("pk").alias("ib"), F.col("s").alias("sb"))),
+            supp.select(F.col("pk").alias("ib"), F.col("s").alias("sb")),
             "ib",
         )
         .crossJoin(F.broadcast(nb))
@@ -7366,7 +7382,9 @@ def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = read_table(spark, sf_dir, "events")
     cand = cms_heavy_hitter_candidates(ev, "user_id", threshold=80)
     return (
-        ev.join(F.broadcast(cand.select("user_id")), "user_id")
+        # candidate count is bounded by n_events/threshold — which still
+        # GROWS with the stream: bare semi-prune join, AQE decides
+        ev.join(cand.select("user_id"), "user_id")
         .groupBy("user_id")
         .agg(F.count(F.lit(1)).cast("long").alias("n_events"))
         .where(F.col("n_events") >= 80)
@@ -8589,9 +8607,11 @@ def gdpr_erasure_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n"), F.sum("v").alias("s")
     )
     # erased users' contributions: only the erasure-semi-joined slice of
-    # the fact is touched
+    # the fact is touched. The erasure cohort scales with the user base
+    # (here a 5% hash slice): bare left-semi, AQE broadcasts only when
+    # the batch actually fits (at 100 TB a bloom prune is the upgrade)
     removed = (
-        ev.join(F.broadcast(erased), "user_id", "left_semi")
+        ev.join(erased, "user_id", "left_semi")
         .groupBy("event_type")
         .agg(F.count("*").alias("dn"), F.sum("v").alias("ds"))
     )
@@ -9170,12 +9190,14 @@ def pmi_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         6,
     ).cast("double")
     return (
+        # per-item supports scale with the item vocabulary: bare id
+        # equi-joins, AQE decides broadcast (nb stays — 1-row aggregate)
         pair.join(
-            F.broadcast(supp.select(F.col("pk").alias("ia"), F.col("s").alias("sa"))),
+            supp.select(F.col("pk").alias("ia"), F.col("s").alias("sa")),
             "ia",
         )
         .join(
-            F.broadcast(supp.select(F.col("pk").alias("ib"), F.col("s").alias("sb"))),
+            supp.select(F.col("pk").alias("ib"), F.col("s").alias("sb")),
             "ib",
         )
         .crossJoin(F.broadcast(nb))
@@ -9319,7 +9341,8 @@ def gini_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = read_table(spark, sf_dir, "customer")
     nat = read_table(spark, sf_dir, "nation")
     cents = (
-        orders.join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        # customer scales with the corpus: bare join, AQE decides
+        orders.join(cust, F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(nat), F.col("c_nationkey") == F.col("n_nationkey"))
         .select(
             F.col("n_name").alias("nation"),

@@ -39,19 +39,32 @@ def star_join(
     (``src/bolome/mlin/d_bolome_user_order.clj:73-86``:
     orders ⋈ event ⋈ debut ⋈ category).
 
-    ``dims`` is a list of (dim_df, on, how). Small dims get a broadcast hint
-    so the fact side never shuffles for them.
+    ``dims`` is a list of (dim_df, on, how) or (dim_df, on, how,
+    broadcast). BOUNDED dims (config tables, nation/region) get a
+    broadcast hint so the fact side never shuffles for them; a dim that
+    SCALES with the corpus (customer past test SF) must pass
+    ``broadcast=False`` — a mandatory hint bypasses
+    autoBroadcastJoinThreshold, and at 100 TB that side is GBs (the
+    SCALE.md "never force-broadcast the dup population" discipline
+    applies to growing dimensions too; AQE still broadcasts such a dim
+    at runtime when it actually fits).
     """
     out = fact
-    for dim, on, how in dims:
-        d = F.broadcast(dim) if broadcast_dims else dim
+    for spec in dims:
+        dim, on, how = spec[0], spec[1], spec[2]
+        bc = spec[3] if len(spec) > 3 else broadcast_dims
+        d = F.broadcast(dim) if bc else dim
         out = out.join(d, on=on, how=how)
     return out
 
 
 def left_lookup(fact: DataFrame, dim: DataFrame, on, broadcast: bool = True) -> DataFrame:
     """J2: the ``!!var`` probe — lookup that may miss
-    (mlin:81 ``!!type-name``, :84 ``!!show-debut-dt``)."""
+    (mlin:81 ``!!type-name``, :84 ``!!show-debut-dt``).
+
+    ``broadcast=True`` is for BOUNDED dims only (config/nation-class);
+    pass ``broadcast=False`` for any dim that scales with the data —
+    the planner still broadcasts it at runtime while it fits."""
     d = F.broadcast(dim) if broadcast else dim
     return fact.join(d, on=on, how="left")
 

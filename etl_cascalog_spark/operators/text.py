@@ -598,9 +598,11 @@ def unigram_lm_scores(
     ``surprisal_nano`` is the exact total in nano-nats.
 
     100 TB posture: pass 1 is one token-keyed shuffle with map-side
-    combine; the vocab table (capped by ``min_count``; at real scale also
-    by top-K) is broadcast, so pass 2 is a map-side BroadcastHashJoin plus
-    one doc-keyed agg. No Python, no RNG, no driver data loops.
+    combine; the vocab table is VOCABULARY-sized (``min_count`` trims its
+    tail but it still grows with the corpus), so its attach is a bare
+    token equi-join — the planner broadcasts it while it fits and
+    token-shuffles past that (pass 2's explode is already token-keyed).
+    No Python, no RNG, no driver data loops.
     """
     toks = df.select(
         F.col(id_col), F.explode(whitespace_tokens(F.col(text_col))).alias("token")
@@ -620,7 +622,7 @@ def unigram_lm_scores(
         .alias("__lp_nano"),
     )
     return (
-        toks.join(F.broadcast(vocab), "token", "inner")
+        toks.join(vocab, "token", "inner")
         .groupBy(id_col)
         .agg(
             F.count("*").alias("n_tokens"),
@@ -657,9 +659,13 @@ def tfidf_top_terms(
     Returns ``(id_col, term, tf, df, rank, tfidf)``.
 
     100 TB posture: one (doc, term) shuffle for tf with map-side combine,
-    one term-keyed agg for df (broadcast back — document frequency tables
-    are vocabulary-sized), and a doc-keyed window for the top-k. The
-    window partitions by doc id — uniform, no skew.
+    one term-keyed agg for df, joined back on the term key BARE — the
+    document-frequency table is VOCABULARY-sized (billions of tokens on
+    a web corpus), so it must never carry a mandatory broadcast hint;
+    the planner broadcasts it while it fits and term-shuffles at scale
+    (the tf side is already term-keyed from its own agg, so the shuffle
+    reuses that partitioning). A doc-keyed window takes the top-k —
+    uniform, no skew.
     """
     toks = df.select(
         F.col(id_col), F.explode(whitespace_tokens(F.col(text_col))).alias("term")
@@ -673,7 +679,7 @@ def tfidf_top_terms(
         F.col("tf").desc(), F.col("df").asc(), F.col("term").asc()
     )
     return (
-        tf.join(F.broadcast(dfreq), "term")
+        tf.join(dfreq, "term")
         .crossJoin(F.broadcast(ndocs))
         .withColumn("rank", F.row_number().over(w).cast("int"))
         .where(F.col("rank") <= k)

@@ -28,11 +28,17 @@ DECIMAL, division at the edge as ``round(double, n)``, dates emitted as
 cross-multiplications (``k * x * cnt < sum``) so no engine ever compares a
 rounded average.
 
-Scale notes are per-query; the common discipline: dimension sides
-(region/nation/supplier/part/filtered customer) broadcast, the fact tables
-shuffle only on their own join/group keys, existence probes are semi/anti
-joins (never ``collect``), and top-n is TakeOrderedAndProject — no global
-sort materialisation.
+Scale notes are per-query; the common discipline: BOUNDED dimension
+sides (region/nation — fixed row counts — and 1-row scalar aggregates)
+carry mandatory broadcast hints; customer/supplier/part SCALE with the
+data, so their attaches are bare equi-joins and the planner (stats at
+plan time, AQE at runtime) broadcasts them only while they actually fit
+under autoBroadcastJoinThreshold — at benchmark SFs that reproduces the
+classic broadcast plans, at 100 TB it degrades safely to shuffle joins
+instead of OOMing the driver. Fact tables shuffle only on their own
+join/group keys, existence probes are semi/anti joins (never
+``collect``), and top-n is TakeOrderedAndProject — no global sort
+materialisation.
 """
 
 from __future__ import annotations
@@ -71,7 +77,8 @@ _REV_SQL = "CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DEC
     LIMIT 10
     """,
     doc="TPC-H Q3 shipping priority (no o_shippriority column in the trimmed "
-    "schema). Plan: BUILDING customers broadcast into orders, lineitem "
+    "schema). Plan: BUILDING customers attach via a bare join (AQE "
+    "broadcasts while they fit), lineitem "
     "joins on its own l_orderkey, top-10 via TakeOrderedAndProject — at "
     "100 TB only the orderkey groupBy shuffles the fact.",
 )
@@ -84,7 +91,7 @@ def tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = read_table(spark, sf_dir, "lineitem").where(F.col("l_shipdate") > cutoff)
     return (
         li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
         .groupBy("l_orderkey", "o_orderdate")
         .agg(dround(F.sum(_rev())).alias("revenue"))
         .select(
@@ -148,7 +155,8 @@ def tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY n.n_name
     """,
     doc="TPC-H Q5 local-supplier volume: the customer-nation = supplier-"
-    "nation equality rides on the supplier broadcast join, so the only "
+    "nation equality rides on the supplier join (planner-chosen "
+    "broadcast at bench SF), so the only "
     "exchanges are lineitem->l_orderkey and the final nation groupBy.",
 )
 def tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -163,9 +171,9 @@ def tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
     reg = read_table(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
     return (
         li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
         .join(
-            F.broadcast(supp),
+            supp,
             (F.col("l_suppkey") == F.col("s_suppkey"))
             & (F.col("c_nationkey") == F.col("s_nationkey")),
         )
@@ -254,8 +262,8 @@ def tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
     ) | ((F.col("supp_nation") == "NATION_11") & (F.col("cust_nation") == "NATION_12"))
     return (
         li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
-        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
         .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
         .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
         .where(pair)
@@ -297,7 +305,7 @@ def tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
     "revenue sold into ASIA-region customers, per year. Numerator and "
     "denominator both accumulate in exact DECIMAL; the single division "
     "happens once per output row at the edge (round 6). All seven "
-    "non-fact relations broadcast.",
+    "non-fact relations attach planner-chosen (nation/region hinted).",
 )
 def tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = read_table(spark, sf_dir, "part").where(F.col("p_type") == "ECONOMY")
@@ -320,9 +328,9 @@ def tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
     zero = F.lit(0).cast("decimal(12,2)")
     return (
         li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
-        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
-        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
         .join(F.broadcast(reg), F.col("cn_region") == F.col("r_regionkey"))
         .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
@@ -375,8 +383,8 @@ def tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
-        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
         .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
         .groupBy(
             F.col("n_name").alias("nation"),
@@ -417,7 +425,7 @@ def tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
     nat = read_table(spark, sf_dir, "nation")
     return (
         li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(nat), F.col("c_nationkey") == F.col("n_nationkey"))
         .groupBy("c_custkey", "c_name", "c_acctbal", F.col("n_name").alias("nation"))
         .agg(dround(F.sum(_rev())).alias("revenue"))
@@ -517,7 +525,7 @@ def tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
       AND l.l_shipdate <  TIMESTAMP '1997-10-01 00:00:00'
     """,
     doc="TPC-H Q14 promotion effect: PROMO-type revenue share for one "
-    "month. Part broadcast, month filter on the scan, exact-DECIMAL "
+    "month. Part attaches planner-chosen, month filter on the scan, exact-DECIMAL "
     "numerator/denominator, one division at the edge.",
 )
 def tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -529,7 +537,7 @@ def tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
     zero = F.lit(0).cast("decimal(12,2)")
     promo = F.when(F.col("p_type") == "PROMO", _rev()).otherwise(zero)
     return (
-        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        li.join(part, F.col("l_partkey") == F.col("p_partkey"))
         .agg(
             F.round(
                 F.lit(100.0) * F.sum(promo).cast("double") / F.sum(_rev()).cast("double"),
@@ -574,7 +582,7 @@ def tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
     supp = read_table(spark, sf_dir, "supplier")
     return (
         rev.join(F.broadcast(best), F.col("total_rev") == F.col("best_rev"))
-        .join(F.broadcast(supp), F.col("supplier_no") == F.col("s_suppkey"))
+        .join(supp, F.col("supplier_no") == F.col("s_suppkey"))
         .select(
             "s_suppkey",
             "s_name",
@@ -617,8 +625,8 @@ def tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     li = read_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
     return (
-        li.join(F.broadcast(bad_supp), F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
-        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        li.join(bad_supp, F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
+        .join(part, F.col("l_partkey") == F.col("p_partkey"))
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
     )
@@ -661,7 +669,7 @@ def tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(5) * money(F.col("l_quantity")) * F.col("cnt") < F.col("sum_qty")
     )
     return (
-        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        li.join(part, F.col("l_partkey") == F.col("p_partkey"))
         .join(per_part, F.col("l_partkey") == F.col("pp_key"))
         .where(cond)
         .agg(
@@ -694,7 +702,8 @@ def tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="TPC-H Q18 large-volume customers: orders whose total quantity "
     "exceeds 250 (threshold scaled to the trimmed data's ~4 lines/order). "
     "The HAVING prunes to a tiny frame BEFORE joining orders/customer, so "
-    "both joins broadcast the filtered side at any scale.",
+    "both joins keep the filtered side small enough to broadcast "
+    "(planner-chosen) at any scale.",
 )
 def tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = read_table(spark, sf_dir, "lineitem")
@@ -707,7 +716,7 @@ def tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = read_table(spark, sf_dir, "customer")
     return (
         orders.join(big, F.col("o_orderkey") == F.col("l_orderkey"))
-        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
         .select(
             "c_name",
             "c_custkey",
@@ -733,7 +742,8 @@ def tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
        OR (p.p_brand = 'Brand#9'  AND p.p_size BETWEEN 1 AND 15 AND l.l_quantity BETWEEN 20 AND 30)
     """,
     doc="TPC-H Q19 discounted revenue, disjunctive brand/size/quantity "
-    "predicate (p_container absent -> p_size bands). Part broadcasts and "
+    "predicate (p_container absent -> p_size bands). Part attaches "
+    "planner-chosen and "
     "the whole OR-of-ANDs evaluates in one codegen stage post-join; only "
     "the single-row agg exchanges.",
 )
@@ -749,7 +759,7 @@ def tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
         | ((br == "Brand#9") & sz.between(1, 15) & qty.between(20, 30))
     )
     return (
-        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        li.join(part, F.col("l_partkey") == F.col("p_partkey"))
         .where(cond)
         .agg(
             dround(F.sum(_rev())).alias("revenue"),
@@ -781,7 +791,7 @@ def tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
     "partsupp availability: suppliers who shipped >100 units of "
     "small-named parts in 1997. The semi-join side is aggregated to "
     "~|suppliers| rows before touching supplier/nation, so both final "
-    "joins broadcast.",
+    "joins stay broadcast-sized (planner-chosen).",
 )
 def tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = read_table(spark, sf_dir, "part").where(F.col("p_name").like("small%"))
@@ -790,7 +800,7 @@ def tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
     )
     shipped = (
-        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        li.join(part, F.col("l_partkey") == F.col("p_partkey"))
         .groupBy("l_suppkey")
         .agg(F.sum(money(F.col("l_quantity"))).alias("qty"))
         .where(F.col("qty") > 100)
@@ -798,7 +808,7 @@ def tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
     supp = read_table(spark, sf_dir, "supplier")
     nat = read_table(spark, sf_dir, "nation")
     return (
-        supp.join(F.broadcast(shipped), F.col("s_suppkey") == F.col("l_suppkey"))
+        supp.join(shipped, F.col("s_suppkey") == F.col("l_suppkey"))
         .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
         .select("s_suppkey", "s_name", F.col("n_name").alias("nation"))
         .orderBy("s_suppkey")
@@ -866,7 +876,7 @@ def tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     supp = read_table(spark, sf_dir, "supplier")
     return (
-        sole_late.join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        sole_late.join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy("s_name")
         .agg(F.count("*").alias("numwait"))
         .orderBy(F.col("numwait").desc(), F.col("s_name"))
@@ -1005,7 +1015,7 @@ def _partsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
     "banner). The correlated MIN subquery is a per-part aggregate "
     "joined back on (part, exact-DECIMAL cost equality) — ties keep "
     "all minimal suppliers, identically in both engines. Every "
-    "non-partsupp relation broadcasts; partsupp shuffles once on its "
+    "non-partsupp relation stays planner-broadcastable; partsupp shuffles once on its "
     "own distinct.",
 )
 def tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1017,8 +1027,8 @@ def tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
     nat = read_table(spark, sf_dir, "nation")
     reg = read_table(spark, sf_dir, "region").where(F.col("r_name") == "EUROPE")
     cand = (
-        ps.join(F.broadcast(part), F.col("ps_partkey") == F.col("p_partkey"))
-        .join(F.broadcast(supp), F.col("ps_suppkey") == F.col("s_suppkey"))
+        ps.join(part, F.col("ps_partkey") == F.col("p_partkey"))
+        .join(supp, F.col("ps_suppkey") == F.col("s_suppkey"))
         .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
         .join(F.broadcast(reg), F.col("n_regionkey") == F.col("r_regionkey"))
         .select(
@@ -1083,7 +1093,7 @@ def tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
     supp = read_table(spark, sf_dir, "supplier")
     nat = read_table(spark, sf_dir, "nation").where(F.col("n_name") == "NATION_3")
     local = (
-        ps.join(F.broadcast(supp), F.col("ps_suppkey") == F.col("s_suppkey"))
+        ps.join(supp, F.col("ps_suppkey") == F.col("s_suppkey"))
         .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
         .select("ps_partkey", "ps_supplycost")
     )
