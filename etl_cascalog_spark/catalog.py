@@ -5256,7 +5256,6 @@ def entity_blocking_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 from etl_cascalog_spark.operators.layout import (  # noqa: E402
-    quantize_pow2_col,
     zorder_bucket_stats,
     zvalue_sql,
 )
@@ -5313,22 +5312,73 @@ def zorder_layout_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     # domain bounds as a LAZY broadcast 1-row aggregate (the oracle's
     # `FROM orders, b` shape) instead of a plan-build collect — zero
     # Spark jobs at DataFrame-construction time; the 1-row broadcast is
-    # genuinely bounded, unlike the dup-population frames (SCALE.md)
-    bounds = orders.agg(
-        F.min("o_custkey").alias("__lox"),
-        F.max("o_custkey").alias("__hix"),
-        F.min(days).alias("__loy"),
-        F.max(days).alias("__hiy"),
+    # genuinely bounded, unlike the dup-population frames (SCALE.md).
+    # The SHIFT AMOUNTS are computed inside the 1-row aggregate too, so
+    # the per-row quantization is a single shiftright — zvalue references
+    # each quantized input ~16x and Catalyst inlines the full expression
+    # at every reference (hot-path lesson 1), so the per-row unit must
+    # stay tiny; the domain guard lives in ONE filter stage below for
+    # the same reason (a guarded input would inline raise_error 34x:
+    # measured 1.5 -> 3.5 s at sf0.1 before this shape).
+    def _shift(hi: str, lo: str) -> Column:
+        span = (F.col(hi) - F.col(lo)).cast("long")
+        return F.greatest(
+            F.lit(0), F.length(F.bin(F.greatest(F.lit(1), span))) - F.lit(16)
+        )
+
+    bounds = (
+        orders.agg(
+            F.min("o_custkey").alias("__lox"),
+            F.max("o_custkey").alias("__hix"),
+            F.min(days).alias("__loy"),
+            F.max(days).alias("__hiy"),
+        )
+        .select(
+            "__lox",
+            "__hix",
+            "__loy",
+            "__hiy",
+            _shift("__hix", "__lox").alias("__sx"),
+            _shift("__hiy", "__loy").alias("__sy"),
+        )
     )
-    with_bounds = orders.crossJoin(F.broadcast(bounds))
+    ok = (
+        (F.col("o_custkey") >= F.col("__lox"))
+        & (F.col("o_custkey") <= F.col("__hix"))
+        & (days >= F.col("__loy"))
+        & (days <= F.col("__hiy"))
+    )
+    with_bounds = (
+        orders.crossJoin(F.broadcast(bounds))
+        # single-evaluation domain guard (assert_true yields NULL on
+        # success, raises otherwise): one Filter node, never inlined
+        # into the z-value bit terms
+        .where(
+            F.isnull(
+                F.assert_true(
+                    ok,
+                    F.lit(
+                        "zorder_layout_stats: key outside its own min/max "
+                        "bounds — impossible unless the bounds aggregate "
+                        "and the row scan diverged"
+                    ),
+                )
+            )
+        )
+    )
+    qx = F.call_function(
+        "shiftright", F.col("o_custkey").cast("long") - F.col("__lox"), F.col("__sx")
+    )
+    qy = F.call_function(
+        "shiftright", days.cast("long") - F.col("__loy").cast("long"), F.col("__sy")
+    )
     return zorder_bucket_stats(
         with_bounds,
         F.col("o_custkey"),
         days,
-        z_x=quantize_pow2_col(
-            F.col("o_custkey"), F.col("__lox"), F.col("__hix"), 16
-        ),
-        z_y=quantize_pow2_col(days, F.col("__loy"), F.col("__hiy"), 16),
+        z_x=qx,
+        z_y=qy,
+        strict=False,  # domain guarded once above; q < 2^16 by the shift
     ).select(
         "z_bucket",
         F.col("n_rows").cast("long").alias("n_rows"),

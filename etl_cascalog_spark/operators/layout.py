@@ -127,6 +127,15 @@ def quantize_pow2_col(
     ``shiftright`` is invoked through the SQL function registry
     (``F.call_function``) because the Python wrapper only accepts a
     literal int shift.
+
+    INLINING CAVEAT: do NOT feed this column into :func:`zvalue` or any
+    expression that references it many times — Catalyst inlines the full
+    guarded expression (raise_error + format_string) at every reference
+    (hot-path lesson 1; measured 2.4× on zorder_layout_stats). For
+    multi-reference consumers, compute the shift inside the 1-row bounds
+    aggregate, guard the domain in ONE filter stage, and keep the
+    per-row expression to a bare ``shiftright`` — the shape
+    ``catalog.zorder_layout_stats`` ships.
     """
     span = (hi - lo).cast("long")
     shift = F.greatest(
@@ -167,6 +176,7 @@ def zorder_bucket_stats(
     bucket_bits: int = 4,
     z_x: Column | None = None,
     z_y: Column | None = None,
+    strict: bool = True,
 ) -> DataFrame:
     """Cluster rows into ``2**bucket_bits`` Z-order buckets (top bits of the
     Morton key — a value-based split, NOT an ntile sort, so the assignment
@@ -184,11 +194,20 @@ def zorder_bucket_stats(
     :func:`quantize_pow2` outputs there when the raw key domain exceeds
     ``2**bits`` (it does for o_custkey past ~sf0.5) so the report keeps
     raw-unit spans.
+
+    ``strict=False`` skips :func:`zvalue`'s per-reference domain guard —
+    pass it when the caller already guards the domain ONCE (a filter
+    stage), because zvalue references each input ~``bits`` times and
+    Catalyst INLINES the full input expression at every reference
+    (SCALE.md hot-path lesson 1): a guarded input whose expression
+    embeds ``raise_error``/``format_string`` blows the codegen up ~34×
+    (measured: 1.5 s → 3.5 s on zorder_layout_stats at sf0.1).
     """
     z = zvalue(
         (x_col if z_x is None else z_x).cast("long"),
         (y_col if z_y is None else z_y).cast("long"),
         bits,
+        strict=strict,
     )
     shift = 2 * bits - bucket_bits
     return (

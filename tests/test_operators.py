@@ -1470,7 +1470,11 @@ def test_flagship_plan_shapes(spark):
     assert pricing["exch"] <= 1  # one grouped agg, nothing else
 
     z = final_audit("zorder_layout_stats")
-    assert z["smj"] == 0 and z["bhj"] == 0 and z["exch"] <= 1
+    # round 9: domain bounds became a LAZY broadcast 1-row aggregate
+    # cross-joined onto the rows (zero plan-build jobs), so the intended
+    # shape is one bounds-agg exchange + one broadcast nested loop for
+    # the 1-row attach, plus the 16-group agg exchange — never an SMJ
+    assert z["smj"] == 0 and z["bnlj"] == 1 and z["exch"] <= 2
 
     recall = final_audit("ann_recall_eval")
     assert recall["smj"] == 0  # bounded top-k sides broadcast explicitly

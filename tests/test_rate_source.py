@@ -30,13 +30,22 @@ from pathlib import Path
 REPO = str(Path(__file__).resolve().parent.parent)
 
 _PHASE = r"""
-import sys, time
+import glob, os, sys, time
 sys.path.insert(0, %(repo)r)
 from etl_cascalog_spark.session import get_spark
 from etl_cascalog_spark.sources.synthetic import SyntheticEventsRateDataSource
 
 spark = get_spark("rate_kill_phase")
 spark.dataSource.register(SyntheticEventsRateDataSource)
+
+def sink_commits():
+    # the file sink's own commit log — what a later BATCH read honors
+    return len(
+        [p for p in glob.glob(os.path.join(%(out)r, "_spark_metadata", "*"))
+         if os.path.basename(p).split(".")[0].isdigit()]
+    )
+
+start_commits = sink_commits()
 q = (
     spark.readStream.format("synthetic_events_rate")
     .option("rows_per_second", 20000)
@@ -49,8 +58,12 @@ q = (
     .start()
 )
 print("STREAM_STARTED", flush=True)
+# run until at least min_commits NEW sink-log batches are durable (so a
+# later batch read provably sees new data), hard deadline as backstop
 deadline = time.time() + %(secs)d
 while time.time() < deadline:
+    if sink_commits() >= start_commits + %(min_commits)d:
+        break
     time.sleep(0.5)
 q.stop()
 spark.stop()
@@ -58,9 +71,22 @@ print("PHASE_DONE", flush=True)
 """
 
 
-def _spawn(out: str, ckpt: str, secs: int) -> subprocess.Popen:
+def _spawn(
+    out: str, ckpt: str, secs: int, min_commits: int = 3
+) -> subprocess.Popen:
     return subprocess.Popen(
-        [sys.executable, "-c", _PHASE % {"repo": REPO, "out": out, "ckpt": ckpt, "secs": secs}],
+        [
+            sys.executable,
+            "-c",
+            _PHASE
+            % {
+                "repo": REPO,
+                "out": out,
+                "ckpt": ckpt,
+                "secs": secs,
+                "min_commits": min_commits,
+            },
+        ],
         stdout=subprocess.PIPE,
         stderr=subprocess.DEVNULL,
         text=True,
@@ -130,31 +156,45 @@ def test_exactly_once_across_driver_sigkill(tmp_path):
     ckpt = str(tmp_path / "ckpt")
     os.makedirs(out, exist_ok=True)
 
-    # phase A: stream, then SIGKILL once output exists (mid-flight, no
-    # graceful stop — the checkpoint is all phase B gets)
-    a = _spawn(out, ckpt, secs=60)
+    def sink_commits():
+        return len(
+            [
+                p
+                for p in glob.glob(os.path.join(out, "_spark_metadata", "*"))
+                if os.path.basename(p).split(".")[0].isdigit()
+            ]
+        )
+
+    # phase A: stream, then SIGKILL once the SINK's commit log has
+    # durable batches (a batch read honors _spark_metadata, not bare
+    # part files) — mid-flight, no graceful stop, the checkpoint is all
+    # phase B gets
+    a = _spawn(out, ckpt, secs=120, min_commits=10_000)  # never self-stop
     try:
-        deadline = time.time() + 120
+        deadline = time.time() + 150
         while time.time() < deadline:
-            if glob.glob(os.path.join(out, "part-*.parquet")) and glob.glob(
+            if sink_commits() >= 2 and glob.glob(
                 os.path.join(ckpt, "commits", "*")
             ):
                 break
             time.sleep(0.5)
         else:
             raise AssertionError("phase A produced no committed output in time")
-        time.sleep(2)  # let a few more batches commit
     finally:
         a.send_signal(signal.SIGKILL)
         a.wait(timeout=30)
+    committed_a = sink_commits()
 
-    # phase B: fresh process, fresh wall clock, same checkpoint
-    b = _spawn(out, ckpt, secs=6)
+    # phase B: fresh process, fresh wall clock, same checkpoint; runs
+    # until the sink log shows NEW committed batches (load-robust), with
+    # a generous wall backstop
+    b = _spawn(out, ckpt, secs=120, min_commits=2)
     try:
-        assert b.wait(timeout=180) == 0
+        assert b.wait(timeout=240) == 0
     finally:
         if b.poll() is None:
             b.kill()
+    assert sink_commits() > committed_a, "phase B committed nothing"
 
     # verify exactly-once contiguous coverage with a throwaway session
     verify = subprocess.run(
