@@ -147,7 +147,11 @@ def jaccard_pairs(
             .distinct()
         )
         # exact verification on the full sets — identical shape to
-        # minhash_lsh_pairs' verification stage (broadcast candidates)
+        # minhash_lsh_pairs' verification stage: the candidate pair list
+        # scales with the corpus near-dup population, so it attaches via
+        # a bare doc-key equi-join (AQE broadcast-converts from the REAL
+        # shuffle size while it fits — SCALE.md "never force-broadcast
+        # the dup population")
         sets = shingle_arrays(df, id_col, text_col, n).cache()
         sa = sets.toDF("doc_a", "sh_a")
         sb = sets.toDF("doc_b", "sh_b")
@@ -155,7 +159,7 @@ def jaccard_pairs(
         union = F.size(F.col("sh_a")) + F.size(F.col("sh_b")) - common
         jx = common.cast("double") / union.cast("double")
         return (
-            sa.join(F.broadcast(candidates), "doc_a")
+            sa.join(candidates, "doc_a")
             .join(sb, "doc_b")
             .where(jx >= threshold)
             .select("doc_a", "doc_b", F.round(jx, 4).alias("jaccard"))
@@ -243,7 +247,8 @@ def prefix_filter_jaccard_pairs(
     union = F.size(F.col("sh_a")) + F.size(F.col("sh_b")) - common
     jx = common.cast("double") / union.cast("double")
     return (
-        sa.join(F.broadcast(candidates), "doc_a")
+        # bare candidate attach — corpus-proportional side (SCALE.md)
+        sa.join(candidates, "doc_a")
         .join(sb, "doc_b")
         .where(jx >= threshold)
         .select("doc_a", "doc_b", F.round(jx, 4).alias("jaccard"))
@@ -382,19 +387,23 @@ def minhash_lsh_pairs(
         .distinct()
         .cache()  # feeds the id prune AND the verification broadcast
     )
-    # exact verification on candidates only: candidates is tiny relative to
-    # the corpus (that is the whole point of LSH) — broadcast it through
-    # both set lookups so the shingle-array side never shuffles, and
-    # shingle ONLY the docs that appear in some candidate pair (broadcast
-    # semi-join prune): at corpus scale re-shingling every doc for a
-    # verification that touches the near-dup fraction would double the
-    # dominant map cost of the job
+    # exact verification on candidates only: candidates is small RELATIVE
+    # to the corpus (the point of LSH) but still PROPORTIONAL to the
+    # near-dup population — billions of pairs on a 10^10-doc web corpus —
+    # so neither the pair list nor its id set may carry a mandatory
+    # broadcast hint (SCALE.md "never force-broadcast the dup
+    # population"). Both attach via bare doc-key equi-joins; the
+    # candidate subtree is a plain shuffle output, so AQE sees its REAL
+    # size and still broadcast-converts these joins while they fit.
+    # Shingling is still pruned to docs in some candidate pair: at
+    # corpus scale re-shingling every doc for a verification that
+    # touches the near-dup fraction would double the dominant map cost
     cand_ids = (
         candidates.select(F.col("doc_a").alias(id_col))
         .unionByName(candidates.select(F.col("doc_b").alias(id_col)))
         .distinct()
     )
-    pruned = df.join(F.broadcast(cand_ids), id_col, "left_semi")
+    pruned = df.join(cand_ids, id_col, "left_semi")
     sets = shingle_arrays(pruned, id_col, text_col, n).cache()
     sa = sets.toDF("doc_a", "sh_a")
     sb = sets.toDF("doc_b", "sh_b")
@@ -402,7 +411,7 @@ def minhash_lsh_pairs(
     union = F.size(F.col("sh_a")) + F.size(F.col("sh_b")) - common
     j = common.cast("double") / union.cast("double")
     return (
-        sa.join(F.broadcast(candidates), "doc_a")
+        sa.join(candidates, "doc_a")
         .join(sb, "doc_b")
         .where(j >= threshold)
         .select("doc_a", "doc_b", F.round(j, 4).alias("jaccard"))
