@@ -7187,9 +7187,10 @@ def top_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     "high-id so each triangle is counted exactly once as u<v<w, wedge "
     "join closed by an edge probe. Quadratic guards at BOTH grains — "
     "baskets ≤ 5 items before the pair fan-out, hub nodes (degree > 25) "
-    "dropped before the wedge join — the same max_bucket discipline as "
-    "the LSH joins; wedge volume is then Σ deg² ≤ 625·|V| by "
-    "construction, at any corpus size.",
+    "anti-joined away before the wedge join (against the bounded HEAVY "
+    "set, never the corpus-proportional low-degree complement) — the "
+    "same max_bucket discipline as the LSH joins; wedge volume is then "
+    "Σ deg² ≤ 625·|V| by construction, at any corpus size.",
 )
 def triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = read_table(spark, sf_dir, "lineitem")
@@ -7221,10 +7222,15 @@ def triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("node")
         .agg(F.count("*").alias("d"))
     )
-    keep_nodes = deg.where(F.col("d") <= 25).select("node")
+    # Drop hub edges via ANTI-join against the HEAVY set (deg > 25), not an
+    # inner join against its complement: the low-degree set is nearly every
+    # node in the graph (corpus-proportional — broadcasting it is a driver
+    # OOM at 10^9 parts), while the heavy set is bounded by skew. No
+    # broadcast hint — AQE converts the anti-joins when the heavy side fits.
+    heavy_nodes = deg.where(F.col("d") > 25).select("node")
     kept = (
-        und.join(F.broadcast(keep_nodes.withColumnRenamed("node", "u")), "u")
-        .join(F.broadcast(keep_nodes.withColumnRenamed("node", "v")), "v")
+        und.join(heavy_nodes.withColumnRenamed("node", "u"), "u", "left_anti")
+        .join(heavy_nodes.withColumnRenamed("node", "v"), "v", "left_anti")
         .select("u", "v")
         .cache()
     )

@@ -43,6 +43,16 @@ TABLES = (
 )
 
 
+#: path → inferred StructType. The sf_dir tables are immutable driver
+#: fixtures, so the footer-read schema inference (one Spark job per
+#: `spark.read.parquet` call) is paid ONCE per path per process; every
+#: later plan construction passes the cached schema explicitly and submits
+#: ZERO jobs — the property tools/plan_audit.py's eager-jobs gate enforces.
+#: At 100 TB the same discipline applies: a production catalog carries the
+#: table schema, so plan-time footer jobs are a local-mode artifact only.
+_SCHEMA_CACHE: dict[str, object] = {}
+
+
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """S2 generator: table scan with typed schema.
 
@@ -63,7 +73,11 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(path)
+        if path in _SCHEMA_CACHE:
+            df = spark.read.schema(_SCHEMA_CACHE[path]).parquet(path)
+        else:
+            df = spark.read.parquet(path)
+            _SCHEMA_CACHE[path] = df.schema
         from pyspark.sql import functions as F
 
         if dict(df.dtypes).get("ts") == "bigint":
@@ -71,7 +85,11 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             # (~1.7e18) exceed double's 2^53 exact range → off-by-±1µs
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
         return df
-    return spark.read.parquet(path)
+    if path in _SCHEMA_CACHE:
+        return spark.read.schema(_SCHEMA_CACHE[path]).parquet(path)
+    df = spark.read.parquet(path)
+    _SCHEMA_CACHE[path] = df.schema
+    return df
 
 
 def ensure_min_parallelism(df: DataFrame, *key_cols: str) -> DataFrame:
@@ -312,6 +330,43 @@ def jdbc_execute(
             stmt.execute(sql)
         finally:
             stmt.close()
+    finally:
+        conn.close()
+
+
+def jdbc_execute_transaction(
+    spark: SparkSession,
+    url: str,
+    statements: list[str],
+    properties: dict[str, str] | None = None,
+) -> None:
+    """Run ``statements`` on a JDBC backend in ONE transaction (autocommit
+    off; commit after the last statement, rollback on any failure).
+
+    This is the executor :func:`dialects.render_replace_into_ods`'s
+    docstring prescribes: the reference ran its 3-way ``ALTER TABLE``
+    publish swap (trgx.clj:188-193) as separate autocommitted statements,
+    leaving a no-live-table window between DROP and RENAME on a crash;
+    PostgreSQL DDL is transactional, so executing the same statements
+    inside one transaction closes that window — readers see the old table
+    until the commit, then the new one. (Not all backends have
+    transactional DDL — MySQL autocommits DDL regardless; on such
+    backends this degrades to the reference's semantics, no worse.)
+    """
+    _, conn = _jdbc_connection(spark, url, properties)
+    try:
+        conn.setAutoCommit(False)
+        try:
+            stmt = conn.createStatement()
+            try:
+                for sql in statements:
+                    stmt.execute(sql)
+            finally:
+                stmt.close()
+            conn.commit()
+        except Exception:
+            conn.rollback()
+            raise
     finally:
         conn.close()
 

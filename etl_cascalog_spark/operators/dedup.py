@@ -385,7 +385,7 @@ def minhash_lsh_pairs(
         .where(F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "doc_b")
         .distinct()
-        .cache()  # feeds the id prune AND the verification broadcast
+        .cache()  # feeds the id prune AND the verification joins (bare equi-joins, no broadcast)
     )
     # exact verification on candidates only: candidates is small RELATIVE
     # to the corpus (the point of LSH) but still PROPORTIONAL to the

@@ -34,6 +34,7 @@ def pagerank_int(
     iters: int = 3,
     damping_pct: int = 85,
     early_exit: bool = True,
+    probe_every: int = 2,
     stats: dict | None = None,
 ) -> DataFrame:
     """Integer PageRank over a directed edge list (src, dst).
@@ -61,12 +62,16 @@ def pagerank_int(
     identity — stopping is result-IDENTICAL to running out ``iters``
     (no oracle change, unlike float PageRank where an epsilon exit
     changes values). The probe is a limit-1 anti-match on two already-
-    checkpointed frames (cheap next to the contribs shuffle); cost is
-    one small job per round, payoff is that ``iters`` becomes a CAP
-    rather than a spend — on a converged or shallow graph the edge-bound
-    per-iteration cost stops scaling with the requested iteration count.
-    ``stats`` (optional caller-owned dict) receives ``rounds_run`` so
-    tests can assert the exit actually fired.
+    checkpointed frames (cheap next to the contribs shuffle), run only
+    every ``probe_every`` rounds (ADVICE r9: a per-round probe taxes
+    non-converging workloads with a join+isEmpty job each iteration for
+    no payoff — amortizing it halves that cost at the price of at most
+    ``probe_every - 1`` extra identity rounds on a converged graph,
+    which change nothing by exactness). Payoff is that ``iters`` becomes
+    a CAP rather than a spend — on a converged or shallow graph the
+    edge-bound per-iteration cost stops scaling with the requested
+    iteration count. ``stats`` (optional caller-owned dict) receives
+    ``rounds_run`` so tests can assert the exit actually fired.
     """
     from etl_cascalog_spark.session import persistent_rdd_ids, unpersist_rdd_ids
 
@@ -135,7 +140,14 @@ def pagerank_int(
             .localCheckpoint(eager=True)
         )
         new_ids = persistent_rdd_ids(spark) - seen
-        converged = early_exit and (
+        # amortized probe: only every probe_every rounds (never on the
+        # final round — exiting there saves nothing)
+        probe = (
+            early_exit
+            and rounds_run % max(1, probe_every) == 0
+            and rounds_run < iters
+        )
+        converged = probe and (
             ranks.alias("n")
             .join(
                 prev_ranks.select(

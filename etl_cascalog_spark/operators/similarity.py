@@ -56,16 +56,63 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
 
+def _lazy_query_guard(
+    q: DataFrame, max_queries: int, op_name: str, guard_col: str = "_query_guard"
+) -> DataFrame:
+    """Attach a LAZY bounded-query-side guard to ``q`` (the side an ANN
+    scorer broadcasts): a broadcast 1-row ``assert_true`` over a map-side
+    count aggregate, cross-joined onto the query rows so the check rides
+    the same action as the query — the `hard_negatives` anchor-guard
+    pattern, shared.
+
+    Why lazy: a ``limit().collect()`` probe (the `cosine_topk_blas` shape,
+    where the contract already IS a driver-side matrix) would run a Spark
+    job at DataFrame-construction time, which the plan-audit zero-eager-jobs
+    gate forbids for plan-only operators. Why at all: these scorers
+    broadcast the query side by contract ("queries = eval/re-rank set");
+    passing a corpus-sized frame would silently bypass
+    ``autoBroadcastJoinThreshold`` via the mandatory hint and OOM the
+    executors — the guard turns that into a loud refusal at action time.
+    """
+    guard = F.broadcast(
+        q.select(
+            F.assert_true(
+                F.count(F.lit(1)) <= F.lit(max_queries),
+                F.lit(
+                    f"{op_name}: query side exceeds max_queries={max_queries}"
+                    " -- this scorer broadcasts the query set by design"
+                    " (eval/re-rank sets). For a corpus-sized query side use"
+                    " a bucketed operator (lsh_cosine_topk /"
+                    " lsh_multiprobe_topk / ivf_cosine_topk / ivfpq_topk,"
+                    " which shuffle on bucket/cell instead of broadcasting),"
+                    " or raise max_queries explicitly if you know the set"
+                    " fits."
+                ),
+            ).alias(guard_col)
+        )
+        # always-true filter (assert_true yields NULL or throws) forces
+        # evaluation — a projected-then-dropped column would be pruned by
+        # Catalyst and the assert would never run
+        .where(F.isnull(F.col(guard_col)))
+    )
+    return q.crossJoin(guard).drop(guard_col)
+
+
 def cosine_topk(
     queries: DataFrame,
     corpus: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 5,
+    max_queries: int = 100_000,
 ) -> DataFrame:
     """Brute-force cosine top-k: for every query vector the k nearest corpus
     vectors (self-match excluded). Output: (query_id, neighbor_id, rank,
-    cos_sim). The corpus side is the big side — the query side is broadcast.
+    cos_sim). The corpus side is the big side — the query side is broadcast,
+    and the bounded-query contract is ENFORCED lazily (``max_queries``
+    assert riding the query action via :func:`_lazy_query_guard`): a
+    corpus-sized query frame would bypass ``autoBroadcastJoinThreshold``
+    through the mandatory hint and is refused instead.
     """
     from etl_cascalog_spark.io import ensure_min_parallelism
 
@@ -76,10 +123,14 @@ def cosine_topk(
     # oracle (which states cosine per pair) still hash-matches. The corpus
     # side streams through the broadcast cross join, so its projection
     # would collapse into the per-pair select — cache materializes it.
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("qv"),
-        norm(F.col(vec_col)).alias("nq"),
+    q = _lazy_query_guard(
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("qv"),
+            norm(F.col(vec_col)).alias("nq"),
+        ),
+        max_queries,
+        "cosine_topk",
     )
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
@@ -245,7 +296,10 @@ def lsh_cosine_topk(
     """LSH-bucketed cosine top-k: score only candidates in the query's
     hyperplane bucket. Equi-join on bucket id replaces the cross join —
     the 100 TB shape (shuffle keyed on bucket; bucket skew bounded by
-    plane count)."""
+    plane count). The bucket join carries NO broadcast hint: this is the
+    operator rated for corpus-sized query sides, so a mandatory hint
+    would bypass ``autoBroadcastJoinThreshold`` exactly when it hurts —
+    AQE broadcast-converts from runtime stats when the query side fits."""
     from etl_cascalog_spark.io import ensure_min_parallelism
 
     corpus = ensure_min_parallelism(corpus, id_col)
@@ -263,7 +317,7 @@ def lsh_cosine_topk(
         lsh_bucket(F.col(vec_col), planes).alias("bucket"),
     ).cache()  # per-row norms: once per side, not per candidate pair
     scored = (
-        c.join(F.broadcast(q), on="bucket")
+        c.join(q, on="bucket")
         .where(F.col("query_id") != F.col("neighbor_id"))
         .select(
             "query_id",
@@ -396,8 +450,10 @@ def ivf_cosine_topk(
         norm(F.col(vec_col)).alias("ncv"),
         ivf_cell(F.col(vec_col), cents).alias("cell"),
     ).cache()  # per-row norms: once per side, not per candidate pair
+    # no broadcast hint on the cell join — corpus-sized query sides are
+    # this operator's contract; AQE broadcast-converts when q fits
     scored = (
-        c.join(F.broadcast(q), on="cell")
+        c.join(q, on="cell")
         .where(F.col("query_id") != F.col("neighbor_id"))
         .select(
             "query_id",
@@ -534,6 +590,7 @@ def quantized_dot_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 5,
+    max_queries: int = 100_000,
 ) -> DataFrame:
     """Int8-quantized brute-force top-k by integer dot product — the
     SQ8 re-rank shape (FAISS-style scalar quantization): both sides are
@@ -542,7 +599,8 @@ def quantized_dot_topk(
     float tie ambiguity at all. Output: (query_id, neighbor_id, rank, qdot).
 
     100 TB posture: quantization is map-side; the query side is broadcast
-    (queries ≪ corpus); scoring streams the corpus through one
+    (queries ≪ corpus — ENFORCED lazily via :func:`_lazy_query_guard`'s
+    ``max_queries`` assert); scoring streams the corpus through one
     BroadcastNestedLoop pass with a per-query top-k window on uniform
     query_id keys. Integer dot products also SIMD-vectorize ~4× denser
     than floats when this pattern is lowered to a columnar engine.
@@ -550,8 +608,12 @@ def quantized_dot_topk(
     from etl_cascalog_spark.io import ensure_min_parallelism
 
     corpus = ensure_min_parallelism(corpus, id_col)
-    q = queries.select(
-        F.col(id_col).alias("query_id"), quantize_int8(F.col(vec_col)).alias("qq")
+    q = _lazy_query_guard(
+        queries.select(
+            F.col(id_col).alias("query_id"), quantize_int8(F.col(vec_col)).alias("qq")
+        ),
+        max_queries,
+        "quantized_dot_topk",
     )
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), quantize_int8(F.col(vec_col)).alias("qc")
@@ -707,9 +769,11 @@ def lsh_multiprobe_topk(
 
     ``n_probe_bits`` limits which bits may flip (default: all
     ``n_planes``), giving 1+n_probe_bits probes per query. The query side
-    explodes (queries × probes rows — still tiny, still broadcast); the
-    corpus side is hashed ONCE and never duplicated, so the extra recall
-    costs only broadcast fan-in, not a corpus reshuffle. Candidates hit
+    explodes (queries × probes rows); the bucket join carries NO broadcast
+    hint — corpus-sized query sides are this operator's contract, and AQE
+    broadcast-converts when the exploded query side fits. The corpus side
+    is hashed ONCE and never duplicated, so the extra recall never costs
+    a corpus reshuffle beyond the one bucket-keyed exchange. Candidates hit
     via several probes are deduplicated by construction (a candidate's
     single bucket matches exactly one probed code per query).
 
@@ -749,8 +813,10 @@ def lsh_multiprobe_topk(
         norm(F.col(vec_col)).alias("ncv"),
         base.alias("bucket"),
     ).cache()
+    # no broadcast hint on the bucket join — corpus-sized query sides are
+    # this operator's contract; AQE broadcast-converts when q fits
     scored = (
-        c.join(F.broadcast(q), on="bucket")
+        c.join(q, on="bucket")
         .where(F.col("query_id") != F.col("neighbor_id"))
         .select(
             "query_id",
@@ -827,6 +893,7 @@ def pq_adc_topk(
     m: int = 8,
     k_c: int = 4,
     seed: int = 13,
+    max_queries: int = 100_000,
 ) -> DataFrame:
     """Product-quantization top-k by Asymmetric Distance Computation: the
     corpus is stored as ``m`` small integer codes (8 bytes/vector here vs
@@ -840,7 +907,9 @@ def pq_adc_topk(
     would persist); the query side precomputes its m×k_c distance lookup
     table ONCE PER QUERY ROW (the ADC trick — per candidate there are
     only m ``element_at`` + adds, no vector math); join is a broadcast
-    cross of the tiny query side. Ascending distance, ties → lower id;
+    cross of the tiny query side (boundedness ENFORCED lazily via
+    :func:`_lazy_query_guard`'s ``max_queries`` assert). Ascending
+    distance, ties → lower id;
     rank over query-partitioned window. In production compose with the
     IVF cell join (:func:`ivf_cosine_topk`) to prune candidates before
     ADC — shapes are identical.
@@ -857,17 +926,21 @@ def pq_adc_topk(
             for j in range(m)
         ],
     ).cache()
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        *[
-            F.array(
-                *[
-                    _l2(_sub(F.col(vec_col), j, d_sub), cent)
-                    for cent in codebook[j]
-                ]
-            ).alias(f"lut_{j}")
-            for j in range(m)
-        ],
+    q = _lazy_query_guard(
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            *[
+                F.array(
+                    *[
+                        _l2(_sub(F.col(vec_col), j, d_sub), cent)
+                        for cent in codebook[j]
+                    ]
+                ).alias(f"lut_{j}")
+                for j in range(m)
+            ],
+        ),
+        max_queries,
+        "pq_adc_topk",
     )
     dist = None
     for j in range(m):
@@ -947,8 +1020,10 @@ def ivfpq_topk(
     for j in range(m):
         t = F.element_at(F.col(f"lut_{j}"), F.col(f"code_{j}") + 1)
         dist = t if dist is None else dist + t
+    # no broadcast hint on the cell join — corpus-sized query sides are
+    # this operator's contract; AQE broadcast-converts when q fits
     scored = (
-        c.join(F.broadcast(q), on="cell")
+        c.join(q, on="cell")
         .where(F.col("query_id") != F.col("neighbor_id"))
         .select("query_id", "neighbor_id", dist.alias("adc"))
     )
@@ -1047,6 +1122,7 @@ def mmr_rerank(
     k: int = 3,
     lam: float = 0.5,
     cache: bool = True,
+    max_queries: int = 100_000,
 ) -> DataFrame:
     """Maximal-marginal-relevance diversified re-rank (Carbonell &
     Goldstein 1998): from each query's top-``n_candidates`` cosine
@@ -1083,10 +1159,16 @@ def mmr_rerank(
         raise ValueError("mmr_rerank: k must be >= 1")
     lam_c = F.lit(lam)
 
-    q = queries.select(
-        F.col(id_col).alias("qid"),
-        F.col(vec_col).alias("qv"),
-        norm(F.col(vec_col)).alias("nq"),
+    # bounded-query contract enforced lazily (the re-rank query side is
+    # broadcast into the relevance cross join below)
+    q = _lazy_query_guard(
+        queries.select(
+            F.col(id_col).alias("qid"),
+            F.col(vec_col).alias("qv"),
+            norm(F.col(vec_col)).alias("nq"),
+        ),
+        max_queries,
+        "mmr_rerank",
     )
     c = corpus.select(
         F.col(id_col).alias("cid"),

@@ -109,10 +109,22 @@ def bloom_build(df: DataFrame, key_col: str, m_bits: int = 1 << 14, k: int = 3) 
 
     Sizing: false-positive rate ≈ (1 − e^(−k·n/m))^k; the default
     (m=16384, k=3) gives ~3% at n=2000 build keys. Raise ``m_bits`` for
-    bigger build sides (64 MB of bitmap covers ~50M keys at 1%).
+    bigger build sides (16 MB of bitmap covers ~12M keys at 1%). The size
+    is CAPPED at 2^27 bits (16 MB) because the finished bitmap is both
+    collected to the driver and re-entered into plans as a literal array
+    by :func:`bloom_probe` — past that, use Spark's own
+    ``spark.sql.optimizer.runtime.bloomFilter`` or a join.
     """
     if m_bits % 64 != 0:
         raise ValueError(f"bloom_build: m_bits={m_bits} must be a multiple of 64")
+    if m_bits > (1 << 27):
+        raise ValueError(
+            f"bloom_build: m_bits={m_bits} exceeds the 2^27 (16 MB) cap -- "
+            "the bitmap is collected to the driver and embedded in plans as "
+            "a literal by bloom_probe, so it must stay broadcast-variable "
+            "sized. For larger build sides use a semi-join or Spark's "
+            "runtime bloom filter instead."
+        )
     n_words = m_bits // 64
     seeds = F.array(*[F.lit(i) for i in range(k)])
     words = (

@@ -239,3 +239,65 @@ def lint_plan(df: DataFrame) -> PlanReport:
 
     walk(plan)
     return rep
+
+
+# ---------------------------------------------------------------------------
+# R5: zero Spark jobs at DataFrame-construction time
+# ---------------------------------------------------------------------------
+
+#: queries whose BUILD legitimately submits Spark jobs, with the contract
+#: that makes each acceptable. Three categories only:
+#:   (a) bounded driver-side collects that ARE the operator's contract
+#:       (guard-fenced: max_queries / m_bits / 1-row watermark);
+#:   (b) iterative fixpoint algorithms whose per-round eager
+#:       ``localCheckpoint`` IS the algorithm (lineage must be cut between
+#:       rounds or iteration i re-runs rounds 0..i-1);
+#:   (c) file-source discovery (binaryFile listing).
+#: Anything NOT listed here must submit ZERO jobs while its plan is built —
+#: tools/plan_audit.py and tests/test_plan_lint.py both enforce it, so a
+#: new eager collect (the round-8/9 zorder-bounds / blas-count defects)
+#: fails loudly instead of shipping.
+EAGER_BUILD_OK: dict[str, str] = {
+    "ann_blas_topk": "(a) cosine_topk_blas's ONE fused limit(max_queries+1)"
+    " collect — the contract IS a driver-side query matrix, guard-fenced",
+    "bloom_prejoin_revenue": "(a) bloom_build collects the finished bitmap"
+    " (≤ m_bits/8 bytes, capped at 16 MB) to re-enter it as a probe literal",
+    "config_broadcast_lookup": "(a) plan-time config map collect (J5) —"
+    " the reference's plan-time config binding, rows ≤ config-key count",
+    "watermark_incremental_load": "(a) I1 watermark: 1-row max(dt) collect"
+    " decides the load range before the plan exists (trgx.clj next-dt)",
+    "ods_merge_pipeline": "(a) same 1-row dw_id watermark continuation",
+    "binaryfile_image_ingest": "(c) binaryFile source file-discovery job",
+    "pagerank_copurchase": "(b) per-round eager localCheckpoint of the rank"
+    " frame (graph.pagerank_int block-lifecycle contract)",
+    "semantic_dedup_kmeans": "(b) Lloyd rounds localCheckpoint per"
+    " iteration (semantic.py recurrence discipline)",
+    "kmeans_cluster_profile": "(b) same Lloyd recurrence",
+    "ivf_train_assignment_parity": "(b) trained-centroid Lloyd rounds",
+    "neardup_clusters": "(b) connected-components star rounds checkpoint"
+    " per iteration until fixpoint",
+    "neardup_clusters_star": "(b) same CC recurrence",
+    "neardup_keep_best": "(b) same CC recurrence feeding keep-best",
+    "dedup_cluster_sizes": "(b) same CC recurrence feeding size profile",
+    "cluster_keyed_split_audit": "(b) same CC recurrence feeding the"
+    " leakage-safe split audit",
+    "corpus_curation_pipeline": "(b) composition embeds the CC recurrence",
+    "training_data_pipeline": "(b) composition embeds the CC recurrence",
+}
+
+
+def count_build_jobs(spark, build, name: str):
+    """Run ``build()`` under a dedicated job group and return
+    ``(result, n_jobs)`` where ``n_jobs`` is the number of Spark jobs the
+    construction submitted. Plan building must be lazy (R5): a job here
+    means an eager count/collect/checkpoint snuck into a builder, which at
+    100 TB is an extra full pass over the input before the query even runs.
+    """
+    sc = spark.sparkContext
+    group = f"r5-build-{name}"
+    sc.setJobGroup(group, "R5 zero-eager-jobs gate")
+    try:
+        out = build()
+    finally:
+        sc.setJobGroup("", "")
+    return out, len(sc.statusTracker().getJobIdsForGroup(group))

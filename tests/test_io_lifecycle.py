@@ -748,3 +748,50 @@ def test_jdbc_prepared_aware_timestamp_microsecond_exact(spark):
     # the exact instant must be addressable: a keyed DELETE on it hits
     jdbc_execute_prepared(spark, url, "DELETE FROM tsx WHERE ts = ?", [(v,)])
     assert jdbc_read(spark, url, "tsx", props).count() == 0
+
+
+def test_jdbc_execute_transaction_commit_and_rollback(spark):
+    """The single-transaction executor for the reference's 3-way publish
+    swap (trgx.clj:188-193 via dialects.render_replace_into_ods): all
+    statements commit together, and a failure anywhere rolls back EVERY
+    prior statement — the no-live-table crash window the reference's
+    autocommitted dance left open must not exist. Exercised on embedded
+    Derby with its RENAME TABLE dialect of the same swap (Derby DDL is
+    transactional like PG's)."""
+    import pytest
+
+    from etl_cascalog_spark.io import (
+        jdbc_execute,
+        jdbc_execute_transaction,
+        jdbc_read,
+        jdbc_table_exists,
+    )
+
+    url = "jdbc:derby:memory:etl_txn_test;create=true"
+    props = {"driver": "org.apache.derby.jdbc.EmbeddedDriver"}
+    jdbc_execute(spark, url, "CREATE TABLE live (v INT)")
+    jdbc_execute(spark, url, "INSERT INTO live VALUES (1)")
+    jdbc_execute(spark, url, "CREATE TABLE stage (v INT)")
+    jdbc_execute(spark, url, "INSERT INTO stage VALUES (2)")
+
+    # rollback: second statement fails → the DROP must be undone, the
+    # old live table still present and readable
+    with pytest.raises(Exception):
+        jdbc_execute_transaction(
+            spark,
+            url,
+            ["DROP TABLE live", "RENAME TABLE no_such_table TO live"],
+            props,
+        )
+    assert jdbc_table_exists(spark, url, "live", props)
+    assert jdbc_read(spark, url, "live", props).first().V == 1
+
+    # commit: the full swap lands atomically
+    jdbc_execute_transaction(
+        spark,
+        url,
+        ["DROP TABLE live", "RENAME TABLE stage TO live"],
+        props,
+    )
+    assert jdbc_read(spark, url, "live", props).first().V == 2
+    assert not jdbc_table_exists(spark, url, "stage", props)

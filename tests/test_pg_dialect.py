@@ -21,6 +21,7 @@ call site:
 
 from __future__ import annotations
 
+import os
 import shutil
 import subprocess
 import tempfile
@@ -47,6 +48,18 @@ def _have_pg() -> bool:
         (PG_BINDIR / b).exists() for b in ("initdb", "pg_ctl", "postgres")
     ) and shutil.which("psql") is not None and shutil.which("setpriv") is not None
 
+
+if os.environ.get("REQUIRE_PG") == "1" and not _have_pg():
+    # CI legs that provision Postgres set REQUIRE_PG=1 so a provisioning
+    # failure FAILS the leg instead of silently skipping it (VERDICT r9
+    # #8: a skip that disappears when the binary appears can also
+    # reappear unnoticed when it breaks). Without the flag, sandboxes
+    # lacking initdb skip as before.
+    raise RuntimeError(
+        "REQUIRE_PG=1 but PostgreSQL server binaries (initdb/pg_ctl/"
+        "postgres/psql/setpriv) are missing — the live-Postgres leg "
+        "cannot run; fix the environment or unset REQUIRE_PG"
+    )
 
 pytestmark = pytest.mark.skipif(
     not _have_pg(), reason="PostgreSQL server binaries not available"

@@ -89,13 +89,27 @@ DIM_SMJ_OK = {
 
 @pytest.fixture(scope="module")
 def lint_reports(spark):
-    """One pass: build every catalog query with AQE off, lint, restore."""
+    """One pass: build every catalog query with AQE off, lint, restore.
+    The same pass counts Spark jobs submitted DURING each build (R5 —
+    zero-eager-jobs gate), stashed on each report as ``build_jobs``."""
+    from etl_cascalog_spark.io import TABLES, read_table
+    from etl_cascalog_spark.plans.lint import count_build_jobs
+
     prior = spark.conf.get("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
+    # warm the per-path schema cache: the one-time parquet footer job is a
+    # local-mode artifact (a production catalog carries the schema), so it
+    # must not be charged to whichever query touches a table first
+    for t in TABLES:
+        read_table(spark, SF, t)
     reports = {}
     try:
         for name in sorted(QUERIES):
-            reports[name] = lint_plan(QUERIES[name].build(spark, SF))
+            df, n_jobs = count_build_jobs(
+                spark, lambda: QUERIES[name].build(spark, SF), name
+            )
+            reports[name] = lint_plan(df)
+            reports[name].build_jobs = n_jobs
             release_all_blocks(spark)
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", prior)
@@ -239,4 +253,33 @@ def test_allowlists_reference_live_flagged_queries(lint_reports):
         assert lint_reports[name].mega_filters, (
             f"{name} no longer has a mega-expression filter — remove from "
             "allowlist"
+        )
+
+
+def test_zero_eager_jobs_at_build(lint_reports):
+    """R5 (VERDICT r9 #3): building a catalog query's DataFrame must submit
+    ZERO Spark jobs — an eager count/collect/checkpoint in a builder is an
+    extra full pass over the input at 100 TB before the query even runs.
+    Exceptions live in plans/lint.py EAGER_BUILD_OK, each with the contract
+    (bounded guarded collect / iterative localCheckpoint recurrence /
+    source discovery) that makes the jobs legitimate; hygiene twin below
+    keeps the whitelist from rotting into a loophole."""
+    from etl_cascalog_spark.plans.lint import EAGER_BUILD_OK
+
+    bad = {
+        n: r.build_jobs
+        for n, r in lint_reports.items()
+        if r.build_jobs and n not in EAGER_BUILD_OK
+    }
+    assert not bad, (
+        "Spark jobs submitted at plan-build time outside EAGER_BUILD_OK "
+        f"(add ONLY with a boundedness/recurrence contract): {bad}"
+    )
+    # hygiene: whitelisted names must exist and still be eager — an entry
+    # whose build went lazy should be pruned, not kept as a loophole
+    for name in EAGER_BUILD_OK:
+        assert name in QUERIES, f"EAGER_BUILD_OK names unknown query {name}"
+        assert lint_reports[name].build_jobs > 0, (
+            f"{name} no longer submits build jobs — remove from "
+            "EAGER_BUILD_OK"
         )

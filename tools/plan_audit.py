@@ -46,27 +46,58 @@ def audit_plan(plan: str) -> dict[str, int | str]:
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     from etl_cascalog_spark.catalog import QUERIES
-    from etl_cascalog_spark.session import get_spark
-
-    from etl_cascalog_spark.session import release_all_blocks
+    from etl_cascalog_spark.io import TABLES, read_table
+    from etl_cascalog_spark.plans.lint import EAGER_BUILD_OK, count_build_jobs
+    from etl_cascalog_spark.session import get_spark, release_all_blocks
 
     spark = get_spark("plan_audit")
-    print("| query | SMJ | BHJ | BNLJ | Cart | Exch | Push |")
-    print("|---|---|---|---|---|---|---|")
+    # warm the per-path schema cache so the one-time parquet footer read is
+    # not charged to any query's build (a production catalog carries the
+    # schema; the footer job is a local-mode artifact)
+    for t in TABLES:
+        read_table(spark, sf_dir, t)
+    violations: dict[str, int] = {}
+    stale_whitelist = set(EAGER_BUILD_OK)
+    print("| query | SMJ | BHJ | BNLJ | Cart | Exch | Push | BuildJobs |")
+    print("|---|---|---|---|---|---|---|---|")
     for name in sorted(QUERIES):
-        df = QUERIES[name].build(spark, sf_dir)
+        df, n_jobs = count_build_jobs(
+            spark, lambda: QUERIES[name].build(spark, sf_dir), name
+        )
+        if n_jobs:
+            if name in EAGER_BUILD_OK:
+                stale_whitelist.discard(name)
+            else:
+                violations[name] = n_jobs
         df.write.format("noop").mode("overwrite").save()
         plan = df._jdf.queryExecution().executedPlan().toString()
         a = audit_plan(plan)
         print(
             f"| {name} | {a['smj']} | {a['bhj']} | {a['bnlj']} | {a['cart']} "
-            f"| {a['exch']} | {a['push']} |"
+            f"| {a['exch']} | {a['push']} | {n_jobs} |"
         )
         sys.stdout.flush()
         # full storage reset (incl. localCheckpoint blocks from iterative
         # builders) — clearCache alone leaks those across a 131-query sweep
         release_all_blocks(spark)
     spark.stop()
+    if violations:
+        print(
+            f"\nR5 VIOLATION — eager jobs at plan-build time: {violations} "
+            "(see plans/lint.py EAGER_BUILD_OK for the contract)",
+            file=sys.stderr,
+        )
+        sys.exit(1)
+    # names that stayed whitelisted but no longer submit build jobs would
+    # let the whitelist rot into a loophole — flag, don't fail (a faster
+    # build is not a defect)
+    lazy_now = stale_whitelist
+    if lazy_now:
+        print(
+            f"\nnote: EAGER_BUILD_OK entries now lazy (prune them): "
+            f"{sorted(lazy_now)}",
+            file=sys.stderr,
+        )
 
 
 if __name__ == "__main__":

@@ -75,10 +75,18 @@ _REACH_PIPELINE = """reach(s, t) AS (
 # their catalog oracles are verbatim-affordable at sf1 (measured 2.4 s /
 # 14.5 s here in round 7), so they now run in the MAIN sweep
 # (tools/correctness_local.py) like any other query — one less bespoke
-# tool to trust per VERDICT r8 #4. The 12 below genuinely need the
-# fixpoint-CC / banded / numpy-int64 / staged-temp-table witnesses.
+# tool to trust per VERDICT r8 #4. prefix_filter_jaccard_dedup left in
+# round 10: its oracle never touches the recursive reach CTE, and the
+# verbatim run measured 24 s at sf1 — affordable in the main sweep.
+# Round-10 floor check on the rest: pagerank_copurchase verbatim ran
+# >570 s without finishing (monolithic CTE chain re-derives edges per
+# iteration); triangle_count verbatim exhausted 59 GB of spill disk at a
+# 48 GB memory limit (DuckDB 1.0.0 materializes the 3×-referenced `kept`
+# chain); the CC family needs `WITH RECURSIVE … USING KEY` (DuckDB ≥1.3)
+# to express min-label propagation in one statement — this environment
+# ships 1.0.0. The 11 below genuinely need the fixpoint-CC / banded /
+# numpy-int64 / staged-temp-table witnesses until then.
 HEAVY = [
-    "prefix_filter_jaccard_dedup",
     "neardup_clusters",
     "neardup_clusters_star",
     "dedup_cluster_sizes",
@@ -421,7 +429,6 @@ def main() -> int:
     # shared materializations (timed + attributed in the artifact)
     shared: dict[str, float] = {}
     doc_graph = {
-        "prefix_filter_jaccard_dedup",
         "neardup_clusters",
         "neardup_clusters_star",
         "dedup_cluster_sizes",
