@@ -56,8 +56,26 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
 
+_GUARD_ALT_CROSS = (
+    " For a corpus-sized query side use a bucketed operator"
+    " (lsh_cosine_topk / lsh_multiprobe_topk / ivf_cosine_topk /"
+    " ivfpq_topk, which prune candidates by bucket/cell),"
+    " or raise max_queries explicitly if you know the set fits."
+)
+_GUARD_ALT_BUCKET = (
+    " For corpus-vs-corpus similarity use embedding_neardup /"
+    " hard_negatives_lsh (the corpus is never broadcast there), or chunk"
+    " the query set, or raise max_queries explicitly if you know the set"
+    " fits."
+)
+
+
 def _lazy_query_guard(
-    q: DataFrame, max_queries: int, op_name: str, guard_col: str = "_query_guard"
+    q: DataFrame,
+    max_queries: int,
+    op_name: str,
+    alt: str = _GUARD_ALT_CROSS,
+    guard_col: str = "_query_guard",
 ) -> DataFrame:
     """Attach a LAZY bounded-query-side guard to ``q`` (the side an ANN
     scorer broadcasts): a broadcast 1-row ``assert_true`` over a map-side
@@ -73,6 +91,17 @@ def _lazy_query_guard(
     passing a corpus-sized frame would silently bypass
     ``autoBroadcastJoinThreshold`` via the mandatory hint and OOM the
     executors — the guard turns that into a loud refusal at action time.
+
+    The hint the guard protects is MANDATORY on the bucketed operators
+    too, not just the cross joins — measured lesson (round 10, sf3): with
+    a bare equi-join the planner broadcasts whichever side has known
+    stats, which is the CACHED CORPUS (the query side is a filtered scan
+    with no stats). That flips the build side — corpus shipped to every
+    executor (driver OOM at real scale) and the bounded query side
+    STREAMED on its raw file splits (ann_ivf_topk: one task evaluating
+    56M cosine folds, 6.9 s -> 86 s on 3x data). Forcing the query-side
+    broadcast keeps the corpus streaming with full scan parallelism at
+    every scale, and the guard keeps the forced side honest.
     """
     guard = F.broadcast(
         q.select(
@@ -81,12 +110,7 @@ def _lazy_query_guard(
                 F.lit(
                     f"{op_name}: query side exceeds max_queries={max_queries}"
                     " -- this scorer broadcasts the query set by design"
-                    " (eval/re-rank sets). For a corpus-sized query side use"
-                    " a bucketed operator (lsh_cosine_topk /"
-                    " lsh_multiprobe_topk / ivf_cosine_topk / ivfpq_topk,"
-                    " which shuffle on bucket/cell instead of broadcasting),"
-                    " or raise max_queries explicitly if you know the set"
-                    " fits."
+                    " (eval/re-rank sets)." + alt
                 ),
             ).alias(guard_col)
         )
@@ -292,23 +316,31 @@ def lsh_cosine_topk(
     n_planes: int = 8,
     dim: int = 64,
     seed: int = 7,
+    max_queries: int = 100_000,
 ) -> DataFrame:
     """LSH-bucketed cosine top-k: score only candidates in the query's
-    hyperplane bucket. Equi-join on bucket id replaces the cross join —
-    the 100 TB shape (shuffle keyed on bucket; bucket skew bounded by
-    plane count). The bucket join carries NO broadcast hint: this is the
-    operator rated for corpus-sized query sides, so a mandatory hint
-    would bypass ``autoBroadcastJoinThreshold`` exactly when it hurts —
-    AQE broadcast-converts from runtime stats when the query side fits."""
+    hyperplane bucket — the equi-join replaces the cross join, so the
+    CORPUS side streams with full scan parallelism and only same-bucket
+    pairs are scored. The query side is broadcast by contract
+    (eval/re-rank sets) and the bound is ENFORCED by the lazy
+    ``max_queries`` guard — a bare un-hinted join measurably flips the
+    build side onto the cached corpus and serializes the probe (see
+    :func:`_lazy_query_guard`); corpus-vs-corpus similarity belongs to
+    ``embedding_neardup`` / ``hard_negatives_lsh``."""
     from etl_cascalog_spark.io import ensure_min_parallelism
 
     corpus = ensure_min_parallelism(corpus, id_col)
     planes = hyperplanes(dim, n_planes, seed)
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("qv"),
-        norm(F.col(vec_col)).alias("nq"),
-        lsh_bucket(F.col(vec_col), planes).alias("bucket"),
+    q = _lazy_query_guard(
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("qv"),
+            norm(F.col(vec_col)).alias("nq"),
+            lsh_bucket(F.col(vec_col), planes).alias("bucket"),
+        ),
+        max_queries,
+        "lsh_cosine_topk",
+        alt=_GUARD_ALT_BUCKET,
     )
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
@@ -317,7 +349,7 @@ def lsh_cosine_topk(
         lsh_bucket(F.col(vec_col), planes).alias("bucket"),
     ).cache()  # per-row norms: once per side, not per candidate pair
     scored = (
-        c.join(q, on="bucket")
+        c.join(F.broadcast(q), on="bucket")
         .where(F.col("query_id") != F.col("neighbor_id"))
         .select(
             "query_id",
@@ -414,17 +446,24 @@ def ivf_cosine_topk(
     dim: int = 64,
     seed: int = 11,
     nprobe: int = 1,
+    max_queries: int = 100_000,
 ) -> DataFrame:
     """IVF (inverted-file) cosine top-k — the second ANN scale path next to
     :func:`lsh_cosine_topk`: corpus vectors are assigned to their nearest
     centroid cell once (map-side); each query scans only its probed cells.
 
-    The cell equi-join replaces the cross join — shuffle keyed on cell id,
-    candidate volume Σ|cell|·|queries probing it|. Recall is tuned by
-    ``n_cells`` (fewer, larger cells → higher recall & cost) and
-    ``nprobe`` (probe the q nearest cells: the query row explodes per
-    probed cell — same join, ×nprobe candidates, recall → exact as nprobe
-    → n_cells).
+    The cell equi-join replaces the cross join — candidate volume
+    Σ|cell|·|queries probing it| instead of |Q|·|C|. The query side is
+    broadcast (MANDATORY hint + lazy ``max_queries`` guard: a bare join
+    here measurably flips the build side onto the cached corpus and
+    serializes the probe on the query scan's file splits — the 6.9 s →
+    86 s sf3 lesson in :func:`_lazy_query_guard`); the corpus streams
+    with full scan parallelism, which also matters because ``n_cells``
+    is far below the task count, so a cell-keyed shuffle could never use
+    the cluster. Recall is tuned by ``n_cells`` (fewer, larger cells →
+    higher recall & cost) and ``nprobe`` (probe the q nearest cells: the
+    query row explodes per probed cell — same join, ×nprobe candidates,
+    recall → exact as nprobe → n_cells).
     """
     from etl_cascalog_spark.io import ensure_min_parallelism
 
@@ -444,16 +483,15 @@ def ivf_cosine_topk(
             norm(F.col(vec_col)).alias("nq"),
             F.explode(ivf_cells_topn(F.col(vec_col), cents, nprobe)).alias("cell"),
         )
+    q = _lazy_query_guard(q, max_queries, "ivf_cosine_topk", alt=_GUARD_ALT_BUCKET)
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cv"),
         norm(F.col(vec_col)).alias("ncv"),
         ivf_cell(F.col(vec_col), cents).alias("cell"),
     ).cache()  # per-row norms: once per side, not per candidate pair
-    # no broadcast hint on the cell join — corpus-sized query sides are
-    # this operator's contract; AQE broadcast-converts when q fits
     scored = (
-        c.join(q, on="cell")
+        c.join(F.broadcast(q), on="cell")
         .where(F.col("query_id") != F.col("neighbor_id"))
         .select(
             "query_id",
@@ -760,6 +798,7 @@ def lsh_multiprobe_topk(
     dim: int = 64,
     seed: int = 7,
     n_probe_bits: int | None = None,
+    max_queries: int = 100_000,
 ) -> DataFrame:
     """Multi-probe LSH cosine top-k: each query probes its own bucket PLUS
     every Hamming-1 neighbor bucket (one sign bit flipped) — the standard
@@ -769,11 +808,12 @@ def lsh_multiprobe_topk(
 
     ``n_probe_bits`` limits which bits may flip (default: all
     ``n_planes``), giving 1+n_probe_bits probes per query. The query side
-    explodes (queries × probes rows); the bucket join carries NO broadcast
-    hint — corpus-sized query sides are this operator's contract, and AQE
-    broadcast-converts when the exploded query side fits. The corpus side
-    is hashed ONCE and never duplicated, so the extra recall never costs
-    a corpus reshuffle beyond the one bucket-keyed exchange. Candidates hit
+    explodes (queries × probes rows — still eval-set sized, enforced by
+    the lazy ``max_queries`` guard) and is broadcast; the corpus side is
+    hashed ONCE, never duplicated and never broadcast, so the extra
+    recall costs only broadcast fan-in, not a corpus reshuffle (the
+    mandatory hint direction is a measured lesson — see
+    :func:`_lazy_query_guard`). Candidates hit
     via several probes are deduplicated by construction (a candidate's
     single bucket matches exactly one probed code per query).
 
@@ -807,16 +847,15 @@ def lsh_multiprobe_topk(
         "nq",
         F.col("code").bitwiseXOR(F.col("__mask")).alias("bucket"),
     )
+    q = _lazy_query_guard(q, max_queries, "lsh_multiprobe_topk", alt=_GUARD_ALT_BUCKET)
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cv"),
         norm(F.col(vec_col)).alias("ncv"),
         base.alias("bucket"),
     ).cache()
-    # no broadcast hint on the bucket join — corpus-sized query sides are
-    # this operator's contract; AQE broadcast-converts when q fits
     scored = (
-        c.join(q, on="bucket")
+        c.join(F.broadcast(q), on="bucket")
         .where(F.col("query_id") != F.col("neighbor_id"))
         .select(
             "query_id",
@@ -976,16 +1015,19 @@ def ivfpq_topk(
     m: int = 8,
     k_c: int = 4,
     pq_seed: int = 13,
+    max_queries: int = 100_000,
 ) -> DataFrame:
     """IVF+PQ — the production ANN index shape (FAISS IVFPQ): candidates
     are pruned to the query's IVF cell (equi-join, no cross join), then
     scored by PQ asymmetric distance (8-byte codes, per-query LUT).
 
     This is the composition where both halves earn their keep at 100 TB:
-    the IVF join bounds candidate volume to ~corpus/n_cells per query,
-    and ADC scoring reads codes, not vectors, so the joined candidate
-    side carries m bytes per row through the shuffle instead of the
-    embedding. Output (query_id, neighbor_id, rank, adc_dist); ascending
+    the IVF join bounds candidate volume to ~corpus/n_cells per query
+    (query-side broadcast mandatory + ``max_queries``-guarded, same
+    build-side lesson as :func:`ivf_cosine_topk`), and ADC scoring reads
+    codes, not vectors, so the streamed candidate side carries m bytes
+    per row instead of the embedding. Output (query_id, neighbor_id,
+    rank, adc_dist); ascending
     distance, ties → lower id. Extend recall exactly like
     :func:`ivf_cosine_topk`'s nprobe (probe more cells) — shapes compose.
     """
@@ -1003,27 +1045,30 @@ def ivfpq_topk(
             for j in range(m)
         ],
     ).cache()
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        ivf_cell(F.col(vec_col), cents).alias("cell"),
-        *[
-            F.array(
-                *[
-                    _l2(_sub(F.col(vec_col), j, d_sub), cent)
-                    for cent in codebook[j]
-                ]
-            ).alias(f"lut_{j}")
-            for j in range(m)
-        ],
+    q = _lazy_query_guard(
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            ivf_cell(F.col(vec_col), cents).alias("cell"),
+            *[
+                F.array(
+                    *[
+                        _l2(_sub(F.col(vec_col), j, d_sub), cent)
+                        for cent in codebook[j]
+                    ]
+                ).alias(f"lut_{j}")
+                for j in range(m)
+            ],
+        ),
+        max_queries,
+        "ivfpq_topk",
+        alt=_GUARD_ALT_BUCKET,
     )
     dist = None
     for j in range(m):
         t = F.element_at(F.col(f"lut_{j}"), F.col(f"code_{j}") + 1)
         dist = t if dist is None else dist + t
-    # no broadcast hint on the cell join — corpus-sized query sides are
-    # this operator's contract; AQE broadcast-converts when q fits
     scored = (
-        c.join(q, on="cell")
+        c.join(F.broadcast(q), on="cell")
         .where(F.col("query_id") != F.col("neighbor_id"))
         .select("query_id", "neighbor_id", dist.alias("adc"))
     )

@@ -1643,16 +1643,23 @@ def test_hard_negatives_anchor_bound_enforced(spark):
 
 
 def test_ann_broadcast_scorers_query_bound_enforced(spark):
-    """VERDICT r9 #2: every cross-join ANN scorer (query side broadcast by
-    contract) enforces max_queries with the shared LAZY guard — plan
-    construction runs zero jobs, EXPLAIN stays job-free, the raise fires
-    on the first action and names the bucketed alternatives — and a
-    query set inside the bound still scores."""
+    """VERDICT r9 #2: every ANN scorer that broadcasts its query side —
+    the cross-join scorers AND the bucketed ones (where the hint is
+    mandatory: a bare equi-join flips the build side onto the cached
+    corpus and serializes the probe, the measured sf3 lesson in
+    _lazy_query_guard) — enforces max_queries with the shared LAZY
+    guard: plan construction runs zero jobs, EXPLAIN stays job-free, the
+    raise fires on the first action and names the right alternative, and
+    a query set inside the bound still scores."""
     import pytest
 
     from etl_cascalog_spark.io import read_table
     from etl_cascalog_spark.operators.similarity import (
         cosine_topk,
+        ivf_cosine_topk,
+        ivfpq_topk,
+        lsh_cosine_topk,
+        lsh_multiprobe_topk,
         mmr_rerank,
         pq_adc_topk,
         quantized_dot_topk,
@@ -1661,6 +1668,7 @@ def test_ann_broadcast_scorers_query_bound_enforced(spark):
 
     emb = read_table(spark, SF_SMOKE, "embeddings")
     q = emb.where(F.col("vec_id") % 50 == 0)
+    # cross-join scorers point at the bucketed operators…
     for op, kw in [
         (cosine_topk, {"k": 1}),
         (quantized_dot_topk, {"k": 1}),
@@ -1671,9 +1679,17 @@ def test_ann_broadcast_scorers_query_bound_enforced(spark):
         over.explain()
         with pytest.raises(Exception, match="lsh_cosine_topk"):
             over.count()
+    # …bucketed scorers point at the corpus-vs-corpus operators
+    for op in [lsh_cosine_topk, ivf_cosine_topk, lsh_multiprobe_topk, ivfpq_topk]:
+        over = op(q, emb, k=1, max_queries=3)
+        over.explain()
+        with pytest.raises(Exception, match="embedding_neardup"):
+            over.count()
     n_q = q.count()
     ok = cosine_topk(q, emb, k=1, max_queries=n_q)
     assert ok.count() == n_q
+    ok_b = lsh_cosine_topk(q, emb, k=1, max_queries=n_q)
+    assert ok_b.count() > 0
 
 
 def test_bloom_build_bitmap_cap(spark):
