@@ -56,13 +56,11 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
 
-_GUARD_ALT_CROSS = (
-    " For a corpus-sized query side use a bucketed operator"
-    " (lsh_cosine_topk / lsh_multiprobe_topk / ivf_cosine_topk /"
-    " ivfpq_topk, which prune candidates by bucket/cell),"
-    " or raise max_queries explicitly if you know the set fits."
-)
-_GUARD_ALT_BUCKET = (
+#: the one remedy that actually avoids broadcasting the query side — the
+#: bucketed scorers carry the SAME max_queries bound (their query side is
+#: broadcast too), so pointing an over-cap caller at them would be a dead
+#: end; only the corpus-vs-corpus operators change the plan shape.
+_GUARD_ALT = (
     " For corpus-vs-corpus similarity use embedding_neardup /"
     " hard_negatives_lsh (the corpus is never broadcast there), or chunk"
     " the query set, or raise max_queries explicitly if you know the set"
@@ -70,48 +68,33 @@ _GUARD_ALT_BUCKET = (
 )
 
 
-def _lazy_query_guard(
-    q: DataFrame,
-    max_queries: int,
-    op_name: str,
-    alt: str = _GUARD_ALT_CROSS,
-    guard_col: str = "_query_guard",
+def _lazy_count_guard(
+    df: DataFrame,
+    bound: int,
+    message: str,
+    cache: bool = True,
+    guard_col: str = "_bound_guard",
 ) -> DataFrame:
-    """Attach a LAZY bounded-query-side guard to ``q`` (the side an ANN
-    scorer broadcasts): a broadcast 1-row ``assert_true`` over a map-side
-    count aggregate, cross-joined onto the query rows so the check rides
-    the same action as the query — the `hard_negatives` anchor-guard
-    pattern, shared.
+    """Attach a LAZY row-count bound to ``df``: a broadcast 1-row
+    ``assert_true`` over a map-side count aggregate, cross-joined onto the
+    rows so the check rides the same action as the consumer query.
 
     Why lazy: a ``limit().collect()`` probe (the `cosine_topk_blas` shape,
     where the contract already IS a driver-side matrix) would run a Spark
     job at DataFrame-construction time, which the plan-audit zero-eager-jobs
-    gate forbids for plan-only operators. Why at all: these scorers
-    broadcast the query side by contract ("queries = eval/re-rank set");
-    passing a corpus-sized frame would silently bypass
-    ``autoBroadcastJoinThreshold`` via the mandatory hint and OOM the
-    executors — the guard turns that into a loud refusal at action time.
-
-    The hint the guard protects is MANDATORY on the bucketed operators
-    too, not just the cross joins — measured lesson (round 10, sf3): with
-    a bare equi-join the planner broadcasts whichever side has known
-    stats, which is the CACHED CORPUS (the query side is a filtered scan
-    with no stats). That flips the build side — corpus shipped to every
-    executor (driver OOM at real scale) and the bounded query side
-    STREAMED on its raw file splits (ann_ivf_topk: one task evaluating
-    56M cosine folds, 6.9 s -> 86 s on 3x data). Forcing the query-side
-    broadcast keeps the corpus streaming with full scan parallelism at
-    every scale, and the guard keeps the forced side honest.
+    gate (R5) forbids for plan-only operators — the assert raises at action
+    time instead. ``df`` is cached (unless ``cache=False`` for callers that
+    cannot unpersist — the module's standard escape hatch) because it feeds
+    BOTH the guard's count and the guarded consumer; without the cache the
+    guard would be a second full pass over the input subtree (the ADVICE r7
+    lesson fixed in ``hard_negatives``, kept here).
     """
+    if cache:
+        df = df.cache()
     guard = F.broadcast(
-        q.select(
+        df.select(
             F.assert_true(
-                F.count(F.lit(1)) <= F.lit(max_queries),
-                F.lit(
-                    f"{op_name}: query side exceeds max_queries={max_queries}"
-                    " -- this scorer broadcasts the query set by design"
-                    " (eval/re-rank sets)." + alt
-                ),
+                F.count(F.lit(1)) <= F.lit(bound), F.lit(message)
             ).alias(guard_col)
         )
         # always-true filter (assert_true yields NULL or throws) forces
@@ -119,7 +102,43 @@ def _lazy_query_guard(
         # Catalyst and the assert would never run
         .where(F.isnull(F.col(guard_col)))
     )
-    return q.crossJoin(guard).drop(guard_col)
+    return df.crossJoin(guard).drop(guard_col)
+
+
+def _lazy_query_guard(
+    q: DataFrame,
+    max_queries: int,
+    op_name: str,
+    cache: bool = True,
+) -> DataFrame:
+    """Bounded-query-side guard for the ANN scorers (the side they
+    broadcast): :func:`_lazy_count_guard` with the scorers' shared message.
+
+    Every scorer that broadcasts its query side carries this — the
+    cross-join scorers because BroadcastNestedLoop has no other
+    distribution, and the bucket/cell equi-join scorers because the hint
+    is MANDATORY there too: measured lesson (round 10, sf3), with a bare
+    equi-join the planner broadcasts whichever side has known stats,
+    which is the CACHED CORPUS (the query side is a filtered scan with no
+    stats). That flips the build side — corpus shipped to every executor
+    (driver OOM at real scale) and the bounded query side STREAMED on its
+    raw file splits (ann_ivf_topk: one task evaluating 56M cosine folds,
+    6.9 s -> 86 s on 3x data). Forcing the query-side broadcast keeps the
+    corpus streaming with full scan parallelism at every scale, and the
+    guard keeps the forced side honest.
+
+    Callers with an exploding query side (ivf nprobe, lsh multi-probe)
+    must apply this BEFORE the explode so the bound counts queries, not
+    query x probe rows.
+    """
+    return _lazy_count_guard(
+        q,
+        max_queries,
+        f"{op_name}: query side exceeds max_queries={max_queries}"
+        " -- this scorer broadcasts the query set by design"
+        " (eval/re-rank sets)." + _GUARD_ALT,
+        cache=cache,
+    )
 
 
 def cosine_topk(
@@ -340,7 +359,6 @@ def lsh_cosine_topk(
         ),
         max_queries,
         "lsh_cosine_topk",
-        alt=_GUARD_ALT_BUCKET,
     )
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
@@ -469,21 +487,33 @@ def ivf_cosine_topk(
 
     corpus = ensure_min_parallelism(corpus, id_col)
     cents = ivf_centroids(dim, n_cells, seed)
+    # guard BEFORE the nprobe explode so the bound counts queries, not
+    # query x probe rows; the cell assignment (the expensive argmin fold)
+    # sits INSIDE the guarded projection so the guard's cache evaluates it
+    # once and cuts Catalyst's inferred isnotnull(assignment) duplicate
+    # (the R4 mega-filter this query used to allowlist)
     if nprobe <= 1:
-        q = queries.select(
-            F.col(id_col).alias("query_id"),
-            F.col(vec_col).alias("qv"),
-            norm(F.col(vec_col)).alias("nq"),
-            ivf_cell(F.col(vec_col), cents).alias("cell"),
+        q = _lazy_query_guard(
+            queries.select(
+                F.col(id_col).alias("query_id"),
+                F.col(vec_col).alias("qv"),
+                norm(F.col(vec_col)).alias("nq"),
+                ivf_cell(F.col(vec_col), cents).alias("cell"),
+            ),
+            max_queries,
+            "ivf_cosine_topk",
         )
     else:
-        q = queries.select(
-            F.col(id_col).alias("query_id"),
-            F.col(vec_col).alias("qv"),
-            norm(F.col(vec_col)).alias("nq"),
-            F.explode(ivf_cells_topn(F.col(vec_col), cents, nprobe)).alias("cell"),
-        )
-    q = _lazy_query_guard(q, max_queries, "ivf_cosine_topk", alt=_GUARD_ALT_BUCKET)
+        q = _lazy_query_guard(
+            queries.select(
+                F.col(id_col).alias("query_id"),
+                F.col(vec_col).alias("qv"),
+                norm(F.col(vec_col)).alias("nq"),
+                ivf_cells_topn(F.col(vec_col), cents, nprobe).alias("cells"),
+            ),
+            max_queries,
+            "ivf_cosine_topk",
+        ).select("query_id", "qv", "nq", F.explode("cells").alias("cell"))
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cv"),
@@ -720,41 +750,27 @@ def hard_negatives(
     from etl_cascalog_spark.io import ensure_min_parallelism
 
     anchors = emb if anchor_filter is None else emb.where(anchor_filter)
-    if cache:
-        # feeds the guard count AND the broadcast projection
-        # (lifecycle: scoped_storage at the call site, or cache=False)
-        anchors = anchors.cache()
-    # lazy anchor-count guard: a partial-aggregate count (no global window,
-    # no shuffle of anchor rows) feeding assert_true; 1-row frame broadcast
-    # onto the anchor rows so the check rides the same action as the query
-    guard = F.broadcast(
-        anchors.select(
-            F.assert_true(
-                F.count(F.lit(1)) <= F.lit(max_anchors),
-                F.lit(
-                    f"hard_negatives: anchor side exceeds max_anchors={max_anchors}"
-                    " -- this miner broadcasts the anchors and scores anchors x"
-                    " corpus by design (curated anchor sets). For corpus-scale"
-                    " mining use hard_negatives_lsh (bucketed candidate join,"
-                    " nothing broadcast-unbounded), pass an anchor_filter, or"
-                    " raise max_anchors explicitly if you know the set fits."
-                ),
-            ).alias("_anchor_guard")
-        )
-        # the filter (always-true: assert_true yields NULL or throws) forces
-        # evaluation — a bare projected-then-dropped column would be pruned
-        # by Catalyst and the assert would never run
-        .where(F.isnull(F.col("_anchor_guard")))
-    )
+    # lazy anchor-count guard via the shared primitive: the projection is
+    # cached inside _lazy_count_guard (it feeds the guard's count AND the
+    # broadcast), so the guard is never a second full scan (ADVICE r7);
+    # lifecycle: scoped_storage at the call site, or cache=False
     a = F.broadcast(
-        anchors.select(
-            F.col(id_col).alias("anchor_id"),
-            F.col(vec_col).alias("av"),
-            norm(F.col(vec_col)).alias("na"),
-            F.col(label_col).alias("a_label"),
+        _lazy_count_guard(
+            anchors.select(
+                F.col(id_col).alias("anchor_id"),
+                F.col(vec_col).alias("av"),
+                norm(F.col(vec_col)).alias("na"),
+                F.col(label_col).alias("a_label"),
+            ),
+            max_anchors,
+            f"hard_negatives: anchor side exceeds max_anchors={max_anchors}"
+            " -- this miner broadcasts the anchors and scores anchors x"
+            " corpus by design (curated anchor sets). For corpus-scale"
+            " mining use hard_negatives_lsh (bucketed candidate join,"
+            " nothing broadcast-unbounded), pass an anchor_filter, or"
+            " raise max_anchors explicitly if you know the set fits.",
+            cache=cache,
         )
-        .crossJoin(guard)
-        .drop("_anchor_guard")
     )
     c = ensure_min_parallelism(emb, id_col).select(
         F.col(id_col).alias("negative_id"),
@@ -830,11 +846,17 @@ def lsh_multiprobe_topk(
     probes = F.array(
         F.lit(0), *[F.lit(1 << b) for b in range(bits)]
     )  # XOR masks: self + each single-bit flip
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("qv"),
-        norm(F.col(vec_col)).alias("nq"),
-        base.alias("code"),
+    # guard BEFORE the probe explode so the bound counts queries, not
+    # query x probe rows
+    q = _lazy_query_guard(
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("qv"),
+            norm(F.col(vec_col)).alias("nq"),
+            base.alias("code"),
+        ),
+        max_queries,
+        "lsh_multiprobe_topk",
     ).select(
         "query_id",
         "qv",
@@ -847,7 +869,6 @@ def lsh_multiprobe_topk(
         "nq",
         F.col("code").bitwiseXOR(F.col("__mask")).alias("bucket"),
     )
-    q = _lazy_query_guard(q, max_queries, "lsh_multiprobe_topk", alt=_GUARD_ALT_BUCKET)
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cv"),
@@ -1061,7 +1082,6 @@ def ivfpq_topk(
         ),
         max_queries,
         "ivfpq_topk",
-        alt=_GUARD_ALT_BUCKET,
     )
     dist = None
     for j in range(m):
@@ -1214,6 +1234,7 @@ def mmr_rerank(
         ),
         max_queries,
         "mmr_rerank",
+        cache=cache,  # same escape hatch as the other internal caches here
     )
     c = corpus.select(
         F.col(id_col).alias("cid"),

@@ -41,6 +41,7 @@ from __future__ import annotations
 
 import re
 from dataclasses import dataclass, field
+from itertools import count
 
 from pyspark.sql import DataFrame
 
@@ -286,6 +287,13 @@ EAGER_BUILD_OK: dict[str, str] = {
 }
 
 
+#: monotone suffix so repeated builds of the same query in one
+#: SparkContext never share a job-group name — getJobIdsForGroup is
+#: cumulative for the context's lifetime, so a reused name would charge
+#: run 2 with run 1's jobs and flag a lazy build as an R5 violation
+_BUILD_GROUP_SEQ = count()
+
+
 def count_build_jobs(spark, build, name: str):
     """Run ``build()`` under a dedicated job group and return
     ``(result, n_jobs)`` where ``n_jobs`` is the number of Spark jobs the
@@ -294,7 +302,7 @@ def count_build_jobs(spark, build, name: str):
     100 TB is an extra full pass over the input before the query even runs.
     """
     sc = spark.sparkContext
-    group = f"r5-build-{name}"
+    group = f"r5-build-{name}-{next(_BUILD_GROUP_SEQ)}"
     sc.setJobGroup(group, "R5 zero-eager-jobs gate")
     try:
         out = build()

@@ -1668,20 +1668,20 @@ def test_ann_broadcast_scorers_query_bound_enforced(spark):
 
     emb = read_table(spark, SF_SMOKE, "embeddings")
     q = emb.where(F.col("vec_id") % 50 == 0)
-    # cross-join scorers point at the bucketed operators…
+    # all 8 guarded scorers name the corpus-vs-corpus remedies (the
+    # bucketed scorers carry the SAME bound, so pointing an over-cap
+    # caller at them would be a dead end)
     for op, kw in [
         (cosine_topk, {"k": 1}),
         (quantized_dot_topk, {"k": 1}),
         (pq_adc_topk, {"k": 1}),
         (mmr_rerank, {"k": 1, "n_candidates": 2}),
+        (lsh_cosine_topk, {"k": 1}),
+        (ivf_cosine_topk, {"k": 1}),
+        (lsh_multiprobe_topk, {"k": 1}),
+        (ivfpq_topk, {"k": 1}),
     ]:
         over = op(q, emb, max_queries=3, **kw)  # plan-time: no job, no raise
-        over.explain()
-        with pytest.raises(Exception, match="lsh_cosine_topk"):
-            over.count()
-    # …bucketed scorers point at the corpus-vs-corpus operators
-    for op in [lsh_cosine_topk, ivf_cosine_topk, lsh_multiprobe_topk, ivfpq_topk]:
-        over = op(q, emb, k=1, max_queries=3)
         over.explain()
         with pytest.raises(Exception, match="embedding_neardup"):
             over.count()
@@ -1690,6 +1690,12 @@ def test_ann_broadcast_scorers_query_bound_enforced(spark):
     assert ok.count() == n_q
     ok_b = lsh_cosine_topk(q, emb, k=1, max_queries=n_q)
     assert ok_b.count() > 0
+    # explode-after-guard: the bound counts QUERIES, not query x probe
+    # rows — n_q queries with 9 probes each must pass at max_queries=n_q
+    ok_mp = lsh_multiprobe_topk(q, emb, k=1, max_queries=n_q)
+    assert ok_mp.count() > 0
+    ok_np = ivf_cosine_topk(q, emb, k=1, nprobe=2, max_queries=n_q)
+    assert ok_np.count() > 0
 
 
 def test_bloom_build_bitmap_cap(spark):
@@ -1703,9 +1709,17 @@ def test_bloom_build_bitmap_cap(spark):
     df = spark.range(10).withColumnRenamed("id", "k")
     with pytest.raises(ValueError, match="16 MB"):
         bloom_build(df, "k", m_bits=1 << 28)
-    # at the cap exactly: allowed (the documented driver budget)
-    bm = bloom_build(df, "k", m_bits=1 << 10)
-    assert len(bm) == (1 << 10) // 64
+    # first multiple of 64 past the cap also refuses (boundary is >, not a
+    # power-of-two check)
+    with pytest.raises(ValueError, match="16 MB"):
+        bloom_build(df, "k", m_bits=(1 << 27) + 64)
+    # at the cap exactly: allowed (the documented driver budget — 2^21
+    # words; the build is distributed, only the finished bitmap lands)
+    bm = bloom_build(df, "k", m_bits=1 << 27)
+    assert len(bm) == (1 << 27) // 64
+    # and a normal small build round-trips its shape
+    bm_small = bloom_build(df, "k", m_bits=1 << 10)
+    assert len(bm_small) == (1 << 10) // 64
 
 
 def test_hard_negatives_lsh_subset_of_bucket(spark):

@@ -95,13 +95,15 @@ def lint_reports(spark):
     from etl_cascalog_spark.io import TABLES, read_table
     from etl_cascalog_spark.plans.lint import count_build_jobs
 
-    prior = spark.conf.get("spark.sql.adaptive.enabled")
-    spark.conf.set("spark.sql.adaptive.enabled", "false")
-    # warm the per-path schema cache: the one-time parquet footer job is a
-    # local-mode artifact (a production catalog carries the schema), so it
-    # must not be charged to whichever query touches a table first
+    # warm the per-path schema cache BEFORE touching the AQE conf: the
+    # one-time parquet footer job is a local-mode artifact (a production
+    # catalog carries the schema) and must not be charged to whichever
+    # query touches a table first — and a warm-up failure must not leak
+    # AQE=false into the shared session
     for t in TABLES:
         read_table(spark, SF, t)
+    prior = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
     reports = {}
     try:
         for name in sorted(QUERIES):
@@ -146,14 +148,13 @@ def test_no_dim_side_sort_merge_join(lint_reports):
 
 
 #: queries allowed a mega-expression lambda Filter, with the boundedness
-#: argument (R4 exceptions — same hygiene rules as the other allowlists)
-MEGA_FILTER_OK = {
-    "ann_ivf_topk": "the inferred isnotnull(centroid-assignment) rides the "
-    "PROBE-side filter, short-circuited behind `vec_id % 50 = 0` — the "
-    "expression runs for the ~2% probe rows only, and probes are small by "
-    "contract (similarity.py bounds the query count)",
-    "ann_ivfpq_topk": "same probe-side assignment inference as ann_ivf_topk",
-}
+#: argument (R4 exceptions — same hygiene rules as the other allowlists).
+#: EMPTY since round 10: the last two entries (ann_ivf_topk /
+#: ann_ivfpq_topk probe-side assignment inference) were fixed for real —
+#: the cell-assignment fold now sits inside the max_queries guard's cached
+#: projection, so Catalyst's inferred isnotnull(assignment) twin is cut at
+#: the InMemoryRelation boundary instead of re-evaluating the fold.
+MEGA_FILTER_OK: dict[str, str] = {}
 
 
 def test_no_mega_expression_filters(lint_reports):
