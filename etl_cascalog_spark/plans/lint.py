@@ -246,44 +246,94 @@ def lint_plan(df: DataFrame) -> PlanReport:
 # R5: zero Spark jobs at DataFrame-construction time
 # ---------------------------------------------------------------------------
 
-#: queries whose BUILD legitimately submits Spark jobs, with the contract
-#: that makes each acceptable. Three categories only:
+#: queries whose BUILD legitimately submits Spark jobs, as
+#: ``name -> (max_jobs, contract)``. The contract states WHY jobs are
+#: acceptable; ``max_jobs`` bounds HOW MANY (VERDICT r10 #2 — existence
+#: alone let a whitelisted recurrence silently grow from 3 checkpoint jobs
+#: to 300 under a green gate). Three categories only:
 #:   (a) bounded driver-side collects that ARE the operator's contract
-#:       (guard-fenced: max_queries / m_bits / 1-row watermark);
+#:       (guard-fenced: byte-budget / max_queries / m_bits / 1-row
+#:       watermark) — budget 1-4 jobs (AQE materializes a shuffled
+#:       aggregate as its own map-stage job, so one logical collect can
+#:       count as 2);
 #:   (b) iterative fixpoint algorithms whose per-round eager
 #:       ``localCheckpoint`` IS the algorithm (lineage must be cut between
-#:       rounds or iteration i re-runs rounds 0..i-1);
-#:   (c) file-source discovery (binaryFile listing).
+#:       rounds or iteration i re-runs rounds 0..i-1) — budget =
+#:       measured jobs at sf0.001 plus headroom for the extra O(log n)
+#:       rounds larger SFs need (CC/star converges in log rounds; Lloyd
+#:       and pagerank are iteration-capped);
+#:   (c) file-source discovery (binaryFile listing) — budget 1-2.
 #: Anything NOT listed here must submit ZERO jobs while its plan is built —
-#: tools/plan_audit.py and tests/test_plan_lint.py both enforce it, so a
-#: new eager collect (the round-8/9 zorder-bounds / blas-count defects)
-#: fails loudly instead of shipping.
-EAGER_BUILD_OK: dict[str, str] = {
-    "ann_blas_topk": "(a) cosine_topk_blas's ONE fused limit(max_queries+1)"
-    " collect — the contract IS a driver-side query matrix, guard-fenced",
-    "bloom_prejoin_revenue": "(a) bloom_build collects the finished bitmap"
-    " (≤ m_bits/8 bytes, capped at 16 MB) to re-enter it as a probe literal",
-    "config_broadcast_lookup": "(a) plan-time config map collect (J5) —"
-    " the reference's plan-time config binding, rows ≤ config-key count",
-    "watermark_incremental_load": "(a) I1 watermark: 1-row max(dt) collect"
-    " decides the load range before the plan exists (trgx.clj next-dt)",
-    "ods_merge_pipeline": "(a) same 1-row dw_id watermark continuation",
-    "binaryfile_image_ingest": "(c) binaryFile source file-discovery job",
-    "pagerank_copurchase": "(b) per-round eager localCheckpoint of the rank"
-    " frame (graph.pagerank_int block-lifecycle contract)",
-    "semantic_dedup_kmeans": "(b) Lloyd rounds localCheckpoint per"
-    " iteration (semantic.py recurrence discipline)",
-    "kmeans_cluster_profile": "(b) same Lloyd recurrence",
-    "ivf_train_assignment_parity": "(b) trained-centroid Lloyd rounds",
-    "neardup_clusters": "(b) connected-components star rounds checkpoint"
-    " per iteration until fixpoint",
-    "neardup_clusters_star": "(b) same CC recurrence",
-    "neardup_keep_best": "(b) same CC recurrence feeding keep-best",
-    "dedup_cluster_sizes": "(b) same CC recurrence feeding size profile",
-    "cluster_keyed_split_audit": "(b) same CC recurrence feeding the"
-    " leakage-safe split audit",
-    "corpus_curation_pipeline": "(b) composition embeds the CC recurrence",
-    "training_data_pipeline": "(b) composition embeds the CC recurrence",
+#: tools/plan_audit.py and tests/test_plan_lint.py both enforce it (count
+#: AND budget), so a new eager collect (the round-8/9 zorder-bounds /
+#: blas-count defects) or a job-count blow-up fails loudly instead of
+#: shipping.
+EAGER_BUILD_OK: dict[str, tuple[int, str]] = {
+    "ann_blas_topk": (
+        4,
+        "(a) cosine_topk_blas's byte-priced driver collect: one 1-row"
+        " width/count aggregate (2 jobs under AQE) + the guarded collect"
+        " — the contract IS a driver-side query matrix",
+    ),
+    "bloom_prejoin_revenue": (
+        4,
+        "(a) bloom_build collects the finished bitmap (≤ m_bits/8 bytes,"
+        " capped at 16 MB) to re-enter it as a probe literal",
+    ),
+    "config_broadcast_lookup": (
+        2,
+        "(a) plan-time config map collect (J5) — the reference's plan-time"
+        " config binding, rows ≤ config-key count",
+    ),
+    "watermark_incremental_load": (
+        3,
+        "(a) I1 watermark: 1-row max(dt) collect decides the load range"
+        " before the plan exists (trgx.clj next-dt)",
+    ),
+    "ods_merge_pipeline": (3, "(a) same 1-row dw_id watermark continuation"),
+    "binaryfile_image_ingest": (
+        2,
+        "(c) binaryFile source file-discovery job",
+    ),
+    "pagerank_copurchase": (
+        50,
+        "(b) per-round eager localCheckpoint of the rank frame"
+        " (graph.pagerank_int block-lifecycle contract; iteration-capped"
+        " — 37 jobs measured at sf0.001)",
+    ),
+    "semantic_dedup_kmeans": (
+        20,
+        "(b) Lloyd rounds localCheckpoint per iteration (semantic.py"
+        " recurrence discipline; 12 measured at sf0.001)",
+    ),
+    "kmeans_cluster_profile": (20, "(b) same Lloyd recurrence"),
+    "ivf_train_assignment_parity": (
+        40,
+        "(b) trained-centroid Lloyd rounds (28 measured at sf0.001)",
+    ),
+    "neardup_clusters": (
+        70,
+        "(b) connected-components star rounds checkpoint per iteration"
+        " until fixpoint (44 measured at sf0.001; rounds grow O(log n))",
+    ),
+    "neardup_clusters_star": (70, "(b) same CC recurrence"),
+    "neardup_keep_best": (70, "(b) same CC recurrence feeding keep-best"),
+    "dedup_cluster_sizes": (
+        70,
+        "(b) same CC recurrence feeding size profile",
+    ),
+    "cluster_keyed_split_audit": (
+        70,
+        "(b) same CC recurrence feeding the leakage-safe split audit",
+    ),
+    "corpus_curation_pipeline": (
+        80,
+        "(b) composition embeds the CC recurrence (48 measured at sf0.001)",
+    ),
+    "training_data_pipeline": (
+        80,
+        "(b) composition embeds the CC recurrence (48 measured at sf0.001)",
+    ),
 }
 
 
@@ -303,9 +353,15 @@ def count_build_jobs(spark, build, name: str):
     """
     sc = spark.sparkContext
     group = f"r5-build-{name}-{next(_BUILD_GROUP_SEQ)}"
+    # save the caller's own job group so the gate never clobbers it —
+    # resetting to "" would tag every later job in the process with group
+    # "" and surprise other statusTracker consumers (ADVICE r10)
+    prior_group = sc.getLocalProperty("spark.jobGroup.id")
+    prior_desc = sc.getLocalProperty("spark.job.description")
     sc.setJobGroup(group, "R5 zero-eager-jobs gate")
     try:
         out = build()
     finally:
-        sc.setJobGroup("", "")
+        sc.setLocalProperty("spark.jobGroup.id", prior_group)
+        sc.setLocalProperty("spark.job.description", prior_desc)
     return out, len(sc.statusTracker().getJobIdsForGroup(group))

@@ -261,10 +261,13 @@ def test_zero_eager_jobs_at_build(lint_reports):
     """R5 (VERDICT r9 #3): building a catalog query's DataFrame must submit
     ZERO Spark jobs — an eager count/collect/checkpoint in a builder is an
     extra full pass over the input at 100 TB before the query even runs.
-    Exceptions live in plans/lint.py EAGER_BUILD_OK, each with the contract
-    (bounded guarded collect / iterative localCheckpoint recurrence /
-    source discovery) that makes the jobs legitimate; hygiene twin below
-    keeps the whitelist from rotting into a loophole."""
+    Exceptions live in plans/lint.py EAGER_BUILD_OK, each with a
+    ``(max_jobs, contract)`` pair: the contract (bounded guarded collect /
+    iterative localCheckpoint recurrence / source discovery) makes the jobs
+    legitimate and ``max_jobs`` bounds their MAGNITUDE (VERDICT r10 #2 —
+    existence alone would let a 3-checkpoint recurrence grow to 300 jobs
+    under a green gate); hygiene twin below keeps the whitelist from
+    rotting into a loophole."""
     from etl_cascalog_spark.plans.lint import EAGER_BUILD_OK
 
     bad = {
@@ -275,6 +278,18 @@ def test_zero_eager_jobs_at_build(lint_reports):
     assert not bad, (
         "Spark jobs submitted at plan-build time outside EAGER_BUILD_OK "
         f"(add ONLY with a boundedness/recurrence contract): {bad}"
+    )
+    # magnitude: each whitelisted build must stay within its contracted
+    # job budget
+    over = {
+        n: (lint_reports[n].build_jobs, budget)
+        for n, (budget, _contract) in EAGER_BUILD_OK.items()
+        if lint_reports[n].build_jobs > budget
+    }
+    assert not over, (
+        "EAGER_BUILD_OK builds exceeded their max_jobs contract "
+        f"(actual, budget): {over} — either the recurrence regressed or "
+        "the budget needs a reviewed raise"
     )
     # hygiene: whitelisted names must exist and still be eager — an entry
     # whose build went lazy should be pruned, not kept as a loophole

@@ -57,6 +57,7 @@ def main() -> None:
     for t in TABLES:
         read_table(spark, sf_dir, t)
     violations: dict[str, int] = {}
+    over_budget: dict[str, tuple[int, int]] = {}
     stale_whitelist = set(EAGER_BUILD_OK)
     print("| query | SMJ | BHJ | BNLJ | Cart | Exch | Push | BuildJobs |")
     print("|---|---|---|---|---|---|---|---|")
@@ -64,9 +65,14 @@ def main() -> None:
         df, n_jobs = count_build_jobs(
             spark, lambda: QUERIES[name].build(spark, sf_dir), name
         )
+        jobs_cell = str(n_jobs)
         if n_jobs:
             if name in EAGER_BUILD_OK:
                 stale_whitelist.discard(name)
+                budget = EAGER_BUILD_OK[name][0]
+                jobs_cell = f"{n_jobs}/{budget}"
+                if n_jobs > budget:
+                    over_budget[name] = (n_jobs, budget)
             else:
                 violations[name] = n_jobs
         df.write.format("noop").mode("overwrite").save()
@@ -74,7 +80,7 @@ def main() -> None:
         a = audit_plan(plan)
         print(
             f"| {name} | {a['smj']} | {a['bhj']} | {a['bnlj']} | {a['cart']} "
-            f"| {a['exch']} | {a['push']} | {n_jobs} |"
+            f"| {a['exch']} | {a['push']} | {jobs_cell} |"
         )
         sys.stdout.flush()
         # full storage reset (incl. localCheckpoint blocks from iterative
@@ -85,6 +91,14 @@ def main() -> None:
         print(
             f"\nR5 VIOLATION — eager jobs at plan-build time: {violations} "
             "(see plans/lint.py EAGER_BUILD_OK for the contract)",
+            file=sys.stderr,
+        )
+        sys.exit(1)
+    if over_budget:
+        print(
+            "\nR5 BUDGET VIOLATION — whitelisted builds exceeded their "
+            f"max_jobs contract (actual, budget): {over_budget} "
+            "(see plans/lint.py EAGER_BUILD_OK)",
             file=sys.stderr,
         )
         sys.exit(1)
