@@ -131,10 +131,13 @@ def render_replace_into_ods(
     schemas-as-namespaces semantics (Derby cannot move a table between
     schemas — this path is PG-only, tested against a real server).
 
-    NOT crash-atomic (neither was the reference — a failure between
-    statements leaves no live table until re-run); for parquet/Delta sinks
-    the engine's :func:`io.publish_atomic` is the crash-safe equivalent.
-    Run the three statements in ONE transaction to close that hole on PG.
+    NOT crash-atomic on its own (neither was the reference — a failure
+    between statements leaves no live table until re-run); for
+    parquet/Delta sinks the engine's :func:`io.publish_atomic` is the
+    crash-safe equivalent. JDBC callers publish through
+    :func:`io.publish_replace_into_ods`, which runs these three statements
+    in ONE transaction (:func:`io.jdbc_execute_transaction`) and closes
+    that hole on PG.
     """
     return [
         f"SET search_path={ods_schema}; DROP TABLE IF EXISTS {ods_table} CASCADE",

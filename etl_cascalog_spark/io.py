@@ -43,14 +43,35 @@ TABLES = (
 )
 
 
-#: path → inferred StructType. The sf_dir tables are immutable driver
-#: fixtures, so the footer-read schema inference (one Spark job per
-#: `spark.read.parquet` call) is paid ONCE per path per process; every
-#: later plan construction passes the cached schema explicitly and submits
-#: ZERO jobs — the property tools/plan_audit.py's eager-jobs gate enforces.
-#: At 100 TB the same discipline applies: a production catalog carries the
-#: table schema, so plan-time footer jobs are a local-mode artifact only.
-_SCHEMA_CACHE: dict[str, object] = {}
+#: (path, mtime_ns, size) → inferred StructType. The sf_dir tables are
+#: immutable driver fixtures, so the footer-read schema inference (one
+#: Spark job per `spark.read.parquet` call) is paid ONCE per path per
+#: process; every later plan construction passes the cached schema
+#: explicitly and submits ZERO jobs — the property tools/plan_audit.py's
+#: eager-jobs gate enforces. The key carries the path's stat fingerprint
+#: (ADVICE r10): a fixture REWRITTEN at the same path with a different
+#: schema re-infers instead of silently reading nulls through the stale
+#: one. At 100 TB the same discipline applies: a production catalog
+#: carries the table schema, so plan-time footer jobs are a local-mode
+#: artifact only.
+_SCHEMA_CACHE: dict[tuple[str, int, int], object] = {}
+
+
+def _schema_cache_key(path: str) -> tuple[str, int, int]:
+    """Stat fingerprint of ``path`` (a parquet file or directory): a
+    rewrite at the same path bumps the directory mtime, invalidating the
+    entry. Unstat-able paths fall back to a constant fingerprint so the
+    subsequent Spark read raises the real error."""
+    try:
+        st = os.stat(path)
+        return (path, st.st_mtime_ns, st.st_size)
+    except OSError:
+        return (path, 0, 0)
+
+
+def clear_schema_cache() -> None:
+    """Explicit hook for tests/tools that regenerate fixtures in-place."""
+    _SCHEMA_CACHE.clear()
 
 
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -73,11 +94,12 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        if path in _SCHEMA_CACHE:
-            df = spark.read.schema(_SCHEMA_CACHE[path]).parquet(path)
+        key = _schema_cache_key(path)
+        if key in _SCHEMA_CACHE:
+            df = spark.read.schema(_SCHEMA_CACHE[key]).parquet(path)
         else:
             df = spark.read.parquet(path)
-            _SCHEMA_CACHE[path] = df.schema
+            _SCHEMA_CACHE[key] = df.schema
         from pyspark.sql import functions as F
 
         if dict(df.dtypes).get("ts") == "bigint":
@@ -85,10 +107,11 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             # (~1.7e18) exceed double's 2^53 exact range → off-by-±1µs
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
         return df
-    if path in _SCHEMA_CACHE:
-        return spark.read.schema(_SCHEMA_CACHE[path]).parquet(path)
+    key = _schema_cache_key(path)
+    if key in _SCHEMA_CACHE:
+        return spark.read.schema(_SCHEMA_CACHE[key]).parquet(path)
     df = spark.read.parquet(path)
-    _SCHEMA_CACHE[path] = df.schema
+    _SCHEMA_CACHE[key] = df.schema
     return df
 
 
@@ -369,6 +392,37 @@ def jdbc_execute_transaction(
             raise
     finally:
         conn.close()
+
+
+def publish_replace_into_ods(
+    spark: SparkSession,
+    url: str,
+    tmp_table: str,
+    ods_table: str,
+    ods_schema: str = "ods",
+    properties: dict[str, str] | None = None,
+) -> None:
+    """S11 JDBC publish: the reference's ``replace-into-ods`` swap
+    (trgx.clj:188-193) executed ATOMICALLY — renders the 3-statement
+    drop/move/rename via :func:`dialects.render_replace_into_ods` and runs
+    it through :func:`jdbc_execute_transaction`, so a crash mid-swap rolls
+    back and readers never observe the reference's no-live-table window
+    (PostgreSQL DDL is transactional; on autocommit-DDL backends this
+    degrades to the reference's semantics, no worse). This is the wired
+    adoption ADVICE r10 flagged: engine callers publish through here, not
+    through per-statement autocommitted ``jdbc_execute``. Requires the
+    backend's JDBC driver on the Spark classpath (the sandbox ships Derby
+    only, so the live leg is exercised via psql in
+    ``tests/test_pg_dialect.py`` and the transaction semantics on Derby in
+    ``tests/test_io_lifecycle.py``)."""
+    from etl_cascalog_spark.dialects import render_replace_into_ods
+
+    jdbc_execute_transaction(
+        spark,
+        url,
+        render_replace_into_ods(tmp_table, ods_table, ods_schema),
+        properties,
+    )
 
 
 def _bind_prepared_param(jvm, stmt, idx: int, v) -> None:

@@ -141,10 +141,14 @@ def pagerank_int(
         )
         new_ids = persistent_rdd_ids(spark) - seen
         # amortized probe: only every probe_every rounds (never on the
-        # final round — exiting there saves nothing)
+        # final round — exiting there saves nothing). The cadence clamps
+        # to iters-1 so small iteration counts still probe at least once
+        # (ADVICE r10: iters=2 with probe_every=2 never probed, silently
+        # losing the iters-is-a-CAP property; results stayed exact).
+        cadence = max(1, min(probe_every, iters - 1))
         probe = (
             early_exit
-            and rounds_run % max(1, probe_every) == 0
+            and rounds_run % cadence == 0
             and rounds_run < iters
         )
         converged = probe and (

@@ -795,3 +795,54 @@ def test_jdbc_execute_transaction_commit_and_rollback(spark):
     )
     assert jdbc_read(spark, url, "live", props).first().V == 2
     assert not jdbc_table_exists(spark, url, "stage", props)
+
+
+def test_publish_replace_into_ods_is_wired_transactional(spark, monkeypatch):
+    """ADVICE r10: the engine's JDBC ODS publish path must actually route
+    the rendered 3-statement swap through jdbc_execute_transaction (one
+    transaction, rollback on failure) — not per-statement autocommit.
+    The transaction executor itself is proven on Derby above and the PG
+    swap semantics live in test_pg_dialect; here the WIRING is pinned."""
+    from etl_cascalog_spark import io
+    from etl_cascalog_spark.dialects import render_replace_into_ods
+
+    captured = {}
+
+    def fake_txn(spark_, url, statements, properties=None):
+        captured["url"] = url
+        captured["statements"] = statements
+        captured["properties"] = properties
+
+    monkeypatch.setattr(io, "jdbc_execute_transaction", fake_txn)
+    io.publish_replace_into_ods(
+        spark,
+        "jdbc:postgresql://h/db",
+        "d_show_tmp",
+        "d_show",
+        properties={"user": "ms"},
+    )
+    assert captured["url"] == "jdbc:postgresql://h/db"
+    assert captured["statements"] == render_replace_into_ods(
+        "d_show_tmp", "d_show"
+    )
+    assert captured["properties"] == {"user": "ms"}
+
+
+def test_schema_cache_invalidates_on_rewrite(spark, tmp_path):
+    """ADVICE r10: the plan-time schema cache is keyed on the path's stat
+    fingerprint, so a parquet REWRITTEN at the same path with a different
+    schema re-infers instead of silently reading nulls through the stale
+    schema."""
+    from etl_cascalog_spark.io import read_table
+
+    sf = str(tmp_path)
+    p = f"{sf}/probe.parquet"
+    spark.range(3).selectExpr("id AS a").write.mode("overwrite").parquet(p)
+    first = read_table(spark, sf, "probe")
+    assert first.schema.simpleString() == "struct<a:bigint>"
+    spark.range(3).selectExpr(
+        "CAST(id AS STRING) AS a", "id * 2 AS b"
+    ).write.mode("overwrite").parquet(p)
+    second = read_table(spark, sf, "probe")
+    assert dict(second.dtypes) == {"a": "string", "b": "bigint"}
+    assert second.where(F.col("b") == 4).count() == 1

@@ -1979,6 +1979,22 @@ def test_pagerank_early_exit_is_exact_and_fires(spark):
     b = sorted(map(tuple, pagerank_int(star, iters=6, early_exit=False).collect()))
     assert a == b
 
+    # ADVICE r10: small-iters dead zone — iters <= probe_every silently
+    # disabled early exit (iters=2 with the default probe_every=2 never
+    # probed). The cadence now clamps to iters-1, so a round-1 fixpoint
+    # at iters=2 stops after round 1. The 2-cycle is exact at round 1
+    # (out_deg=1: in_sum == base with no div truncation, unlike the
+    # 3-cycle above whose base div 2 loses a unit on the first round).
+    two = spark.createDataFrame([(0, 1), (1, 0)], "src: long, dst: long")
+    stats2: dict = {}
+    small = sorted(
+        map(tuple, pagerank_int(two, iters=2, stats=stats2).collect())
+    )
+    assert stats2["rounds_run"] == 1, "clamped probe never fired at iters=2"
+    assert small == sorted(
+        map(tuple, pagerank_int(two, iters=2, early_exit=False).collect())
+    )
+
 
 def test_copurchase_edges_cap_drops_mega_basket(spark):
     from etl_cascalog_spark.operators.graph import copurchase_edges

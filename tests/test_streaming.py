@@ -359,8 +359,20 @@ def test_transform_with_state_matches_apply_in_pandas_with_state(spark):
     from etl_cascalog_spark.streaming.windows import run_to_memory, stream_events
 
     if not HAS_TRANSFORM_WITH_STATE:
+        import os
+
         import pytest
 
+        if os.environ.get("REQUIRE_TWS") == "1":
+            # symmetrical to REQUIRE_PG (VERDICT r10 #5): environments
+            # that provision a transformWithState-capable runtime set
+            # REQUIRE_TWS=1 so a capability regression is a hard failure,
+            # and the skip cannot silently re-appear once the API lands
+            pytest.fail(
+                "REQUIRE_TWS=1 but transformWithStateInPandas is "
+                "unavailable in this runtime — fix the environment or "
+                "unset REQUIRE_TWS"
+            )
         pytest.skip("transformWithState unavailable in this runtime")
 
     out = run_to_memory(
