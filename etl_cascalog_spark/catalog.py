@@ -2327,7 +2327,7 @@ _SHINGLE_CTE = f"""
       FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
       GROUP BY 1, 2
     ),
-    jpairs AS (
+    jpairs AS MATERIALIZED (
       SELECT doc_a, doc_b,
              round(c * 1.0 / (sa.n_sh + sb.n_sh - c), 4) AS jaccard
       FROM common
@@ -2336,6 +2336,72 @@ _SHINGLE_CTE = f"""
       WHERE c * 1.0 / (sa.n_sh + sb.n_sh - c) >= 0.7
     )
 """
+# jpairs is MATERIALIZED: oracles that reference it more than once
+# (cluster_keyed_split_audit joins it again after the CC labels) must not
+# re-derive the shingle self-join per reference — the double evaluation
+# exhausted sf1 spill disk where a single pass needs none.
+
+#: symmetrized pair-graph edges for the CC oracles. MATERIALIZED: the
+#: unrolled label rounds below reference it once per round — inlined, a
+#: DuckDB 1.0 planner would re-derive the whole shingle join per round.
+_CC_EDGES_CTE = """e AS MATERIALIZED (
+      SELECT doc_a AS s, doc_b AS t FROM jpairs
+      UNION
+      SELECT doc_b, doc_a FROM jpairs
+    )"""
+
+
+def _cc_labels_sql(edge_cte: str = "e", rounds: int = 6, out: str = "cc_labels") -> str:
+    """Connected-component labels ``(node, label=min id of component)`` as
+    UNROLLED min-label propagation WITH pointer jumping — the sf1-affordable
+    replacement (VERDICT r10 #3) for the recursive-CTE transitive closure,
+    whose (source, reachable) pair set is quadratic in component size and
+    exhausted the spill disk at sf1. DuckDB 1.0-portable: plain chained
+    MATERIALIZED CTEs, no ``WITH RECURSIVE … USING KEY`` (1.3+).
+
+    Each round takes, per node, the min over {{own label}} ∪ {{neighbor
+    labels}} ∪ {{label's label}} (the pointer jump squares effective
+    propagation distance, so ``rounds`` covers component diameters up to
+    ~2^rounds — observed near-dup fixpoints land in 1-2 rounds). The
+    result is SELF-VERIFYING, never silently stale: the last two rounds
+    must agree (a deterministic monotone map with f(x)=x is at its
+    fixpoint, where every label is exactly min(component) — the identical
+    value ``least(s, min(t)) … FROM reach`` computed), or the oracle
+    raises via ``error()`` instead of returning non-fixpoint labels."""
+    parts = [
+        f"cc_l0 AS MATERIALIZED (SELECT s AS node, least(s, min(t)) AS label"
+        f" FROM {edge_cte} GROUP BY s)"
+    ]
+    for i in range(1, rounds + 1):
+        p = f"cc_l{i - 1}"
+        parts.append(
+            f"""cc_l{i} AS MATERIALIZED (
+      SELECT node, min(label) AS label FROM (
+        SELECT node, label FROM {p}
+        UNION ALL
+        SELECT {edge_cte}.s AS node, l.label FROM {edge_cte}
+        JOIN {p} l ON l.node = {edge_cte}.t
+        UNION ALL
+        SELECT a.node, b.label FROM {p} a JOIN {p} b ON b.node = a.label
+      ) GROUP BY node
+    )"""
+        )
+    parts.append(
+        f"""cc_conv AS (
+      SELECT count(*) AS n FROM cc_l{rounds - 1} a JOIN cc_l{rounds} b
+      ON a.node = b.node AND a.label <> b.label
+    )"""
+    )
+    parts.append(
+        f"""{out} AS (
+      SELECT node,
+             CASE WHEN (SELECT n FROM cc_conv) = 0 THEN label
+                  ELSE error('cc oracle: label propagation not converged in {rounds} rounds — raise rounds in catalog._cc_labels_sql')
+             END AS label
+      FROM cc_l{rounds}
+    )"""
+    )
+    return ",\n    ".join(parts)
 
 
 @register(
@@ -2687,7 +2753,7 @@ def _curation_oracle_sql() -> str:
     filters → exact dedup on the normalized-text digest → near-dup losers
     from the survivor-restricted Jaccard pairs."""
     return f"""
-    WITH RECURSIVE s AS (
+    WITH s AS (
       SELECT doc_id, text,
              CAST(len(regexp_extract_all(lower(text), '\\b(the|and|of|to|is)\\b')) AS BIGINT) AS s_en,
              CAST(len(regexp_extract_all(lower(text), '\\b(el|la|los|que|de)\\b')) AS BIGINT) AS s_es,
@@ -2731,14 +2797,11 @@ def _curation_oracle_sql() -> str:
       JOIN sizes sa ON sa.doc_id = doc_a
       JOIN sizes sb ON sb.doc_id = doc_b
       WHERE c * 1.0 / (sa.n_sh + sb.n_sh - c) >= 0.7
-    ), eg AS (
+    ), eg AS MATERIALIZED (
       SELECT doc_a AS s, doc_b AS t FROM jp
       UNION SELECT doc_b, doc_a FROM jp
-    ), reach(s, t) AS (
-      SELECT s, t FROM eg
-      UNION SELECT r.s, e2.t FROM reach r JOIN eg e2 ON r.t = e2.s
-    ), losers AS (
-      SELECT s FROM reach GROUP BY s HAVING min(t) < s
+    ), {_cc_labels_sql("eg")}, losers AS (
+      SELECT node AS s FROM cc_labels WHERE label < node
     )
     SELECT doc_id, lang, quality FROM surv
     WHERE doc_id NOT IN (SELECT s FROM losers)
@@ -3698,27 +3761,19 @@ def scd2_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "neardup_clusters",
     oracle=f"""
-    WITH RECURSIVE {_SHINGLE_CTE},
-    e AS (
-      SELECT doc_a AS s, doc_b AS t FROM jpairs
-      UNION
-      SELECT doc_b, doc_a FROM jpairs
-    ),
-    reach(s, t) AS (
-      SELECT s, t FROM e
-      UNION
-      SELECT r.s, e2.t FROM reach r JOIN e e2 ON r.t = e2.s
-    )
-    SELECT s AS doc_id, least(s, min(t)) AS cluster_id
-    FROM reach GROUP BY s
+    WITH {_SHINGLE_CTE},
+    {_CC_EDGES_CTE},
+    {_cc_labels_sql()}
+    SELECT node AS doc_id, label AS cluster_id FROM cc_labels
     """,
     doc="Near-dup CLUSTERS from verified MinHash pairs via connected "
     "components — DEFAULT algorithm is alternating large-star/small-star "
     "(O(log n) rounds regardless of component diameter; "
     "localCheckpoint-bounded lineage), with min-label propagation kept "
     "as the property-tested twin. The step pairwise dedup gets wrong on "
-    "chains: keep one doc per component, not per pair. Oracle: "
-    "recursive-CTE transitive closure over the exact-Jaccard pair set.",
+    "chains: keep one doc per component, not per pair. Oracle: unrolled "
+    "self-verifying min-label propagation over the exact-Jaccard pair "
+    "set (sf1-affordable, unlike the quadratic recursive closure).",
 )
 def neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_cascalog_spark.operators.dedup import (
@@ -6245,19 +6300,11 @@ def corr_qty_price_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "dedup_cluster_sizes",
     oracle=f"""
-    WITH RECURSIVE {_SHINGLE_CTE},
-    e AS (
-      SELECT doc_a AS s, doc_b AS t FROM jpairs
-      UNION
-      SELECT doc_b, doc_a FROM jpairs
-    ),
-    reach(s, t) AS (
-      SELECT s, t FROM e
-      UNION
-      SELECT r.s, e2.t FROM reach r JOIN e e2 ON r.t = e2.s
-    ),
+    WITH {_SHINGLE_CTE},
+    {_CC_EDGES_CTE},
+    {_cc_labels_sql()},
     labels AS (
-      SELECT s AS doc_id, least(s, min(t)) AS cluster_id FROM reach GROUP BY s
+      SELECT node AS doc_id, label AS cluster_id FROM cc_labels
     ),
     csize AS (SELECT cluster_id, count(*) AS sz FROM labels GROUP BY cluster_id)
     SELECT CAST(sz AS BIGINT) AS cluster_size,
@@ -6961,27 +7008,19 @@ def unpivot_metrics_long(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "neardup_clusters_star",
     oracle=f"""
-    WITH RECURSIVE {_SHINGLE_CTE},
-    e AS (
-      SELECT doc_a AS s, doc_b AS t FROM jpairs
-      UNION
-      SELECT doc_b, doc_a FROM jpairs
-    ),
-    reach(s, t) AS (
-      SELECT s, t FROM e
-      UNION
-      SELECT r.s, e2.t FROM reach r JOIN e e2 ON r.t = e2.s
-    )
-    SELECT s AS doc_id, least(s, min(t)) AS cluster_id
-    FROM reach GROUP BY s
+    WITH {_SHINGLE_CTE},
+    {_CC_EDGES_CTE},
+    {_cc_labels_sql()}
+    SELECT node AS doc_id, label AS cluster_id FROM cc_labels
     """,
     doc="neardup_clusters on the LARGE-COMPONENT algorithm: alternating "
     "large-star/small-star (Kiveris et al., SoCC 2014) instead of "
     "min-label propagation — tree heights HALVE per round (O(log n) "
     "rounds regardless of component diameter), which is the difference "
     "between 4 rounds and 10⁷ rounds on a chain-shaped component at "
-    "100 TB. Same fixpoint, same oracle (recursive-CTE closure); the "
-    "equivalence is also property-tested on random graphs.",
+    "100 TB. Same fixpoint, same oracle (unrolled self-verifying label "
+    "propagation); the equivalence is also property-tested on random "
+    "graphs.",
 )
 def neardup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_cascalog_spark.operators.dedup import (
@@ -8457,19 +8496,11 @@ def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "cluster_keyed_split_audit",
     oracle=f"""
-    WITH RECURSIVE {_SHINGLE_CTE},
-    e AS (
-      SELECT doc_a AS s, doc_b AS t FROM jpairs
-      UNION
-      SELECT doc_b, doc_a FROM jpairs
-    ),
-    reach(s, t) AS (
-      SELECT s, t FROM e
-      UNION
-      SELECT r.s, e2.t FROM reach r JOIN e e2 ON r.t = e2.s
-    ),
+    WITH {_SHINGLE_CTE},
+    {_CC_EDGES_CTE},
+    {_cc_labels_sql()},
     labels AS (
-      SELECT s AS doc_id, least(s, min(t)) AS cluster_id FROM reach GROUP BY s
+      SELECT node AS doc_id, label AS cluster_id FROM cc_labels
     ),
     keys AS (
       SELECT d.doc_id, coalesce(l.cluster_id, d.doc_id) AS k
@@ -9666,20 +9697,11 @@ def dedup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "neardup_keep_best",
     oracle=f"""
-    WITH RECURSIVE {_SHINGLE_CTE},
-    e AS (
-      SELECT doc_a AS s, doc_b AS t FROM jpairs
-      UNION
-      SELECT doc_b, doc_a FROM jpairs
-    ),
-    reach(s, t) AS (
-      SELECT s, t FROM e
-      UNION
-      SELECT r.s, e2.t FROM reach r JOIN e e2 ON r.t = e2.s
-    ),
+    WITH {_SHINGLE_CTE},
+    {_CC_EDGES_CTE},
+    {_cc_labels_sql()},
     lab AS (
-      SELECT s AS doc_id, least(s, min(t)) AS cluster_id
-      FROM reach GROUP BY s
+      SELECT node AS doc_id, label AS cluster_id FROM cc_labels
     ),
     q AS (SELECT doc_id, {_QUALITY_SQL} AS quality FROM documents),
     best AS (

@@ -18,6 +18,11 @@ an IVF-style coarse quantizer (bucket = argmin centroid; same join shape).
 All arithmetic is double-cast BEFORE multiply/sum: float32 accumulation is
 neither portable nor stable across partitionings.
 
+Broadcast discipline: every scorer that broadcasts its query/anchor side
+enforces a BYTE-AWARE bound by default (64 MB estimated from the actual
+array widths — see :func:`_lazy_query_guard`); ``max_queries`` /
+``max_anchors`` are the explicit row-count overrides.
+
 Cache lifecycle (every operator in this module): builders ``.cache()`` the
 encoded/normed corpus because it feeds BOTH sides of a self-join or both
 the candidate and re-rank stages; the returned frame is lazy, so the

@@ -29,6 +29,11 @@ def main() -> int:
 
     da = json.load(open(args.run_a))
     db = json.load(open(args.run_b))
+    # driver-recorded artifacts (BENCH_rN.json) wrap the bench.py line
+    # under "parsed" — unwrap so local-vs-driver adjudication (VERDICT
+    # r10 #4) is one command
+    da = da.get("parsed", da)
+    db = db.get("parsed", db)
     qa, qb = da["queries"], db["queries"]
     ma, mb = da.get("query_meta", {}), db.get("query_meta", {})
 

@@ -1,23 +1,11 @@
 """Exact sf1 oracles for the heavy queries (VERDICT r6 #1).
 
-``SF1_UNORACLED.json``'s 14 queries carried only invariant/rows evidence at
-sf1 because their catalog DuckDB oracles are unaffordable there — the
-recursive-CTE transitive closures enumerate ALL (source, reachable) pairs
-(quadratic in component size) and the simhash/semantic oracles verify
-all-pairs. This harness computes the SAME results with affordable
-formulations and hash-compares them against the Spark engine, driver-style:
+These queries carried only invariant/rows evidence at sf1 because their
+catalog DuckDB oracles are unaffordable there (all-pairs verification or
+spill-exhausting monolithic CTE chains). This harness computes the SAME
+results with affordable formulations and hash-compares them against the
+Spark engine, driver-style:
 
-- **shared pair set**: the exact-Jaccard ``jpairs`` CTE (the catalog's own
-  ``_SHINGLE_CTE`` fragment, imported — not copied) is materialized ONCE
-  and reused by the six document-graph queries;
-- **connected components**: min-label-propagation FIXPOINT loop over DuckDB
-  temp tables (each round one edge join; rounds = graph diameter) instead
-  of the recursive closure. At the fixpoint every node holds
-  min(component) — exactly what ``least(s, min(t)) … FROM reach`` computes
-  — so the catalog oracle SQL is reused VERBATIM with only the ``reach``
-  CTE swapped for ``SELECT node AS s, label AS t FROM <cc table>``
-  (textual surgery on the exact fragment; any drift in the catalog oracle
-  breaks the substitution loudly, not silently);
 - **simhash**: the catalog builder's ``banded=True`` variant — the same
   16-bit-band candidate join the engine runs, EXACT at Hamming ≤ 3 by the
   band pigeonhole (validated equal to all-pairs at sf0.01);
@@ -26,8 +14,12 @@ formulations and hash-compares them against the Spark engine, driver-style:
   catalog oracle), then the Lloyd iterations, tie-broken argmin,
   truncating-division centroid updates, and within-cluster pair distances
   in EXACT numpy int64 (blockwise, no float path);
-- **pagerank / triangle / blocking / linkage**: catalog oracles VERBATIM —
-  non-recursive, affordable at sf1 (measured here, recorded per query).
+- **pagerank / triangle**: staged temp-table twins of the catalog oracles
+  (identical algebra, proven equal at sf0.01 in tests).
+
+The connected-components family left this tool in round 11: the catalog
+oracles themselves now use unrolled self-verifying min-label propagation
+(``catalog._cc_labels_sql``), affordable verbatim at sf1 in the main sweep.
 
 Output: driver-format rows (rows/schema/hash per query) written to
 ``--out`` (default /tmp/sf1_heavy.json). Merge with the affordable-subset
@@ -52,152 +44,35 @@ import pandas as pd  # noqa: E402
 
 from etl_cascalog_spark.catalog import (  # noqa: E402
     QUERIES,
-    _SHINGLE_CTE,
     _simhash_oracle_sql,
 )
 from etl_cascalog_spark.session import get_spark, scoped_storage  # noqa: E402
 from tests.oracle_utils import duckdb_con, normalize  # noqa: E402
 
-#: exact textual fragments of the catalog oracles this tool rewrites —
-#: if a catalog edit changes them, the substitution asserts instead of
-#: silently verifying something else
-_REACH_DOCGRAPH = """reach(s, t) AS (
-      SELECT s, t FROM e
-      UNION
-      SELECT r.s, e2.t FROM reach r JOIN e e2 ON r.t = e2.s
-    )"""
-_REACH_PIPELINE = """reach(s, t) AS (
-      SELECT s, t FROM eg
-      UNION SELECT r.s, e2.t FROM reach r JOIN eg e2 ON r.t = e2.s
-    )"""
-
-# entity_blocking_pairs and fs_linkage_scores left this list in round 9:
-# their catalog oracles are verbatim-affordable at sf1 (measured 2.4 s /
-# 14.5 s here in round 7), so they now run in the MAIN sweep
-# (tools/correctness_local.py) like any other query — one less bespoke
-# tool to trust per VERDICT r8 #4. prefix_filter_jaccard_dedup left in
-# round 10: its oracle never touches the recursive reach CTE, and the
-# verbatim run measured 24 s at sf1 — affordable in the main sweep.
+# entity_blocking_pairs and fs_linkage_scores left this list in round 9,
+# prefix_filter_jaccard_dedup in round 10, and the whole CC family
+# (neardup_clusters, neardup_clusters_star, dedup_cluster_sizes,
+# neardup_keep_best, cluster_keyed_split_audit, corpus_curation_pipeline,
+# training_data_pipeline) in round 11: their catalog oracles now run
+# VERBATIM at sf1 in the MAIN sweep (tools/correctness_local.py) — the
+# round-11 catalog rewrite replaced the quadratic recursive-closure CC
+# fragment with unrolled self-verifying min-label propagation
+# (catalog._cc_labels_sql; ~32 s/query at sf1, dominated by the shingle
+# join), which DuckDB 1.0 executes without `WITH RECURSIVE … USING KEY`.
 # Round-10 floor check on the rest: pagerank_copurchase verbatim ran
 # >570 s without finishing (monolithic CTE chain re-derives edges per
 # iteration); triangle_count verbatim exhausted 59 GB of spill disk at a
 # 48 GB memory limit (DuckDB 1.0.0 materializes the 3×-referenced `kept`
-# chain); the CC family needs `WITH RECURSIVE … USING KEY` (DuckDB ≥1.3)
-# to express min-label propagation in one statement — this environment
-# ships 1.0.0. The 11 below genuinely need the fixpoint-CC / banded /
-# numpy-int64 / staged-temp-table witnesses until then.
+# chain). The 4 below genuinely need the banded / numpy-int64 /
+# staged-temp-table witnesses until the local DuckDB grows a cheaper
+# plan (the wheel upgrade suggested in VERDICT r10 #3 is blocked: this
+# sandbox has no network and installs are out of policy).
 HEAVY = [
-    "neardup_clusters",
-    "neardup_clusters_star",
-    "dedup_cluster_sizes",
-    "neardup_keep_best",
-    "cluster_keyed_split_audit",
-    "corpus_curation_pipeline",
-    "training_data_pipeline",
     "simhash_dedup",
     "semantic_dedup_kmeans",
     "pagerank_copurchase",
     "triangle_count",
 ]
-
-
-def _sub(sql: str, old: str, new: str) -> str:
-    assert old in sql, (
-        "catalog oracle no longer contains the fragment this tool rewrites "
-        f"— update tools/sf1_oracle.py:\n{old}"
-    )
-    return sql.replace(old, new)
-
-
-def cc_fixpoint(con, pairs_table: str, out_table: str) -> int:
-    """Exact connected components by min-label propagation to FIXPOINT.
-
-    ``pairs_table`` has (doc_a, doc_b); labels start at least(self, min
-    neighbor) and each round take the min over self ∪ neighbors. At the
-    fixpoint every node's label is min(component) — the identical value
-    the recursive-closure oracle derives — in O(diameter) rounds of one
-    edge join each, never a quadratic closure."""
-    con.execute(
-        f"""CREATE OR REPLACE TEMP TABLE __edges AS
-        SELECT doc_a AS s, doc_b AS t FROM {pairs_table}
-        UNION SELECT doc_b, doc_a FROM {pairs_table}"""
-    )
-    con.execute(
-        """CREATE OR REPLACE TEMP TABLE __lbl AS
-        SELECT s AS node, least(s, min(t)) AS label FROM __edges GROUP BY s"""
-    )
-    rounds = 0
-    while True:
-        rounds += 1
-        con.execute(
-            """CREATE OR REPLACE TEMP TABLE __lbl2 AS
-            SELECT node, min(label) AS label FROM (
-              SELECT node, label FROM __lbl
-              UNION ALL
-              SELECT e.s AS node, l.label FROM __edges e
-              JOIN __lbl l ON l.node = e.t
-            ) GROUP BY node"""
-        )
-        changed = con.execute(
-            """SELECT count(*) FROM __lbl a JOIN __lbl2 b
-               ON a.node = b.node AND a.label <> b.label"""
-        ).fetchone()[0]
-        con.execute("CREATE OR REPLACE TEMP TABLE __lbl AS SELECT * FROM __lbl2")
-        if changed == 0:
-            break
-    con.execute(
-        f"CREATE OR REPLACE TEMP TABLE {out_table} AS SELECT * FROM __lbl"
-    )
-    return rounds
-
-
-def _docgraph_sql(name: str, cc_table: str) -> str:
-    """Catalog oracle verbatim, with (1) the shingle self-join replaced by
-    the materialized pair table and (2) the recursive closure replaced by
-    the fixpoint labels."""
-    sql = QUERIES[name].oracle
-    sql = _sub(
-        sql,
-        _SHINGLE_CTE,
-        "\n    jpairs AS (SELECT doc_a, doc_b, jaccard FROM t_jpairs)\n",
-    )
-    if _REACH_DOCGRAPH in sql:
-        sql = _sub(
-            sql,
-            _REACH_DOCGRAPH,
-            f"reach(s, t) AS (SELECT node AS s, label AS t FROM {cc_table})",
-        )
-        sql = _sub(sql, "WITH RECURSIVE", "WITH")
-    return sql
-
-
-def _pipeline_head(name: str) -> str:
-    """The pipeline oracle's prefix up to the survivor pair set ``jp`` —
-    used to materialize t_jp2 once for both pipelines."""
-    sql = QUERIES[name].oracle
-    head = sql.split("), eg AS (", 1)[0] + ")"
-    return _sub(head, "WITH RECURSIVE", "WITH")
-
-
-def _pipeline_sql(name: str, cc_table: str) -> str:
-    """Pipeline oracle with the survivor-graph shingle join + closure
-    block replaced: jp comes from t_jp2, losers from the fixpoint."""
-    sql = QUERIES[name].oracle
-    pre, rest = sql.split("), tok AS (", 1)
-    marker = "HAVING min(t) < s\n    )"
-    assert marker in rest, "pipeline oracle tail drifted — update sf1_oracle"
-    post = rest.split(marker, 1)[1]
-    sql = (
-        pre
-        + f"), losers AS (SELECT node AS s FROM {cc_table} WHERE label < node)"
-        + post
-    )
-    return _sub(sql, "WITH RECURSIVE", "WITH")
-
-
-# ---------------------------------------------------------------------------
-# semantic k-means: numpy int64 witness
-# ---------------------------------------------------------------------------
 
 
 def _trunc_div(a: np.ndarray, n: int) -> np.ndarray:
@@ -426,46 +301,12 @@ def main() -> int:
     results: dict[str, dict] = {}
     t0 = time.perf_counter()
 
-    # shared materializations (timed + attributed in the artifact)
+    # shared materializations (timed + attributed in the artifact). The
+    # round-11 catalog rewrite retired the doc-graph/pipeline CC splices:
+    # those 7 queries run verbatim in the main sweep now.
     shared: dict[str, float] = {}
-    doc_graph = {
-        "neardup_clusters",
-        "neardup_clusters_star",
-        "dedup_cluster_sizes",
-        "neardup_keep_best",
-        "cluster_keyed_split_audit",
-    }
-    if doc_graph & set(names):
-        t = time.perf_counter()
-        con.execute(
-            f"CREATE OR REPLACE TEMP TABLE t_jpairs AS WITH {_SHINGLE_CTE} "
-            "SELECT doc_a, doc_b, jaccard FROM jpairs"
-        )
-        shared["t_jpairs_sec"] = round(time.perf_counter() - t, 1)
-        t = time.perf_counter()
-        shared["cc_rounds"] = cc_fixpoint(con, "t_jpairs", "t_cc")
-        shared["t_cc_sec"] = round(time.perf_counter() - t, 1)
-    pipelines = {"corpus_curation_pipeline", "training_data_pipeline"}
-    if pipelines & set(names):
-        # both pipelines share the survivor-pair prefix; t_jp2 is built
-        # from one of them, so they must still be textually identical
-        assert _pipeline_head("corpus_curation_pipeline") == _pipeline_head(
-            "training_data_pipeline"
-        ), "pipeline oracle prefixes diverged — update sf1_oracle"
-        t = time.perf_counter()
-        con.execute(
-            "CREATE OR REPLACE TEMP TABLE t_jp2 AS "
-            + _pipeline_head("corpus_curation_pipeline")
-            + " SELECT doc_a, doc_b FROM jp"
-        )
-        shared["cc2_rounds"] = cc_fixpoint(con, "t_jp2", "t_cc2")
-        shared["t_jp2_cc2_sec"] = round(time.perf_counter() - t, 1)
 
     def oracle_df(name: str) -> pd.DataFrame:
-        if name in doc_graph:
-            return con.execute(_docgraph_sql(name, "t_cc")).df()
-        if name in pipelines:
-            return con.execute(_pipeline_sql(name, "t_cc2")).df()
         if name == "simhash_dedup":
             return con.execute(_simhash_oracle_sql(banded=True)).df()
         if name == "semantic_dedup_kmeans":
