@@ -1,6 +1,7 @@
 """Merge the sf1 evidence into ONE driver-format artifact (VERDICT r6 #1
 "Done" bar: CORRECTNESS_local_sf1.json with a row for EVERY catalog query,
-hash or exact-witness on the heavy 14).
+hash-oracled verbatim for all but the remaining exact-witness handful in
+tools/sf1_oracle.py HEAVY).
 
 Inputs:
   - the affordable-subset sweep (tools/correctness_local.py --only ... at
@@ -39,6 +40,12 @@ def main() -> int:
             Path(__file__).resolve().parent.parent / "CORRECTNESS_local_sf1.json"
         ),
     )
+    ap.add_argument(
+        "--note",
+        default=None,
+        help="round note recorded as note_<tag> in the artifact, e.g. "
+        "--note 'r11: ...'",
+    )
     args = ap.parse_args()
     subset = json.load(open(args.subset_json))
     heavy_doc = json.load(open(args.heavy_json))
@@ -74,6 +81,11 @@ def main() -> int:
         "shared_witness_cost": heavy_doc.get("shared", {}),
         "results": dict(sorted(merged.items())),
     }
+    if args.note:
+        tag, _, text = args.note.partition(":")
+        out = {**{k: v for k, v in out.items() if k != "results"},
+               f"note_{tag.strip()}": text.strip(),
+               "results": out["results"]}
     Path(args.out).write_text(json.dumps(out, indent=1) + "\n")
     print(
         json.dumps(
