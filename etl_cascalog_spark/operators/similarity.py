@@ -73,6 +73,13 @@ _GUARD_ALT = (
     " fits."
 )
 
+
+def _GUARD_ALT_FOR(override_name: str) -> str:
+    """_GUARD_ALT with the remediation naming the CALLER'S actual override
+    parameter — telling a hard_negatives caller to 'raise max_queries'
+    would send them to a TypeError."""
+    return _GUARD_ALT.replace("max_queries", override_name)
+
 #: default byte budget for the broadcast query side. The r10 guard counted
 #: ROWS, which is byte-blind: 100k rows is ~51 MB at the engine's dim=64
 #: float64 defaults but 0.6–3.3 GB at production embedding dims (768–4096)
@@ -88,6 +95,12 @@ QUERY_BROADCAST_BUDGET_BYTES = 64 * 1024 * 1024
 #: unbounded row count when the vectors are tiny.
 _ROW_OVERHEAD_BYTES = 48
 
+#: default row cap for hard_negatives' anchor side, applied IN ADDITION
+#: to the byte budget: the miner's hazard is the anchors × corpus
+#: quadratic scoring pass, which narrow anchor rows would otherwise buy
+#: unbounded under a green byte estimate (the pre-r11 default, kept).
+DEFAULT_MAX_ANCHORS = 10_000
+
 
 def _elem_width(dt: T.DataType) -> int:
     """Conservative per-element width for the broadcast estimate."""
@@ -100,20 +113,46 @@ def _elem_width(dt: T.DataType) -> int:
     return 8  # double / long / decimal / anything exotic: assume 8
 
 
+def _col_bytes(col: Column, dt: T.DataType) -> Column:
+    """Estimated payload bytes of one value of type ``dt``."""
+    if isinstance(dt, (T.StringType, T.BinaryType)):
+        # octet_length: BYTES, not chars — a 1 KB URL id must price as 1 KB
+        return F.coalesce(F.octet_length(col), F.lit(0)).cast("long")
+    if isinstance(dt, T.ArrayType):
+        inner = dt.elementType
+        if isinstance(inner, (T.StringType, T.BinaryType, T.ArrayType)):
+            # variable-width elements: fold the per-element estimate
+            return F.coalesce(
+                F.aggregate(
+                    col,
+                    F.lit(0).cast("long"),
+                    lambda acc, x: acc + _col_bytes(x, inner),
+                ),
+                F.lit(0).cast("long"),
+            )
+        return (
+            F.coalesce(F.size(col), F.lit(0)).cast("long")
+            * F.lit(_elem_width(inner))
+        )
+    # fixed-width scalars are covered by the per-row overhead constant
+    return F.lit(0).cast("long")
+
+
 def _est_row_bytes(df: DataFrame) -> Column:
-    """Estimated broadcast bytes of ONE row of ``df``: per-element width ×
-    actual ``size()`` for every array column (the dominant payload — query
-    vectors, quantized codes, ADC lookup tables) plus a fixed scalar/header
-    overhead. Reading the width from the DATA (not a ``dim`` parameter)
-    means the bound tracks whatever the caller actually broadcasts."""
+    """Estimated broadcast bytes of ONE row of ``df``: actual measured
+    payload for every variable-width column — numeric arrays (the dominant
+    ANN payload: query vectors, quantized codes, ADC lookup tables) at
+    element-width × ``size()``, strings/binary at ``octet_length``, string
+    and nested arrays by folding the same estimate over their elements —
+    plus a fixed header/fixed-scalar overhead. Reading the widths from the
+    DATA (not a ``dim`` parameter) means the bound tracks whatever the
+    caller actually broadcasts, including kilobyte string ids."""
     total: Column = F.lit(_ROW_OVERHEAD_BYTES).cast("long")
     for field in df.schema.fields:
-        if isinstance(field.dataType, T.ArrayType):
-            w = _elem_width(field.dataType.elementType)
-            total = total + (
-                F.coalesce(F.size(F.col(field.name)), F.lit(0)).cast("long")
-                * F.lit(w)
-            )
+        if isinstance(
+            field.dataType, (T.ArrayType, T.StringType, T.BinaryType)
+        ):
+            total = total + _col_bytes(F.col(field.name), field.dataType)
     return total
 
 
@@ -161,6 +200,8 @@ def _lazy_query_guard(
     cache: bool = True,
     fanout: int = 1,
     byte_budget: int = QUERY_BROADCAST_BUDGET_BYTES,
+    max_rows: int | None = None,
+    override_name: str = "max_queries",
 ) -> DataFrame:
     """Bounded-query-side guard for the ANN scorers (the side they
     broadcast).
@@ -192,35 +233,52 @@ def _lazy_query_guard(
     ``fanout`` so the byte bound prices the POST-explode broadcast while
     an explicit ``max_queries`` still counts queries, not query × probe
     rows.
+
+    ``max_rows`` adds a row-count bound ON TOP of the byte budget in the
+    default mode (both checked in the one guard aggregate) — for
+    operators like :func:`hard_negatives` whose hazard is the
+    anchors × corpus COMPUTE, not just broadcast bytes, so tiny-width
+    rows cannot buy an unbounded quadratic under a green byte estimate.
+    ``override_name`` names the caller's explicit-override parameter in
+    the refusal message (``max_anchors`` for the miner).
     """
     if max_queries is not None:
         return _lazy_count_guard(
             q,
             max_queries,
-            f"{op_name}: query side exceeds max_queries={max_queries}"
-            " -- this scorer broadcasts the query set by design"
-            " (eval/re-rank sets)." + _GUARD_ALT,
+            f"{op_name}: broadcast side exceeds {override_name}="
+            f"{max_queries} -- this operator broadcasts that side by"
+            " design (eval/re-rank/anchor sets)." + _GUARD_ALT_FOR(
+                override_name
+            ),
             cache=cache,
         )
     if cache:
         q = q.cache()
+    n = F.count(F.lit(1))
     est = F.coalesce(F.sum(_est_row_bytes(q)), F.lit(0).cast("long")) * F.lit(
         int(fanout)
     )
+    ok = est <= F.lit(int(byte_budget))
+    msg = (
+        f"{op_name}: broadcast side estimated at %d bytes"
+        f" (budget {int(byte_budget)})"
+    )
+    if max_rows is not None:
+        ok = ok & (n <= F.lit(int(max_rows)))
+        msg += f" / %d rows (bound {int(max_rows)})"
+    msg += (
+        " -- this operator broadcasts that side by design"
+        " (eval/re-rank/anchor sets), and the byte bound scales with the"
+        " measured vector width." + _GUARD_ALT_FOR(override_name)
+    )
+    fmt_args = [est] if max_rows is None else [est, n]
     guard_col = "_bound_guard"
     guard = F.broadcast(
         q.select(
-            F.assert_true(
-                est <= F.lit(int(byte_budget)),
-                F.format_string(
-                    f"{op_name}: broadcast side estimated at %d bytes"
-                    f" (budget {int(byte_budget)}) -- this operator"
-                    " broadcasts that side by design (eval/re-rank/anchor"
-                    " sets), and the byte bound scales with the measured"
-                    " vector width." + _GUARD_ALT,
-                    est,
-                ),
-            ).alias(guard_col)
+            F.assert_true(ok, F.format_string(msg, *fmt_args)).alias(
+                guard_col
+            )
         ).where(F.isnull(F.col(guard_col)))
     )
     return q.crossJoin(guard).drop(guard_col)
@@ -861,10 +919,14 @@ def hard_negatives(
     BOUNDED and the bound is ENFORCED (same posture as
     :func:`cosine_topk_blas`): this operator broadcasts anchors and scores
     anchors × corpus, so an unfiltered call on a large table would be an
-    unguarded O(N²) cross-join plus an over-broadcast — it fails past
-    ``max_anchors`` instead of silently melting the cluster. The bound is
+    unguarded O(N²) cross-join plus an over-broadcast — the DEFAULT bound
+    is dual: the 64 MB byte budget (wide anchors cannot hide behind a row
+    count) AND a ``DEFAULT_MAX_ANCHORS`` = 10k row cap (the quadratic
+    scoring hazard is row-count-, not byte-, shaped, so narrow anchors
+    cannot hide behind a byte estimate); passing ``max_anchors``
+    explicitly replaces both with the caller's row bound. The bound is
     enforced LAZILY (a broadcast 1-row ``assert_true`` over a map-side
-    count aggregate, raising at action time), so plan-only consumers —
+    aggregate, raising at action time), so plan-only consumers —
     plan lint, fingerprinting, EXPLAIN — never execute a job, and the
     anchors frame is cached so the guard's count is not a second full
     scan (ADVICE r7). At corpus scale use :func:`hard_negatives_lsh`
@@ -906,8 +968,17 @@ def hard_negatives(
             cache=cache,
         )
     else:
+        # dual default bound: the 64 MB byte budget (wide anchors cannot
+        # slip under a row count) AND the historical 10k row cap (the
+        # hazard here is the anchors x corpus COMPUTE, which tiny-width
+        # rows would otherwise buy unbounded under a green byte estimate)
         a_guarded = _lazy_query_guard(
-            a_proj, None, "hard_negatives (anchor side)", cache=cache
+            a_proj,
+            None,
+            "hard_negatives (anchor side)",
+            cache=cache,
+            max_rows=DEFAULT_MAX_ANCHORS,
+            override_name="max_anchors",
         )
     a = F.broadcast(a_guarded)
     c = ensure_min_parallelism(emb, id_col).select(

@@ -358,10 +358,14 @@ def count_build_jobs(spark, build, name: str):
     # "" and surprise other statusTracker consumers (ADVICE r10)
     prior_group = sc.getLocalProperty("spark.jobGroup.id")
     prior_desc = sc.getLocalProperty("spark.job.description")
+    prior_interrupt = sc.getLocalProperty("spark.job.interruptOnCancel")
     sc.setJobGroup(group, "R5 zero-eager-jobs gate")
     try:
         out = build()
     finally:
         sc.setLocalProperty("spark.jobGroup.id", prior_group)
         sc.setLocalProperty("spark.job.description", prior_desc)
+        # setJobGroup also resets interruptOnCancel to "false" — restore
+        # it too, or a caller's cancelJobGroup stops interrupting threads
+        sc.setLocalProperty("spark.job.interruptOnCancel", prior_interrupt)
     return out, len(sc.statusTracker().getJobIdsForGroup(group))

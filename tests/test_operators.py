@@ -1762,6 +1762,46 @@ def test_lazy_query_guard_byte_math(spark):
     fanned = _lazy_query_guard(df, None, "t", byte_budget=1599, fanout=2)
     with pytest.raises(Exception, match="estimated at 1600 bytes"):
         fanned.count()
+    # string payloads are priced by octet_length — kilobyte ids cannot
+    # hide behind the fixed row overhead (review r11 finding)
+    dfs = df.withColumn("s", F.lit("x" * 20))  # 10 rows x (48+32+20) = 1000
+    ok_s = _lazy_query_guard(dfs, None, "t", byte_budget=1000)
+    assert ok_s.count() == 10
+    bad_s = _lazy_query_guard(dfs, None, "t", byte_budget=999)
+    with pytest.raises(Exception, match="estimated at 1000 bytes"):
+        bad_s.count()
+    # max_rows composes with the byte budget in one guard: narrow rows
+    # cannot buy an unbounded row count under a green byte estimate
+    wide_n = _lazy_query_guard(df, None, "t", byte_budget=10_000, max_rows=9)
+    with pytest.raises(Exception, match=r"10 rows \(bound 9\)"):
+        wide_n.count()
+
+
+def test_hard_negatives_default_keeps_row_cap(spark):
+    """Review r11: switching hard_negatives' default to the byte budget
+    alone would have LOOSENED the old 10k-anchor default ~12x at dim 64 —
+    the miner's hazard is the anchors x corpus quadratic, which is
+    row-count-shaped. The default must trip past DEFAULT_MAX_ANCHORS rows
+    even when the bytes are tiny, and the refusal must name max_anchors
+    (the parameter this operator actually has), not max_queries."""
+    import pytest
+
+    from etl_cascalog_spark.operators.similarity import (
+        DEFAULT_MAX_ANCHORS,
+        hard_negatives,
+    )
+
+    n = DEFAULT_MAX_ANCHORS + 1
+    emb = spark.range(n).select(
+        F.col("id").alias("vec_id"),
+        F.array(F.lit(1.0), (F.col("id") % 7).cast("double")).alias(
+            "embedding"
+        ),
+        (F.col("id") % 2).alias("label"),
+    )
+    over = hard_negatives(emb, k=1)  # plan-time: lazy, no job, no raise
+    with pytest.raises(Exception, match=r"rows \(bound 10000\).*max_anchors"):
+        over.count()
 
 
 def test_bloom_build_bitmap_cap(spark):

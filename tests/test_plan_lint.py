@@ -279,6 +279,11 @@ def test_zero_eager_jobs_at_build(lint_reports):
         "Spark jobs submitted at plan-build time outside EAGER_BUILD_OK "
         f"(add ONLY with a boundedness/recurrence contract): {bad}"
     )
+    # hygiene FIRST: whitelisted names must exist — checked before the
+    # budget comprehension indexes lint_reports so a stale entry fails
+    # with this diagnostic, not a raw KeyError
+    for name in EAGER_BUILD_OK:
+        assert name in QUERIES, f"EAGER_BUILD_OK names unknown query {name}"
     # magnitude: each whitelisted build must stay within its contracted
     # job budget
     over = {
@@ -291,10 +296,9 @@ def test_zero_eager_jobs_at_build(lint_reports):
         f"(actual, budget): {over} — either the recurrence regressed or "
         "the budget needs a reviewed raise"
     )
-    # hygiene: whitelisted names must exist and still be eager — an entry
-    # whose build went lazy should be pruned, not kept as a loophole
+    # hygiene: whitelisted builds must still be eager — an entry whose
+    # build went lazy should be pruned, not kept as a loophole
     for name in EAGER_BUILD_OK:
-        assert name in QUERIES, f"EAGER_BUILD_OK names unknown query {name}"
         assert lint_reports[name].build_jobs > 0, (
             f"{name} no longer submits build jobs — remove from "
             "EAGER_BUILD_OK"

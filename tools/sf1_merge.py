@@ -82,7 +82,9 @@ def main() -> int:
         "results": dict(sorted(merged.items())),
     }
     if args.note:
-        tag, _, text = args.note.partition(":")
+        tag, sep, text = args.note.partition(":")
+        if not sep or not text.strip():
+            ap.error("--note must be '<tag>: <text>' (e.g. --note 'r11: ...')")
         out = {**{k: v for k, v in out.items() if k != "results"},
                f"note_{tag.strip()}": text.strip(),
                "results": out["results"]}
