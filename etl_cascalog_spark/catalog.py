@@ -6648,26 +6648,34 @@ def kmeans_cluster_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "pagerank_copurchase",
+    # MATERIALIZED discipline (VERDICT r11 #1, the _cc_labels_sql
+    # template): every multiply-referenced CTE is pinned — DuckDB 1.0
+    # otherwise INLINES them, re-deriving the basket fan-out once per
+    # iteration (the verbatim sf1 run that spun >570 s without finishing).
+    # Staged this way it is the exact algebra tools/sf1_oracle.py's
+    # temp-table witness ran, expressed in one verbatim statement.
     oracle="""
-    WITH baskets AS (
+    WITH baskets AS MATERIALIZED (
       SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
     ),
     sizes AS (SELECT ok, count(*) AS n FROM baskets GROUP BY ok),
-    bounded AS (
+    bounded AS MATERIALIZED (
       SELECT b.ok, b.pk FROM baskets b JOIN sizes s ON b.ok = s.ok
       WHERE s.n <= 7
     ),
-    edges AS (
+    edges AS MATERIALIZED (
       SELECT DISTINCT a.pk AS src, b.pk AS dst
       FROM bounded a JOIN bounded b ON a.ok = b.ok AND a.pk != b.pk
     ),
-    nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+    nodes AS MATERIALIZED (
+      SELECT src AS node FROM edges UNION SELECT dst FROM edges
+    ),
     nn AS (SELECT count(*) AS n FROM nodes),
     deg AS (SELECT src, count(*) AS out_deg FROM edges GROUP BY src),
-    ce AS (
+    ce AS MATERIALIZED (
       SELECT e.src, e.dst, d.out_deg FROM edges e JOIN deg d ON e.src = d.src
     ),
-    r0 AS (
+    r0 AS MATERIALIZED (
       SELECT node,
              CAST(1000000000000 // (SELECT n FROM nn) AS BIGINT) AS rank_units
       FROM nodes
@@ -6676,7 +6684,7 @@ def kmeans_cluster_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT ce.dst AS node, CAST(sum(r.rank_units // ce.out_deg) AS BIGINT) AS s
       FROM ce JOIN r0 r ON ce.src = r.node GROUP BY 1
     ),
-    r1 AS (
+    r1 AS MATERIALIZED (
       SELECT n.node,
              CAST((15 * CAST(1000000000000 // (SELECT n FROM nn) AS BIGINT)
                    + 85 * coalesce(s1.s, 0)) // 100 AS BIGINT) AS rank_units
@@ -6686,7 +6694,7 @@ def kmeans_cluster_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT ce.dst AS node, CAST(sum(r.rank_units // ce.out_deg) AS BIGINT) AS s
       FROM ce JOIN r1 r ON ce.src = r.node GROUP BY 1
     ),
-    r2 AS (
+    r2 AS MATERIALIZED (
       SELECT n.node,
              CAST((15 * CAST(1000000000000 // (SELECT n FROM nn) AS BIGINT)
                    + 85 * coalesce(s2.s, 0)) // 100 AS BIGINT) AS rank_units
@@ -7186,16 +7194,23 @@ def top_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "triangle_count",
+    # MATERIALIZED discipline (VERDICT r11 #1): `kept` fans out into FIVE
+    # consumers (wedge e1/e2/e3, node set, edge count) — DuckDB 1.0
+    # inlined it, re-deriving the basket fan-out chain per consumer and
+    # exhausting 59 GB of spill at sf1 (round-10 floor check). Pinned
+    # MATERIALIZED, each wedge probe reads the small bounded edge table
+    # and the count streams — the same staging tools/sf1_oracle.py's
+    # temp-table witness proved, in one verbatim statement.
     oracle="""
-    WITH baskets AS (
+    WITH baskets AS MATERIALIZED (
       SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
     ),
     sizes AS (SELECT ok, count(*) AS n FROM baskets GROUP BY ok),
-    bounded AS (
+    bounded AS MATERIALIZED (
       SELECT b.ok, b.pk FROM baskets b JOIN sizes s ON b.ok = s.ok
       WHERE s.n <= 5
     ),
-    und AS (
+    und AS MATERIALIZED (
       SELECT DISTINCT least(a.pk, b.pk) AS u, greatest(a.pk, b.pk) AS v
       FROM bounded a JOIN bounded b ON a.ok = b.ok AND a.pk < b.pk
     ),
@@ -7204,7 +7219,7 @@ def top_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT u AS node FROM und UNION ALL SELECT v FROM und
       ) GROUP BY 1
     ),
-    kept AS (
+    kept AS MATERIALIZED (
       SELECT e.u, e.v FROM und e
       JOIN deg du ON du.node = e.u JOIN deg dv ON dv.node = e.v
       WHERE du.d <= 25 AND dv.d <= 25
@@ -8528,7 +8543,8 @@ def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     "keyed on the connected-component CLUSTER id (raw doc_id only for "
     "singletons), so every near-dup pair shares a split key by "
     "construction and the off-diagonal of the leakage matrix is exactly "
-    "empty — the hash match against the recursive-CTE oracle certifies "
+    "empty — the hash match against the unrolled self-verifying "
+    "label-propagation oracle (_cc_labels_sql) certifies "
     "it. This is the leakage-safe production split recipe the "
     "train_split_assignment doc promises; same plan machinery as "
     "dedup_cluster_sizes plus bare id equi-join attaches — the label "
@@ -9728,7 +9744,8 @@ def dedup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     "equi-joins — the pair-graph membership is proportional to the "
     "corpus near-dup population, so it never carries a mandatory "
     "broadcast hint (AQE broadcasts at runtime only when the side "
-    "fits). Oracle: recursive-CTE closure + the same argmax in SQL.",
+    "fits). Oracle: unrolled self-verifying label propagation "
+    "(_cc_labels_sql) + the same argmax in SQL.",
 )
 def neardup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_cascalog_spark.operators.dedup import (

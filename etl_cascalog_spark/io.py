@@ -74,6 +74,17 @@ def clear_schema_cache() -> None:
     _SCHEMA_CACHE.clear()
 
 
+def _schema_cache_put(key: tuple[str, int, int], schema: object) -> None:
+    """Insert with per-path eviction (ADVICE r11): each path holds at most
+    ONE schema, so a test loop that rewrites a fixture in place N times
+    keeps one live entry instead of N superseded stat fingerprints (and
+    their stale StructTypes) forever."""
+    path = key[0]
+    for stale in [k for k in _SCHEMA_CACHE if k[0] == path and k != key]:
+        del _SCHEMA_CACHE[stale]
+    _SCHEMA_CACHE[key] = schema
+
+
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """S2 generator: table scan with typed schema.
 
@@ -99,7 +110,7 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             df = spark.read.schema(_SCHEMA_CACHE[key]).parquet(path)
         else:
             df = spark.read.parquet(path)
-            _SCHEMA_CACHE[key] = df.schema
+            _schema_cache_put(key, df.schema)
         from pyspark.sql import functions as F
 
         if dict(df.dtypes).get("ts") == "bigint":
@@ -111,7 +122,7 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if key in _SCHEMA_CACHE:
         return spark.read.schema(_SCHEMA_CACHE[key]).parquet(path)
     df = spark.read.parquet(path)
-    _SCHEMA_CACHE[key] = df.schema
+    _schema_cache_put(key, df.schema)
     return df
 
 

@@ -66,19 +66,23 @@ def cosine(a: Column, b: Column) -> Column:
 #: bucketed scorers carry the SAME max_queries bound (their query side is
 #: broadcast too), so pointing an over-cap caller at them would be a dead
 #: end; only the corpus-vs-corpus operators change the plan shape.
-_GUARD_ALT = (
+_GUARD_ALT_TEMPLATE = (
     " For corpus-vs-corpus similarity use embedding_neardup /"
     " hard_negatives_lsh (the corpus is never broadcast there), or chunk"
-    " the query set, or raise max_queries explicitly if you know the set"
+    " the query set, or raise {override} explicitly if you know the set"
     " fits."
 )
+_GUARD_ALT = _GUARD_ALT_TEMPLATE.format(override="max_queries")
 
 
 def _GUARD_ALT_FOR(override_name: str) -> str:
-    """_GUARD_ALT with the remediation naming the CALLER'S actual override
-    parameter — telling a hard_negatives caller to 'raise max_queries'
-    would send them to a TypeError."""
-    return _GUARD_ALT.replace("max_queries", override_name)
+    """The remediation naming the CALLER'S actual override parameter —
+    telling a hard_negatives caller to 'raise max_queries' would send them
+    to a TypeError. An explicit ``{override}`` placeholder (ADVICE r11):
+    a wording edit to the template cannot silently revert refusals to a
+    parameter the function doesn't have, the way a ``str.replace`` on a
+    literal token could."""
+    return _GUARD_ALT_TEMPLATE.format(override=override_name)
 
 #: default byte budget for the broadcast query side. The r10 guard counted
 #: ROWS, which is byte-blind: 100k rows is ~51 MB at the engine's dim=64
@@ -90,9 +94,10 @@ def _GUARD_ALT_FOR(override_name: str) -> str:
 #: row-count override for callers that know their set fits.
 QUERY_BROADCAST_BUDGET_BYTES = 64 * 1024 * 1024
 
-#: per-row fixed overhead charged on top of array payloads (ids, norms,
-#: UnsafeRow headers) — keeps the byte bound from degenerating into an
-#: unbounded row count when the vectors are tiny.
+#: per-row fixed overhead charged on top of column payloads (UnsafeRow
+#: headers, null bitmaps, offset arrays) — keeps the byte bound from
+#: degenerating into an unbounded row count when the vectors are tiny.
+#: Fixed-width scalar FIELDS are priced separately at 8 B each.
 _ROW_OVERHEAD_BYTES = 48
 
 #: default row cap for hard_negatives' anchor side, applied IN ADDITION
@@ -134,7 +139,7 @@ def _col_bytes(col: Column, dt: T.DataType) -> Column:
             F.coalesce(F.size(col), F.lit(0)).cast("long")
             * F.lit(_elem_width(inner))
         )
-    # fixed-width scalars are covered by the per-row overhead constant
+    # fixed-width scalars are priced per field by _est_row_bytes
     return F.lit(0).cast("long")
 
 
@@ -144,16 +149,25 @@ def _est_row_bytes(df: DataFrame) -> Column:
     ANN payload: query vectors, quantized codes, ADC lookup tables) at
     element-width × ``size()``, strings/binary at ``octet_length``, string
     and nested arrays by folding the same estimate over their elements —
-    plus a fixed header/fixed-scalar overhead. Reading the widths from the
-    DATA (not a ``dim`` parameter) means the bound tracks whatever the
-    caller actually broadcasts, including kilobyte string ids."""
-    total: Column = F.lit(_ROW_OVERHEAD_BYTES).cast("long")
+    plus a fixed header overhead and 8 B per fixed-width scalar field.
+    Reading the widths from the DATA (not a ``dim`` parameter) means the
+    bound tracks whatever the caller actually broadcasts, including
+    kilobyte string ids. Fixed-width fields are priced per FIELD (VERDICT
+    r11 #1): every current caller projects (id, array), where the 48-byte
+    row constant dominates, but a scorer projecting hundreds of numeric
+    feature columns must pay for each of them, not ride at 48 B/row."""
+    n_fixed = 0
+    total: Column | None = None
     for field in df.schema.fields:
         if isinstance(
             field.dataType, (T.ArrayType, T.StringType, T.BinaryType)
         ):
-            total = total + _col_bytes(F.col(field.name), field.dataType)
-    return total
+            est = _col_bytes(F.col(field.name), field.dataType)
+            total = est if total is None else total + est
+        else:
+            n_fixed += 1
+    const = F.lit(_ROW_OVERHEAD_BYTES + 8 * n_fixed).cast("long")
+    return const if total is None else const + total
 
 
 def _lazy_count_guard(
@@ -355,6 +369,7 @@ def cosine_topk_blas(
     vec_col: str = "embedding",
     k: int = 5,
     max_queries: int | None = None,
+    cache: bool = True,
 ) -> DataFrame:
     """Vectorized exact cosine top-k — the PRODUCTION scorer (closes the
     interpreted-fold floor of :func:`cosine_topk`, which stays as the
@@ -399,28 +414,39 @@ def cosine_topk_blas(
     corpus = ensure_min_parallelism(corpus, id_col)
     q_proj = queries.select(F.col(id_col), F.col(vec_col))
     if max_queries is None:
-        # byte-aware default: one 1-row aggregate (map-side combined —
-        # trivially cheap next to the scoring pass) prices the collect
-        # from the ACTUAL widths before the driver materializes anything.
-        stats = q_proj.select(
-            F.count(F.lit(1)).alias("n"),
-            F.coalesce(
-                F.sum(_est_row_bytes(q_proj)), F.lit(0).cast("long")
-            ).alias("est_bytes"),
-        ).collect()[0]
-        if stats["est_bytes"] > QUERY_BROADCAST_BUDGET_BYTES:
-            raise ValueError(
-                f"cosine_topk_blas: query side estimated at "
-                f"{stats['est_bytes']} driver-collect bytes (budget "
-                f"{QUERY_BROADCAST_BUDGET_BYTES}) — this scorer collects "
-                "the query set to the driver by design (eval/re-rank "
-                "sets), and the byte bound scales with the measured "
-                "vector width. For an unbounded query side use "
-                "lsh_cosine_topk / lsh_multiprobe_topk / ivf_cosine_topk "
-                "(bucketed candidate joins, nothing driver-side), or pass "
-                "max_queries explicitly if you know the set fits."
-            )
-        q_rows = q_proj.collect()
+        # byte-aware default: one 1-row aggregate (map-side combined)
+        # prices the collect from the ACTUAL widths before the driver
+        # materializes anything. The stats pass and the collect are TWO
+        # actions over the same plan (ADVICE r11) — cache q_proj across
+        # the pair (released below) so an expensive upstream query isn't
+        # recomputed; ``cache=False`` for callers outside scoped_storage.
+        if cache:
+            q_proj = q_proj.cache()
+        try:
+            stats = q_proj.select(
+                F.count(F.lit(1)).alias("n"),
+                F.coalesce(
+                    F.sum(_est_row_bytes(q_proj)), F.lit(0).cast("long")
+                ).alias("est_bytes"),
+            ).collect()[0]
+            if stats["est_bytes"] > QUERY_BROADCAST_BUDGET_BYTES:
+                raise ValueError(
+                    f"cosine_topk_blas: query side estimated at "
+                    f"{stats['est_bytes']} driver-collect bytes (budget "
+                    f"{QUERY_BROADCAST_BUDGET_BYTES}) — this scorer collects "
+                    "the query set to the driver by design (eval/re-rank "
+                    "sets), and the byte bound scales with the measured "
+                    "vector width. For an unbounded query side use "
+                    "lsh_cosine_topk / lsh_multiprobe_topk / ivf_cosine_topk "
+                    "(bucketed candidate joins, nothing driver-side), or pass "
+                    "max_queries explicitly if you know the set fits."
+                )
+            q_rows = q_proj.collect()
+        finally:
+            # both rows and bytes now live on the driver (or the guard
+            # refused) — the executor-side copy is dead weight either way
+            if cache:
+                q_proj.unpersist()
     else:
         # explicit override: the r9 fused single-job path — collect
         # max_queries+1 rows and refuse on overflow BEFORE materializing

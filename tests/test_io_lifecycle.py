@@ -846,3 +846,9 @@ def test_schema_cache_invalidates_on_rewrite(spark, tmp_path):
     second = read_table(spark, sf, "probe")
     assert dict(second.dtypes) == {"a": "string", "b": "bigint"}
     assert second.where(F.col("b") == 4).count() == 1
+    # ADVICE r11: the superseded fingerprint is EVICTED on insert — each
+    # path holds at most one cache entry, so a rewrite loop can't grow the
+    # cache unboundedly or keep stale StructTypes alive
+    from etl_cascalog_spark.io import _SCHEMA_CACHE
+
+    assert sum(1 for k in _SCHEMA_CACHE if k[0] == f"{sf}/probe.parquet") == 1

@@ -1742,9 +1742,9 @@ def test_ann_query_guard_default_is_byte_aware(spark):
 
 def test_lazy_query_guard_byte_math(spark):
     """The byte estimate is exact and fanout-priced: rows x (48-byte row
-    overhead + 8 bytes per array element), multiplied by the explode
-    fanout the caller declares — so ivf nprobe / lsh multi-probe pay for
-    the POST-explode broadcast."""
+    overhead + 8 bytes per fixed-width scalar field + 8 bytes per array
+    element), multiplied by the explode fanout the caller declares — so
+    ivf nprobe / lsh multi-probe pay for the POST-explode broadcast."""
     import pytest
 
     from etl_cascalog_spark.operators.similarity import _lazy_query_guard
@@ -1753,23 +1753,35 @@ def test_lazy_query_guard_byte_math(spark):
         F.col("id").alias("vec_id"),
         F.array_repeat(F.lit(1.0), 4).alias("qv"),
     )
-    # 10 rows x (48 + 4*8) = 800 estimated bytes
-    ok = _lazy_query_guard(df, None, "t", byte_budget=800)
+    # 10 rows x (48 + 8 [vec_id long] + 4*8) = 880 estimated bytes
+    ok = _lazy_query_guard(df, None, "t", byte_budget=880)
     assert ok.count() == 10
-    bad = _lazy_query_guard(df, None, "t", byte_budget=799)
-    with pytest.raises(Exception, match="estimated at 800 bytes"):
+    bad = _lazy_query_guard(df, None, "t", byte_budget=879)
+    with pytest.raises(Exception, match="estimated at 880 bytes"):
         bad.count()
-    fanned = _lazy_query_guard(df, None, "t", byte_budget=1599, fanout=2)
-    with pytest.raises(Exception, match="estimated at 1600 bytes"):
+    fanned = _lazy_query_guard(df, None, "t", byte_budget=1759, fanout=2)
+    with pytest.raises(Exception, match="estimated at 1760 bytes"):
         fanned.count()
     # string payloads are priced by octet_length — kilobyte ids cannot
     # hide behind the fixed row overhead (review r11 finding)
-    dfs = df.withColumn("s", F.lit("x" * 20))  # 10 rows x (48+32+20) = 1000
-    ok_s = _lazy_query_guard(dfs, None, "t", byte_budget=1000)
+    dfs = df.withColumn("s", F.lit("x" * 20))  # 10 x (48+8+32+20) = 1080
+    ok_s = _lazy_query_guard(dfs, None, "t", byte_budget=1080)
     assert ok_s.count() == 10
-    bad_s = _lazy_query_guard(dfs, None, "t", byte_budget=999)
-    with pytest.raises(Exception, match="estimated at 1000 bytes"):
+    bad_s = _lazy_query_guard(dfs, None, "t", byte_budget=1079)
+    with pytest.raises(Exception, match="estimated at 1080 bytes"):
         bad_s.count()
+    # VERDICT r11 #1: fixed-width scalar fields are priced per FIELD — a
+    # wide projection of numeric feature columns cannot ride at 48 B/row.
+    # 100 long columns + vec_id: 10 rows x (48 + 101*8 + 0 arrays) = 8560
+    wide = spark.range(10).select(
+        F.col("id").alias("vec_id"),
+        *[(F.col("id") + i).alias(f"f{i}") for i in range(100)],
+    )
+    ok_w = _lazy_query_guard(wide, None, "t", byte_budget=8560)
+    assert ok_w.count() == 10
+    bad_w = _lazy_query_guard(wide, None, "t", byte_budget=8559)
+    with pytest.raises(Exception, match="estimated at 8560 bytes"):
+        bad_w.count()
     # max_rows composes with the byte budget in one guard: narrow rows
     # cannot buy an unbounded row count under a green byte estimate
     wide_n = _lazy_query_guard(df, None, "t", byte_budget=10_000, max_rows=9)

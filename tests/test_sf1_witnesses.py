@@ -8,11 +8,13 @@ session needed):
   1-2 rounds — stars — so the multi-round path would otherwise be
   untested), and must FAIL LOUDLY via error() when the round budget is
   too small, never return non-fixpoint labels;
-- the staged pagerank/triangle witnesses must equal the catalog oracles
-  VERBATIM on a small SF (they exist only because the verbatim plans
-  spill >60 GB at sf1; algebra must be identical);
 - the banded simhash oracle must equal the all-pairs oracle (pigeonhole
   exactness at Hamming <= bands-1).
+
+The staged pagerank/triangle witnesses left in round 12: their catalog
+oracles now carry ``AS MATERIALIZED`` pins on every multiply-referenced
+CTE and run verbatim at sf1 (14 s / 2 s, zero spill), so the main sweep
+hash-checks them directly at every SF — no twin to prove equal anymore.
 """
 
 from __future__ import annotations
@@ -21,12 +23,10 @@ import duckdb
 import pytest
 
 from etl_cascalog_spark.catalog import (
-    QUERIES,
     _cc_labels_sql,
     _simhash_oracle_sql,
 )
 from tests.oracle_utils import duckdb_con, normalize
-from tools.sf1_oracle import pagerank_witness, triangle_witness
 
 SF = "/root/testdata/sf0.01"
 
@@ -87,18 +87,6 @@ def test_unrolled_cc_oracle_errors_when_not_converged():
 @pytest.fixture(scope="module")
 def con():
     return duckdb_con(SF)
-
-
-def test_pagerank_witness_equals_verbatim_oracle(con):
-    want = normalize(con.execute(QUERIES["pagerank_copurchase"].oracle).df())
-    got = normalize(pagerank_witness(con))
-    assert got.equals(want)
-
-
-def test_triangle_witness_equals_verbatim_oracle(con):
-    want = normalize(con.execute(QUERIES["triangle_count"].oracle).df())
-    got = normalize(triangle_witness(con))
-    assert got.equals(want)
 
 
 def test_banded_simhash_equals_all_pairs(con):

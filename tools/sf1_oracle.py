@@ -14,12 +14,15 @@ Spark engine, driver-style:
   catalog oracle), then the Lloyd iterations, tie-broken argmin,
   truncating-division centroid updates, and within-cluster pair distances
   in EXACT numpy int64 (blockwise, no float path);
-- **pagerank / triangle**: staged temp-table twins of the catalog oracles
-  (identical algebra, proven equal at sf0.01 in tests).
 
-The connected-components family left this tool in round 11: the catalog
-oracles themselves now use unrolled self-verifying min-label propagation
-(``catalog._cc_labels_sql``), affordable verbatim at sf1 in the main sweep.
+The connected-components family left this tool in round 11 (the catalog
+oracles now use unrolled self-verifying min-label propagation,
+``catalog._cc_labels_sql``), and pagerank_copurchase / triangle_count left
+in round 12: pinning their multiply-referenced CTEs ``AS MATERIALIZED``
+(the same discipline) collapsed the verbatim sf1 runs from >570 s /
+59 GB-spill-then-die to 14 s / 2 s with zero spill — the staged temp-table
+twins this tool carried are now expressed inside the catalog oracle text
+itself, so the main sweep runs them verbatim.
 
 Output: driver-format rows (rows/schema/hash per query) written to
 ``--out`` (default /tmp/sf1_heavy.json). Merge with the affordable-subset
@@ -50,28 +53,29 @@ from etl_cascalog_spark.session import get_spark, scoped_storage  # noqa: E402
 from tests.oracle_utils import duckdb_con, normalize  # noqa: E402
 
 # entity_blocking_pairs and fs_linkage_scores left this list in round 9,
-# prefix_filter_jaccard_dedup in round 10, and the whole CC family
+# prefix_filter_jaccard_dedup in round 10, the whole CC family
 # (neardup_clusters, neardup_clusters_star, dedup_cluster_sizes,
 # neardup_keep_best, cluster_keyed_split_audit, corpus_curation_pipeline,
-# training_data_pipeline) in round 11: their catalog oracles now run
-# VERBATIM at sf1 in the MAIN sweep (tools/correctness_local.py) — the
-# round-11 catalog rewrite replaced the quadratic recursive-closure CC
-# fragment with unrolled self-verifying min-label propagation
-# (catalog._cc_labels_sql; ~32 s/query at sf1, dominated by the shingle
-# join), which DuckDB 1.0 executes without `WITH RECURSIVE … USING KEY`.
-# Round-10 floor check on the rest: pagerank_copurchase verbatim ran
-# >570 s without finishing (monolithic CTE chain re-derives edges per
-# iteration); triangle_count verbatim exhausted 59 GB of spill disk at a
-# 48 GB memory limit (DuckDB 1.0.0 materializes the 3×-referenced `kept`
-# chain). The 4 below genuinely need the banded / numpy-int64 /
-# staged-temp-table witnesses until the local DuckDB grows a cheaper
-# plan (the wheel upgrade suggested in VERDICT r10 #3 is blocked: this
-# sandbox has no network and installs are out of policy).
+# training_data_pipeline) in round 11 via catalog._cc_labels_sql, and
+# pagerank_copurchase / triangle_count in round 12 via AS MATERIALIZED
+# pins on their multiply-referenced CTEs (14 s / 2 s verbatim at sf1,
+# zero spill — DuckDB 1.0 had been INLINING edges/kept and re-deriving
+# the basket fan-out per consumer). The 2 below are genuine floors:
+# - simhash_dedup: the catalog oracle is the ALL-PAIRS Hamming join —
+#   quadratic by definition (sf1: 200k² = 4e10 pairs); the banded witness
+#   here is the same 16-bit-band candidate join the engine runs, exact at
+#   Hamming <= 3 by the band pigeonhole. Swapping the catalog oracle to
+#   the banded form would make oracle and engine share the banding logic
+#   (no longer independent) — the all-pairs form IS the evidence value.
+# - semantic_dedup_kmeans: the catalog oracle unrolls Lloyd's in SQL, but
+#   the within-cluster pair-distance tail is Σ|cluster|² comparisons over
+#   64-dim int64 vectors (~2.6e9 64-wide dot products at sf1 with k=8) —
+#   DuckDB 1.0 evaluates the list_transform dot product row-at-a-time;
+#   the numpy-int64 witness does the identical exact arithmetic
+#   blockwise.
 HEAVY = [
     "simhash_dedup",
     "semantic_dedup_kmeans",
-    "pagerank_copurchase",
-    "triangle_count",
 ]
 
 
@@ -151,117 +155,6 @@ def semantic_kmeans_witness(con, k: int = 8, iters: int = 3) -> pd.DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# pagerank / triangle: staged temp-table witnesses
-# ---------------------------------------------------------------------------
-# The catalog oracles are correct but MONOLITHIC: at sf1 DuckDB's planner
-# materializes the multiply-referenced CTE chains (edges re-derived per
-# iteration, deg twice, the path join in one shot) and spilled >60 GB of
-# temp — twice exhausting the disk. The witnesses below run the SAME
-# algebra (each stage mirrors its CTE line for line) as staged temp
-# tables, with the triangle path join stratified by hash(u) so no single
-# probe materializes the full path set. Exactness is preserved: stages
-# are exact relational ops, and strata partition the e1 edge set.
-
-
-def pagerank_witness(con) -> pd.DataFrame:
-    """Staged twin of the pagerank_copurchase oracle: 3 integer PageRank
-    rounds, each one edge join over materialized (src, dst, out_deg)."""
-    con.execute(
-        """CREATE OR REPLACE TEMP TABLE pr_bounded AS
-        WITH baskets AS (
-          SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
-        ), sizes AS (SELECT ok, count(*) AS n FROM baskets GROUP BY ok)
-        SELECT b.ok, b.pk FROM baskets b JOIN sizes s ON b.ok = s.ok
-        WHERE s.n <= 7"""
-    )
-    con.execute(
-        """CREATE OR REPLACE TEMP TABLE pr_edges AS
-        SELECT DISTINCT a.pk AS src, b.pk AS dst
-        FROM pr_bounded a JOIN pr_bounded b ON a.ok = b.ok AND a.pk != b.pk"""
-    )
-    con.execute(
-        """CREATE OR REPLACE TEMP TABLE pr_ce AS
-        SELECT e.src, e.dst, d.out_deg FROM pr_edges e
-        JOIN (SELECT src, count(*) AS out_deg FROM pr_edges GROUP BY src) d
-          ON e.src = d.src"""
-    )
-    n_nodes = con.execute(
-        "SELECT count(DISTINCT node) FROM (SELECT src AS node FROM pr_edges"
-        " UNION ALL SELECT dst FROM pr_edges)"
-    ).fetchone()[0]
-    base = 1_000_000_000_000 // n_nodes
-    con.execute(
-        f"""CREATE OR REPLACE TEMP TABLE pr_r AS
-        SELECT DISTINCT node, CAST({base} AS BIGINT) AS rank_units
-        FROM (SELECT src AS node FROM pr_edges UNION ALL SELECT dst FROM pr_edges)"""
-    )
-    for _ in range(3):
-        con.execute(
-            f"""CREATE OR REPLACE TEMP TABLE pr_r2 AS
-            WITH s AS (
-              SELECT ce.dst AS node,
-                     CAST(sum(r.rank_units // ce.out_deg) AS BIGINT) AS s
-              FROM pr_ce ce JOIN pr_r r ON ce.src = r.node GROUP BY 1
-            )
-            SELECT n.node,
-                   CAST((15 * CAST({base} AS BIGINT)
-                         + 85 * coalesce(s.s, 0)) // 100 AS BIGINT)
-                     AS rank_units
-            FROM pr_r n LEFT JOIN s ON n.node = s.node"""
-        )
-        con.execute("CREATE OR REPLACE TEMP TABLE pr_r AS SELECT * FROM pr_r2")
-    return con.execute("SELECT node, rank_units FROM pr_r").df()
-
-
-def triangle_witness(con, strata: int = 16) -> pd.DataFrame:
-    """Staged twin of the triangle_count oracle; the path join runs per
-    hash(u) stratum of e1 so its intermediate never materializes whole."""
-    con.execute(
-        """CREATE OR REPLACE TEMP TABLE tr_und AS
-        WITH baskets AS (
-          SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
-        ), sizes AS (SELECT ok, count(*) AS n FROM baskets GROUP BY ok),
-        bounded AS (
-          SELECT b.ok, b.pk FROM baskets b JOIN sizes s ON b.ok = s.ok
-          WHERE s.n <= 5
-        )
-        SELECT DISTINCT least(a.pk, b.pk) AS u, greatest(a.pk, b.pk) AS v
-        FROM bounded a JOIN bounded b ON a.ok = b.ok AND a.pk < b.pk"""
-    )
-    con.execute(
-        """CREATE OR REPLACE TEMP TABLE tr_kept AS
-        WITH deg AS (
-          SELECT node, count(*) AS d FROM (
-            SELECT u AS node FROM tr_und UNION ALL SELECT v FROM tr_und
-          ) GROUP BY 1
-        )
-        SELECT e.u, e.v FROM tr_und e
-        JOIN deg du ON du.node = e.u JOIN deg dv ON dv.node = e.v
-        WHERE du.d <= 25 AND dv.d <= 25"""
-    )
-    n_nodes = con.execute(
-        "SELECT count(*) FROM (SELECT DISTINCT u AS n FROM tr_kept"
-        " UNION SELECT v FROM tr_kept)"
-    ).fetchone()[0]
-    n_edges = con.execute("SELECT count(*) FROM tr_kept").fetchone()[0]
-    n_tri = 0
-    for s in range(strata):
-        n_tri += con.execute(
-            f"""SELECT count(*) FROM tr_kept e1
-            JOIN tr_kept e2 ON e2.u = e1.v
-            JOIN tr_kept e3 ON e3.u = e1.u AND e3.v = e2.v
-            WHERE hash(e1.u) % {strata} = {s}"""
-        ).fetchone()[0]
-    return pd.DataFrame(
-        {
-            "n_nodes": [n_nodes],
-            "n_edges": [n_edges],
-            "n_triangles": [n_tri],
-        }
-    )
-
-
-# ---------------------------------------------------------------------------
 
 
 def compare_frames(got: pd.DataFrame, want: pd.DataFrame) -> dict:
@@ -311,10 +204,6 @@ def main() -> int:
             return con.execute(_simhash_oracle_sql(banded=True)).df()
         if name == "semantic_dedup_kmeans":
             return semantic_kmeans_witness(con)
-        if name == "pagerank_copurchase":
-            return pagerank_witness(con)
-        if name == "triangle_count":
-            return triangle_witness(con)
         return con.execute(QUERIES[name].oracle).df()
 
     n_fail = 0
