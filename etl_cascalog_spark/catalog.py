@@ -5019,46 +5019,29 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Robust outlier statistics (median + MAD, the quality-filter rule "
     "that survives heavy tails where mean±k·σ breaks): per group, exact "
     "discrete median, median absolute deviation, and the count beyond "
-    "3·MAD — all integer cents, so bit-stable. BOTH medians come from "
-    "exact_group_percentiles (range-bucket prefix sums) — the oracle's "
-    "per-group windows are the low-cardinality funnel this engine "
-    "refuses to run; two bucketed selection passes + one broadcast-join "
-    "aggregate instead.",
+    "3·MAD — all integer cents, so bit-stable. ONE shuffle of the raw "
+    "rows (aggregates.mad_outlier_hist): the integer values collapse "
+    "into a per-(group, value) count histogram; the median picks, the "
+    "absdev re-key, and the outlier counts are all histogram-sized — "
+    "bounded by the cents DOMAIN, never the corpus. Replaces (round 12) "
+    "the two sequential exact_group_percentiles passes + cached "
+    "deviation frame (4.4× at sf0.1, bit-identical); the oracle's "
+    "per-group row windows remain the low-cardinality funnel this "
+    "engine refuses to run on raw rows.",
 )
 def mad_outlier_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from etl_cascalog_spark.operators.aggregates import exact_group_percentiles
+    from etl_cascalog_spark.operators.aggregates import mad_outlier_hist
 
     li = read_table(spark, sf_dir, "lineitem").select(
         F.col("l_returnflag").alias("grp"),
         (money(F.col("l_extendedprice")) * 100).cast("long").alias("cents"),
     )
-    med = (
-        exact_group_percentiles(li, "grp", "cents", [0.5])
-        .select("grp", F.col("value").alias("median_cents"))
-    )
-    # dev feeds the MAD selection (3 references) AND the final aggregate —
-    # uncached, Catalyst re-expands the scan+join per reference (measured:
-    # 34 BHJ / 43 Exchange plan); cached it collapses to one InMemoryRelation
-    dev = (
-        li.join(F.broadcast(med), "grp")
-        .withColumn("absdev", F.abs(F.col("cents") - F.col("median_cents")))
-        .cache()
-    )
-    mad = (
-        exact_group_percentiles(dev, "grp", "absdev", [0.5])
-        .select("grp", F.col("value").alias("mad_cents"))
-    )
-    return (
-        dev.join(F.broadcast(mad), "grp")
-        .groupBy("grp")
-        .agg(
-            F.count("*").cast("long").alias("n_rows"),
-            F.max("median_cents").cast("long").alias("median_cents"),
-            F.max("mad_cents").cast("long").alias("mad_cents"),
-            F.sum(
-                (F.col("absdev") > 3 * F.col("mad_cents")).cast("long")
-            ).alias("n_outliers"),
-        )
+    return mad_outlier_hist(li, "grp", "cents", k_mad=3).select(
+        "grp",
+        "n_rows",
+        F.col("median_cents").cast("long").alias("median_cents"),
+        F.col("mad_cents").cast("long").alias("mad_cents"),
+        "n_outliers",
     )
 
 

@@ -1162,6 +1162,39 @@ def test_exact_group_percentiles_matches_naive_rank(spark):
     assert got[("c", 0.5)] == 7.0 and got[("c", 0.95)] == 7.0
 
 
+def test_mad_outlier_hist_matches_naive(spark):
+    """The one-shuffle histogram formulation (round 12) equals the naive
+    median/MAD/outlier computation on a frame with ties, negatives, NULLs,
+    and a singleton group — the discrete median is the value at rank
+    ceil(0.5·n) in the value ordering, NULLs excluded."""
+    import math
+
+    from etl_cascalog_spark.operators.aggregates import mad_outlier_hist
+
+    rows = [("a", v) for v in [5, 5, 5, -3, 0, 12, 12, 100]]
+    rows += [("b", v) for v in [7, -7, 7, -7, 7]]
+    rows += [("c", 42)]
+    rows += [("a", None), ("b", None)]
+    df = spark.createDataFrame(rows, "grp string, v long")
+
+    def naive(vals, k=3):
+        vals = sorted(v for v in vals if v is not None)
+        n = len(vals)
+        med = vals[math.ceil(0.5 * n) - 1]
+        devs = sorted(abs(v - med) for v in vals)
+        mad = devs[math.ceil(0.5 * n) - 1]
+        return (n, med, mad, sum(1 for v in vals if abs(v - med) > k * mad))
+
+    want = {
+        g: naive([v for gg, v in rows if gg == g]) for g in ("a", "b", "c")
+    }
+    got = {
+        r.grp: (r.n_rows, r.median_v, r.mad_v, r.n_outliers)
+        for r in mad_outlier_hist(df, "grp", "v").collect()
+    }
+    assert got == want
+
+
 def test_snapshot_diff_classifies(spark):
     """added / removed / changed classification on a crafted pair."""
     from etl_cascalog_spark.incremental import snapshot_diff
