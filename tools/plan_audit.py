@@ -9,7 +9,12 @@ node → identical line (same expr ids) — while genuinely distinct nodes
 differ. ReusedExchange prints as its own node name, so reuse is never
 double-counted as a shuffle.
 
-Usage: python tools/plan_audit.py [sf_dir] > /tmp/audit.md
+Usage: python tools/plan_audit.py [sf_dir] [--only a,b] > /tmp/audit.md
+
+``--only`` restricts to named queries — the sf1 BuildJobs measurement
+(VERDICT r11 #2) audits just the (b)-class EAGER_BUILD_OK recurrences
+there; a full-catalog execution pass at sf1 buys nothing extra for that
+question. The R5/budget gates still apply to whatever ran.
 """
 
 from __future__ import annotations
@@ -44,7 +49,13 @@ def audit_plan(plan: str) -> dict[str, int | str]:
 
 
 def main() -> None:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    args = [a for a in sys.argv[1:]]
+    only: set[str] | None = None
+    if "--only" in args:
+        i = args.index("--only")
+        only = {n for n in args[i + 1].split(",") if n}
+        del args[i : i + 2]
+    sf_dir = args[0] if args else "/root/testdata/sf0.1"
     from etl_cascalog_spark.catalog import QUERIES
     from etl_cascalog_spark.io import TABLES, read_table
     from etl_cascalog_spark.plans.lint import EAGER_BUILD_OK, count_build_jobs
@@ -58,10 +69,12 @@ def main() -> None:
         read_table(spark, sf_dir, t)
     violations: dict[str, int] = {}
     over_budget: dict[str, tuple[int, int]] = {}
-    stale_whitelist = set(EAGER_BUILD_OK)
+    names = sorted(QUERIES) if only is None else sorted(only & set(QUERIES))
+    # the lazy-now hygiene note only means something on a FULL sweep
+    stale_whitelist = set(EAGER_BUILD_OK) if only is None else set()
     print("| query | SMJ | BHJ | BNLJ | Cart | Exch | Push | BuildJobs |")
     print("|---|---|---|---|---|---|---|---|")
-    for name in sorted(QUERIES):
+    for name in names:
         df, n_jobs = count_build_jobs(
             spark, lambda: QUERIES[name].build(spark, sf_dir), name
         )

@@ -9,7 +9,12 @@ cost center: LSH near-dedup + star CC, SimHash banding, curation E2E,
 packing prefix sums, IVF ANN, substring spans, PageRank iterations, and
 the flagship grouped aggregate.
 
-Usage: python tools/scaling_check.py  -> one JSON line + a table on stderr
+Usage: python tools/scaling_check.py [sf_dir ...] [--only a,b]
+       -> one JSON line + a table on stderr
+
+``--only`` restricts the headline set — the sf10 fourth-decade cells
+(VERDICT r11 #4) measure the 2-3 ops whose sf10 working set fits the
+sandbox disk, not the whole list.
 """
 
 from __future__ import annotations
@@ -47,12 +52,21 @@ SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"
 
 
 def main() -> None:
-    sfs = sys.argv[1:] if len(sys.argv) > 1 else SFS
+    args = list(sys.argv[1:])
+    headline = HEADLINE
+    if "--only" in args:
+        i = args.index("--only")
+        keep = {n for n in args[i + 1].split(",") if n}
+        headline = [n for n in HEADLINE if n in keep] + sorted(
+            keep - set(HEADLINE)
+        )
+        del args[i : i + 2]
+    sfs = args if args else SFS
     labels = [p.rstrip("/").rsplit("/", 1)[-1] for p in sfs]
     spark = get_spark("scaling_check")
     spark.range(1_000_000).selectExpr("sum(id)").collect()  # JIT warm-up
     out: dict[str, dict[str, float]] = {}
-    for name in HEADLINE:
+    for name in headline:
         out[name] = {}
         for sf, label in zip(sfs, labels):
             # best-of-2: the first touch of a NEW sf dir pays cold parquet
