@@ -6653,7 +6653,7 @@ def kmeans_cluster_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     nodes AS MATERIALIZED (
       SELECT src AS node FROM edges UNION SELECT dst FROM edges
     ),
-    nn AS (SELECT count(*) AS n FROM nodes),
+    nn AS MATERIALIZED (SELECT count(*) AS n FROM nodes),
     deg AS (SELECT src, count(*) AS out_deg FROM edges GROUP BY src),
     ce AS MATERIALIZED (
       SELECT e.src, e.dst, d.out_deg FROM edges e JOIN deg d ON e.src = d.src
@@ -7197,7 +7197,7 @@ def top_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT DISTINCT least(a.pk, b.pk) AS u, greatest(a.pk, b.pk) AS v
       FROM bounded a JOIN bounded b ON a.ok = b.ok AND a.pk < b.pk
     ),
-    deg AS (
+    deg AS MATERIALIZED (
       SELECT node, count(*) AS d FROM (
         SELECT u AS node FROM und UNION ALL SELECT v FROM und
       ) GROUP BY 1

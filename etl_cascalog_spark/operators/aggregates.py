@@ -272,7 +272,7 @@ def mad_outlier_hist(
     df,
     group_col: str,
     value_col: str,
-    k_mad: int = 3,
+    k_mad: int | float = 3,
     cache: bool = True,
 ):
     """Per-group median, MAD (median absolute deviation), and count of
@@ -347,8 +347,12 @@ def mad_outlier_hist(
             F.max(f"mad_{value_col}").alias(f"mad_{value_col}"),
             F.sum(
                 F.when(
+                    # k_mad is used AS GIVEN (review r12: int(2.5) would
+                    # silently test against 2·MAD) — an int stays a long
+                    # literal (exact integer compare), a float promotes
+                    # the product to double (exact for any realistic MAD)
                     F.col("__absdev")
-                    > F.lit(int(k_mad)) * F.col(f"mad_{value_col}"),
+                    > F.lit(k_mad) * F.col(f"mad_{value_col}"),
                     F.col("__c"),
                 ).otherwise(F.lit(0))
             )

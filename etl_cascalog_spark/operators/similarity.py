@@ -72,9 +72,6 @@ _GUARD_ALT_TEMPLATE = (
     " the query set, or raise {override} explicitly if you know the set"
     " fits."
 )
-_GUARD_ALT = _GUARD_ALT_TEMPLATE.format(override="max_queries")
-
-
 def _GUARD_ALT_FOR(override_name: str) -> str:
     """The remediation naming the CALLER'S actual override parameter —
     telling a hard_negatives caller to 'raise max_queries' would send them
@@ -155,7 +152,9 @@ def _est_row_bytes(df: DataFrame) -> Column:
     kilobyte string ids. Fixed-width fields are priced per FIELD (VERDICT
     r11 #1): every current caller projects (id, array), where the 48-byte
     row constant dominates, but a scorer projecting hundreds of numeric
-    feature columns must pay for each of them, not ride at 48 B/row."""
+    feature columns must pay for each of them, not ride at 48 B/row.
+    Map/struct columns are REFUSED (fail closed) — they are
+    variable-width and have no cheap exact estimate."""
     n_fixed = 0
     total: Column | None = None
     for field in df.schema.fields:
@@ -164,6 +163,19 @@ def _est_row_bytes(df: DataFrame) -> Column:
         ):
             est = _col_bytes(F.col(field.name), field.dataType)
             total = est if total is None else total + est
+        elif isinstance(field.dataType, (T.MapType, T.StructType)):
+            # fail CLOSED (review r12): a map/struct payload is
+            # variable-width but would otherwise ride at the 8 B scalar
+            # price — a KB-per-row metadata map would sail under the
+            # byte budget by ~100×. No guarded scorer projects these;
+            # a caller who does must narrow the projection (or pass the
+            # explicit row override, which skips the estimate).
+            raise ValueError(
+                f"broadcast byte estimate cannot price column "
+                f"'{field.name}' of type {field.dataType.simpleString()} — "
+                "project the broadcast side down to id/vector columns, "
+                "or pass an explicit row-count override"
+            )
         else:
             n_fixed += 1
     const = F.lit(_ROW_OVERHEAD_BYTES + 8 * n_fixed).cast("long")

@@ -1815,6 +1815,12 @@ def test_lazy_query_guard_byte_math(spark):
     bad_w = _lazy_query_guard(wide, None, "t", byte_budget=8559)
     with pytest.raises(Exception, match="estimated at 8560 bytes"):
         bad_w.count()
+    # review r12: map/struct payloads have no cheap exact estimate and
+    # would otherwise ride at the 8 B scalar price — the estimate must
+    # REFUSE (fail closed) at plan time, not under-price by ~100x
+    dfm = df.withColumn("meta", F.create_map(F.lit("k"), F.col("qv")))
+    with pytest.raises(ValueError, match="cannot price column 'meta'"):
+        _lazy_query_guard(dfm, None, "t", byte_budget=10_000)
     # max_rows composes with the byte budget in one guard: narrow rows
     # cannot buy an unbounded row count under a green byte estimate
     wide_n = _lazy_query_guard(df, None, "t", byte_budget=10_000, max_rows=9)

@@ -53,10 +53,19 @@ def main() -> None:
     only: set[str] | None = None
     if "--only" in args:
         i = args.index("--only")
+        if i + 1 >= len(args):
+            sys.exit("plan_audit: --only requires a comma-separated list")
         only = {n for n in args[i + 1].split(",") if n}
         del args[i : i + 2]
     sf_dir = args[0] if args else "/root/testdata/sf0.1"
     from etl_cascalog_spark.catalog import QUERIES
+
+    if only is not None:
+        unknown = only - set(QUERIES)
+        if unknown:
+            # fail LOUD (review r12): silently dropping a typo would
+            # record a clean audit for a query that was never measured
+            sys.exit(f"plan_audit: unknown queries in --only: {sorted(unknown)}")
     from etl_cascalog_spark.io import TABLES, read_table
     from etl_cascalog_spark.plans.lint import EAGER_BUILD_OK, count_build_jobs
     from etl_cascalog_spark.session import get_spark, release_all_blocks

@@ -56,7 +56,14 @@ def main() -> None:
     headline = HEADLINE
     if "--only" in args:
         i = args.index("--only")
+        if i + 1 >= len(args):
+            sys.exit("scaling_check: --only requires a comma-separated list")
         keep = {n for n in args[i + 1].split(",") if n}
+        unknown = keep - set(QUERIES)
+        if unknown:
+            sys.exit(
+                f"scaling_check: unknown queries in --only: {sorted(unknown)}"
+            )
         headline = [n for n in HEADLINE if n in keep] + sorted(
             keep - set(HEADLINE)
         )
