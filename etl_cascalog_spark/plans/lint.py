@@ -270,10 +270,11 @@ def lint_plan(df: DataFrame) -> PlanReport:
 #: shipping.
 EAGER_BUILD_OK: dict[str, tuple[int, str]] = {
     "ann_blas_topk": (
-        4,
+        6,
         "(a) cosine_topk_blas's byte-priced driver collect: one 1-row"
-        " width/count aggregate (2 jobs under AQE) + the guarded collect"
-        " — the contract IS a driver-side query matrix",
+        " width/count aggregate (2 jobs under AQE) + the guarded collect,"
+        " with the query projection cached across the pair (ADVICE r11 —"
+        " one extra materialization job; 4 measured at sf0.1)",
     ),
     "bloom_prejoin_revenue": (
         4,
