@@ -4582,20 +4582,26 @@ def vocab_induction(spark: SparkSession, sf_dir: str) -> DataFrame:
     "features: clip price to the group's EXACT discrete [p05, p95] "
     "percentiles (rank = ceil(p·n) — integer rank selection is "
     "bit-stable across engines; interpolation would diverge in the last "
-    "ulp). ONE Exchange on the group key feeds both window passes and "
-    "the final agg (Catalyst reuses the partitioning); exact decimal "
-    "sums.",
+    "ulp). ONE shuffle of the raw rows (aggregates.winsorized_stats_hist, "
+    "round 12): 2-dp money collapses into a per-(group, value) count "
+    "histogram; both percentile picks ride one running-count window over "
+    "the value-ordered histogram and clipped_sum is Σ clip(v)·count — "
+    "domain-bounded like mad_outlier_stats, exact decimal sums "
+    "throughout.",
 )
 def winsorized_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from etl_cascalog_spark.operators.aggregates import winsorized_stats
+    from etl_cascalog_spark.operators.aggregates import winsorized_stats_hist
 
     li = read_table(spark, sf_dir, "lineitem").select(
         F.col("l_returnflag").alias("grp"),
         money(F.col("l_extendedprice")).alias("v"),
     )
-    # no tie-break id: the percentile VALUE is tie-permutation-invariant,
-    # and dropping the string sort key measurably halves the bucket sorts
-    out = winsorized_stats(li, "grp", "v", p_lo=0.05, p_hi=0.95)
+    # 2-dp money is a bounded discrete domain, so the one-shuffle
+    # histogram path applies (round 12; 2.5× over the two-pass
+    # range-bucket form at sf0.1, bit-identical — the same family as
+    # mad_outlier_stats). winsorized_stats stays the continuous-domain
+    # path.
+    out = winsorized_stats_hist(li, "grp", "v", p_lo=0.05, p_hi=0.95)
     return out.select(
         "grp",
         "n_rows",

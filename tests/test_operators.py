@@ -1162,6 +1162,36 @@ def test_exact_group_percentiles_matches_naive_rank(spark):
     assert got[("c", 0.5)] == 7.0 and got[("c", 0.95)] == 7.0
 
 
+def test_winsorized_stats_hist_equals_two_pass(spark):
+    """The one-shuffle histogram winsorization (round 12) equals the
+    range-bucket two-pass form on a frame with decimal values, heavy
+    ties, negatives, and a singleton group — same bounds (rank
+    ceil(p·n)), same exact decimal clipped_sum."""
+    from etl_cascalog_spark.operators.aggregates import (
+        winsorized_stats,
+        winsorized_stats_hist,
+    )
+
+    rows = [("a", f"{v}.25") for v in [-5, 1, 1, 1, 2, 3, 100, 100]]
+    rows += [("b", "7.10")]
+    rows += [("a", None)]
+    df = spark.createDataFrame(rows, "grp string, raw string").select(
+        "grp", F.col("raw").cast("decimal(12,2)").alias("v")
+    )
+    cols = ["n_rows", "p_lo_val", "p_hi_val", "clipped_sum"]
+    want = {
+        r.grp: tuple(r[c] for c in cols)
+        for r in winsorized_stats(df, "grp", "v", p_lo=0.1, p_hi=0.9).collect()
+    }
+    got = {
+        r.grp: tuple(r[c] for c in cols)
+        for r in winsorized_stats_hist(
+            df, "grp", "v", p_lo=0.1, p_hi=0.9
+        ).collect()
+    }
+    assert got == want
+
+
 def test_mad_outlier_hist_matches_naive(spark):
     """The one-shuffle histogram formulation (round 12) equals the naive
     median/MAD/outlier computation on a frame with ties, negatives, NULLs,

@@ -237,6 +237,83 @@ def test_exact_group_percentiles_equals_naive_rank(spark, data, p, n_buckets):
 
 
 @given(
+    data=st.lists(
+        st.tuples(
+            st.sampled_from(["a", "b"]),
+            st.integers(-1000, 1000),
+        ),
+        min_size=1,
+        max_size=40,
+    ),
+    ps=st.sampled_from([(0.05, 0.95), (0.1, 0.9), (0.5, 0.5), (0.25, 1.0)]),
+)
+@_settings
+def test_winsorized_hist_equals_two_pass(spark, data, ps):
+    """The one-shuffle histogram winsorization (round 12) equals the
+    range-bucket two-pass form for any integer multiset and any
+    (p_lo, p_hi) — including p_lo == p_hi and p_hi == 1.0."""
+    from etl_cascalog_spark.operators.aggregates import (
+        winsorized_stats,
+        winsorized_stats_hist,
+    )
+
+    p_lo, p_hi = ps
+    df = spark.createDataFrame(data, "grp string, v long")
+    cols = ["n_rows", "p_lo_val", "p_hi_val", "clipped_sum"]
+    want = {
+        r.grp: tuple(r[c] for c in cols)
+        for r in winsorized_stats(df, "grp", "v", p_lo=p_lo, p_hi=p_hi).collect()
+    }
+    got = {
+        r.grp: tuple(r[c] for c in cols)
+        for r in winsorized_stats_hist(
+            df, "grp", "v", p_lo=p_lo, p_hi=p_hi
+        ).collect()
+    }
+    assert got == want
+
+
+@given(
+    data=st.lists(
+        st.tuples(
+            st.sampled_from(["a", "b"]),
+            st.integers(-1000, 1000),
+        ),
+        min_size=1,
+        max_size=40,
+    ),
+    k_mad=st.sampled_from([0, 1, 3]),
+)
+@_settings
+def test_mad_outlier_hist_equals_naive(spark, data, k_mad):
+    """The one-shuffle histogram median/MAD/outlier computation (round 12)
+    equals the naive definition for any value multiset — duplicates,
+    negatives, singleton groups, k_mad=0 (every non-median-distance row is
+    an outlier) — because the histogram cumsum picks the same
+    rank-ceil(0.5·n) value the sorted-row selection would."""
+    import math
+
+    from etl_cascalog_spark.operators.aggregates import mad_outlier_hist
+
+    df = spark.createDataFrame(data, "grp string, v long")
+    got = {
+        r.grp: (r.n_rows, r.median_v, r.mad_v, r.n_outliers)
+        for r in mad_outlier_hist(df, "grp", "v", k_mad=k_mad).collect()
+    }
+    want = {}
+    for g in {g for g, _ in data}:
+        vals = sorted(v for gg, v in data if gg == g)
+        n = len(vals)
+        med = vals[math.ceil(0.5 * n) - 1]
+        devs = sorted(abs(v - med) for v in vals)
+        mad = devs[math.ceil(0.5 * n) - 1]
+        want[g] = (
+            n, med, mad, sum(1 for v in vals if abs(v - med) > k_mad * mad)
+        )
+    assert got == want
+
+
+@given(
     docs=st.lists(
         st.tuples(
             st.integers(0, 50),
