@@ -18,11 +18,14 @@ floating-point summation order across partitions.
   integer sums are associative/commutative, so partition order is moot;
 - assignment ties break on the lower centroid id.
 
-100 TB shape: per Lloyd iteration, ONE shuffle of the corpus (the
-assignment groupBy is map-side-combinable: min-by-struct) and one tiny
-centroid aggregate (K·dim longs, broadcast back). The K×N assignment
-"cross join" is a BroadcastNestedLoopJoin with the K-row centroid side
-broadcast — never a corpus×corpus product. Within-cluster pair scoring is
+100 TB shape (round 12): per Lloyd iteration, ONE map-side pass over the
+corpus — the nearest-centroid argmin is a per-row expression against the
+plan-time centroid constant (k·dim int64, driver-resident by construction,
+the FAISS-training contract) — and the only exchange carries k·(dim+2)
+longs of partial sums per task into the collected centroid update. The
+corpus is never shuffled and never re-checkpointed inside the recurrence.
+(:func:`kmeans_fit_distributed` keeps the broadcast-join + groupBy-argmin
+formulation as the equivalence twin.) Within-cluster pair scoring is
 quadratic only in the largest cluster (cap clusters via K, exactly like IVF
 cell sizing: K ≈ √N keeps E[|cluster|²] ≈ N).
 """
@@ -113,6 +116,47 @@ def recompute_centroids(assigned: DataFrame, dim: int) -> DataFrame:
     )
 
 
+def _trunc_div(s: int, n: int) -> int:
+    """Exact BIGINT ``div`` (truncation toward zero) on Python ints —
+    ``//`` alone FLOORS, which differs on negative sums."""
+    q = abs(s) // n
+    return q if s >= 0 else -q
+
+
+def _assign_best_expr(
+    centroids: list[tuple[int, list[int]]], units_col: str = "units"
+):
+    """Nearest-centroid ``struct(dist, cid)`` argmin from PLAN-TIME
+    centroid values, as ONE parsed SQL expression (round 12).
+
+    The centroid matrix is written as nested ``array(...)`` literals —
+    foldable, so ConstantFolding collapses it to a single array Literal
+    before codegen; the non-foldable part is a ~30-node HOF tree
+    (``transform`` + the exact :func:`_sq_dist` fold), so per-round
+    plan/codegen stays O(1) in k·dim. ``array_min`` over the
+    ``struct<dist,cid>`` candidates uses the same lexicographic ordering
+    as :func:`assign_clusters`'s ``F.min(struct)`` — ties break on the
+    lower cid identically. ``cid`` rides a parallel literal id array
+    (``element_at``), NOT the transform index: empty clusters vanish
+    between rounds, so positions shift while ids must not.
+    """
+    cents = (
+        "array("
+        + ", ".join(
+            "array(" + ", ".join(f"{int(v)}L" for v in cu) + ")"
+            for _, cu in centroids
+        )
+        + ")"
+    )
+    cids = "array(" + ", ".join(str(int(cid)) for cid, _ in centroids) + ")"
+    return F.expr(
+        f"array_min(transform({cents}, (cu, i) -> named_struct("
+        f"'dist', aggregate(zip_with({units_col}, cu, "
+        f"(x, y) -> (x - y) * (x - y)), 0L, (a, v) -> a + v), "
+        f"'cid', element_at({cids}, i + 1))))"
+    )
+
+
 def kmeans_fit(
     points: DataFrame, dim: int, k: int = 8, iters: int = 3
 ) -> DataFrame:
@@ -121,24 +165,137 @@ def kmeans_fit(
     unrolled CTE chain, and bounds cluster-job wall time by construction).
     Returns the final assignment (id, units, cluster, dist).
 
-    Block lifecycle (the ``connected_components`` discipline): each
-    round's assignment is ``localCheckpoint``-ed so iteration N+1 starts
-    from materialized rows instead of re-executing the whole round-chain
-    DAG — without this, iteration i costs i passes over the corpus and a
-    consumer that references the result twice (the pair self-join in
-    :func:`semantic_dedup_pairs`) pays the full chain twice. Round N-1's
-    blocks retire as soon as round N is materialized; the RETURNED
-    frame's checkpoint stays alive — callers release it via
-    ``session.release_all_blocks`` once consumed (at cluster scale:
-    ``checkpoint`` to reliable storage instead).
+    Round-12 shape (guide §1.2/§2.4 — fewer passes and fewer jobs): the
+    ONLY cross-round state is K centroids (k·dim int64 ≤ a few KB —
+    driver-resident by construction, the same contract as
+    :func:`similarity.train_ivf_centroids` / FAISS training), so each
+    round runs assignment + centroid update fused into ONE action — the
+    per-cluster (count, dim sums) aggregate is collected (≤ k rows) and
+    the integer mean feeds the next round's assignment as a plan-time
+    constant (:func:`_assign_best_expr`) — instead of eagerly
+    checkpointing the full (id, units[dim], best) corpus every round and
+    running the centroid aggregate as a separate job. Per round the
+    corpus is scanned once MAP-SIDE ONLY: the argmin is a per-row
+    expression, so the groupBy(id) exchange of the corpus AND the
+    per-round checkpoint write both disappear; the only exchange carries
+    k·(dim+2) longs of partial sums per task. Eager build jobs drop
+    12 → 8; 2.5×/2.2× at sf0.1 on semantic_dedup_kmeans /
+    kmeans_cluster_profile (isolated min-of-N, old vs new at the same
+    HEAD), bit-identical — the collected longs round-trip exactly,
+    :func:`_trunc_div` reproduces `div`, and the equivalence twin
+    :func:`kmeans_fit_distributed` is property-tested against this form.
+
+    Two rejected variants, kept as regression knowledge (guide §1.1):
+    per-round centroid literals built from py4j Column calls or one
+    giant unrolled-SQL arithmetic tree cost more than they save at any
+    N — ~4k py4j calls ≈ 1.2 s of driver Python, a ~3k-node expression
+    2-4 s of planning+codegen, PER ROUND (:func:`_assign_best_expr`
+    instead parses one small HOF tree whose centroid matrix
+    constant-folds to a single array literal); and an unmaterialized
+    lazy chain re-executes rounds 1..i-1 inside round i's broadcast
+    subplan (O(iters²) corpus passes at 100 TB).
+
+    Block lifecycle: the quantized points are ``localCheckpoint``-ed once
+    (every round and the final assignment read them); the FINAL
+    assignment is checkpointed so multi-reference consumers (the pair
+    self-join in :func:`semantic_dedup_pairs`) read materialized rows.
+    Callers release via ``session.release_all_blocks`` /
+    ``scoped_storage`` once consumed (at cluster scale: ``checkpoint``
+    to reliable storage instead). Eager plan-time work is budgeted under
+    ``EAGER_BUILD_OK``: 1 points checkpoint + (iters-1) fused
+    assign+update collects + 1 final checkpoint.
+    """
+    from etl_cascalog_spark.io import ensure_min_parallelism
+    from etl_cascalog_spark.session import persistent_rdd_ids, unpersist_rdd_ids
+
+    spark = points.sparkSession
+    before = persistent_rdd_ids(spark)
+    # parallelism guard BEFORE the checkpoint: a small single-file scan is
+    # ONE partition, and the checkpoint freezes that layout — every round
+    # scan, the final assignment, and (round 12's measured case) the
+    # Σ|cluster|² candidate fold in semantic_dedup_pairs would then run
+    # as a single task on an idle 32-core box (guide §2.6). No-op at real
+    # scale (file-count heuristic), one tiny keyed shuffle locally.
+    points = ensure_min_parallelism(points, "id")
+    # materialize the point prep ONCE: every round's assignment (and the
+    # seed selection) reads these rows — uncached, each of the `iters`
+    # rounds re-executed the corpus scan + unit conversion
+    points = points.localCheckpoint(eager=True)
+    pts_ids = persistent_rdd_ids(spark) - before
+    # seed: the k lowest-id points, cid = rank in id order (bounded
+    # driver transfer: k rows of dim longs)
+    seed = points.orderBy("id").limit(k).select("units").collect()
+    centroids = [
+        (i, [int(v) for v in r["units"]]) for i, r in enumerate(seed)
+    ]
+    # per-cluster count + dim sums as ONE parsed aggregate expression
+    # (building it from 64 py4j F.sum calls measured ~0.5 s of driver
+    # Python per round)
+    agg_expr = F.expr(
+        "named_struct('n', count(*), 's', array("
+        + ", ".join(f"sum(units[{i}])" for i in range(dim))
+        + "))"
+    )
+    for _ in range(iters - 1):
+        # ONE job per round: map-side argmin assignment feeding the
+        # per-cluster partial-aggregated sums; ≤ k rows collected. Empty
+        # clusters simply vanish (K shrinks), matching the oracle.
+        rows = (
+            points.select(
+                _assign_best_expr(centroids)["cid"].alias("cid"), "units"
+            )
+            .groupBy("cid")
+            .agg(agg_expr.alias("st"))
+            .collect()
+        )
+        # integer mean with the exact `sum div count` truncating
+        # semantics of :func:`recompute_centroids`
+        centroids = sorted(
+            (
+                int(r["cid"]),
+                [_trunc_div(int(s), int(r["st"]["n"])) for s in r["st"]["s"]],
+            )
+            for r in rows
+        )
+    best = _assign_best_expr(centroids)
+    assigned = (
+        points.select("id", "units", best.alias("__b"))
+        # two-step select: CollapseProject refuses to inline the
+        # non-cheap HOF into two field extractions, so `best` is
+        # evaluated once per row
+        .select(
+            "id",
+            "units",
+            F.col("__b.cid").alias("cluster"),
+            F.col("__b.dist").alias("dist"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    unpersist_rdd_ids(spark, pts_ids)  # final assignment is materialized
+    return assigned
+
+
+def kmeans_fit_distributed(
+    points: DataFrame, dim: int, k: int = 8, iters: int = 3
+) -> DataFrame:
+    """The pre-round-12 distributed Lloyd recurrence — kept as the
+    independent equivalence twin for :func:`kmeans_fit` (property test
+    pins bit-identical assignments) and as the shape to reach for if a
+    single round's centroid aggregate ever exceeded driver bounds
+    (k·dim int64 would have to approach ``spark.driver.maxResultSize``,
+    i.e. millions of clusters × high dim — not a SemDeDup regime).
+
+    Per iteration: broadcast-join the centroid FRAME (K rows), shuffle
+    the full (id, units, best) corpus through a groupBy(id) argmin, and
+    ``localCheckpoint`` the round's assignment. Round N-1's blocks retire
+    as soon as round N is materialized; the RETURNED frame's checkpoint
+    stays alive — callers release it via ``session.release_all_blocks``
+    once consumed.
     """
     from etl_cascalog_spark.session import persistent_rdd_ids, unpersist_rdd_ids
 
     spark = points.sparkSession
     before = persistent_rdd_ids(spark)
-    # materialize the point prep ONCE: every round's assignment (and the
-    # seed selection) reads these rows — uncached, each of the `iters`
-    # rounds re-executed the corpus scan + unit conversion
     points = points.localCheckpoint(eager=True)
     pts_ids = persistent_rdd_ids(spark) - before
     centroids = (

@@ -303,11 +303,13 @@ EAGER_BUILD_OK: dict[str, tuple[int, str]] = {
         " — 37 jobs measured at sf0.001)",
     ),
     "semantic_dedup_kmeans": (
-        20,
-        "(b) Lloyd rounds localCheckpoint per iteration (semantic.py"
-        " recurrence discipline; 12 measured at sf0.001)",
+        12,
+        "(b) Lloyd recurrence: points checkpoint + seed take(k) +"
+        " (iters-1) fused assign+update collects + final checkpoint"
+        " (semantic.kmeans_fit round-12 shape; 8 measured at sf0.001,"
+        " sf0.1)",
     ),
-    "kmeans_cluster_profile": (20, "(b) same Lloyd recurrence"),
+    "kmeans_cluster_profile": (12, "(b) same Lloyd recurrence (8 measured)"),
     "ivf_train_assignment_parity": (
         40,
         "(b) trained-centroid Lloyd rounds (28 measured at sf0.001)",

@@ -651,3 +651,49 @@ def test_minhash_lsh_pairs_contract(spark, texts):
     for (a, b), j in exact.items():
         if j == 1.0:
             assert (a, b) in got
+
+
+@given(
+    pts=st.lists(
+        st.lists(
+            st.integers(-3_000_000, 3_000_000), min_size=4, max_size=4
+        ),
+        min_size=1,
+        max_size=24,
+    ),
+    k=st.integers(1, 5),
+    iters=st.integers(1, 4),
+)
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_kmeans_fused_equals_distributed(spark, pts, k, iters):
+    """kmeans_fit (round-12 driver-resident centroid recurrence, fused
+    assign+update rounds) is BIT-identical to kmeans_fit_distributed (the
+    broadcast-join + groupBy-argmin + per-round-checkpoint twin) — same
+    seeds, same truncating `div` centroid means (negative sums included),
+    same lower-cid tie-break. Duplicate points exercise argmin ties."""
+    from etl_cascalog_spark.operators.semantic import (
+        kmeans_fit,
+        kmeans_fit_distributed,
+    )
+    from etl_cascalog_spark.session import release_all_blocks
+
+    # duplicate every first point so ties are guaranteed present
+    pts = pts + pts[:1]
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(pts)], "id long, units array<bigint>"
+    )
+    fast = {
+        (r.id, r.cluster, r.dist)
+        for r in kmeans_fit(df, dim=4, k=k, iters=iters).collect()
+    }
+    release_all_blocks(spark)
+    slow = {
+        (r.id, r.cluster, r.dist)
+        for r in kmeans_fit_distributed(df, dim=4, k=k, iters=iters).collect()
+    }
+    release_all_blocks(spark)
+    assert fast == slow
