@@ -299,9 +299,12 @@ def minhash_signatures(
     else:
         raise ValueError(f"minhash_signatures: unknown hash_fn {hash_fn!r}")
     sh = shingle_sets(df, id_col, text_col, n).select("doc", base.alias("h"))
-    h = F.col("h")
+    # one parsed string per permutation (round 12): the py4j-built
+    # Column chain measured ~0.5 s of driver Python per plan BUILD for
+    # K=64 — billed to every minhash-family query; the SQL text parses
+    # to the identical (a*h + b) % M min-aggregate
     mins = [
-        F.min((F.lit(a) * h + F.lit(b)) % F.lit(_MERSENNE)).alias(f"mh_{i}")
+        F.expr(f"min(({a}L * h + {b}L) % {_MERSENNE}L) AS mh_{i}")
         for i, (a, b) in enumerate(_perm_params(num_hashes, seed))
     ]
     return sh.groupBy("doc").agg(*mins)
@@ -350,17 +353,21 @@ def minhash_lsh_pairs(
         df, id_col, text_col, n, num_hashes, seed, hash_fn=hash_fn
     ).cache()
 
-    def band_key(bi: int):
-        cols = [F.col(f"mh_{bi * rows + r}") for r in range(rows)]
+    def band_key_sql(bi: int) -> str:
+        cols = ", ".join(f"mh_{bi * rows + r}" for r in range(rows))
         if hash_fn == "md5":
-            return F.concat_ws("_", *cols)
-        return F.xxhash64(*cols)
+            return f"concat_ws('_', {cols})"
+        return f"xxhash64({cols})"
 
-    band_cols = F.array(
-        *[
-            F.struct(F.lit(bi).alias("band"), band_key(bi).alias("bh"))
+    # the whole banded-struct array parses as ONE expression (round 12:
+    # ~130 py4j calls of plan-build Python otherwise, same analyzed tree)
+    band_cols = F.expr(
+        "array("
+        + ", ".join(
+            f"named_struct('band', {bi}, 'bh', {band_key_sql(bi)})"
             for bi in range(bands)
-        ]
+        )
+        + ")"
     )
     banded = sigs.select(F.col("doc"), F.explode(band_cols).alias("b")).select(
         "doc", F.col("b.band").alias("band"), F.col("b.bh").alias("bh")
@@ -448,50 +455,48 @@ def simhash_sketch(
     per-doc hash array) was ~20× slower: array lambdas are interpreted,
     column sums are codegen'd.
     """
+    # the 64 vote aggregates and the 64-way bits array parse as SQL text
+    # (round 12): the py4j-built Column chains measured ~0.7 s of driver
+    # Python per plan BUILD — identical analyzed trees either way
+    bits = F.expr(
+        "array("
+        + ", ".join(
+            f"CASE WHEN v{b} > 0 THEN 1 ELSE 0 END" for b in range(64)
+        )
+        + ")"
+    )
     if hash_fn == "xxhash64":
         hashed = shingle_sets(df, id_col, text_col, n).select(
             "doc", F.xxhash64(F.col("shingle")).alias("h64")
         )
         votes = hashed.groupBy("doc").agg(
             *[
-                F.sum(
-                    F.when(
-                        F.shiftright(F.col("h64"), 63 - b).bitwiseAND(F.lit(1)) == 1, 1
-                    ).otherwise(-1)
-                ).alias(f"v{b}")
+                F.expr(
+                    f"sum(CASE WHEN (shiftright(h64, {63 - b}) & 1) = 1"
+                    f" THEN 1 ELSE -1 END) AS v{b}"
+                )
                 for b in range(64)
             ]
-        )
-        bits = F.array(
-            *[F.when(F.col(f"v{b}") > 0, 1).otherwise(0) for b in range(64)]
         )
         return votes.select("doc", bits.alias("bits"))
     sh = shingle_sets(df, id_col, text_col, n).select(
         "doc", F.md5(F.col("shingle")).alias("hx")
     )
-    digits = sh.select(
+    digits = sh.selectExpr(
         "doc",
         *[
-            F.conv(F.substring(F.col("hx"), i + 1, 1), 16, 10)
-            .cast("int")
-            .alias(f"d{i}")
+            f"CAST(conv(substring(hx, {i + 1}, 1), 16, 10) AS INT) AS d{i}"
             for i in range(16)
         ],
     )
     votes = digits.groupBy("doc").agg(
         *[
-            F.sum(
-                F.when(
-                    F.shiftright(F.col(f"d{b // 4}"), 3 - (b % 4)).bitwiseAND(F.lit(1))
-                    == 1,
-                    1,
-                ).otherwise(-1)
-            ).alias(f"v{b}")
+            F.expr(
+                f"sum(CASE WHEN (shiftright(d{b // 4}, {3 - (b % 4)}) & 1) = 1"
+                f" THEN 1 ELSE -1 END) AS v{b}"
+            )
             for b in range(64)
         ]
-    )
-    bits = F.array(
-        *[F.when(F.col(f"v{b}") > 0, 1).otherwise(0) for b in range(64)]
     )
     return votes.select("doc", bits.alias("bits"))
 

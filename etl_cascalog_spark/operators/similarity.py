@@ -54,6 +54,24 @@ def dot(a: Column, b: Column) -> Column:
     )
 
 
+def _dvec_sql(vec: list[float]) -> str:
+    """SQL text of an ``array<double>`` literal. ``repr`` emits the
+    shortest round-trip decimal and the ``D`` suffix parses via
+    ``Double.parseDouble`` — bit-exact vs ``F.lit(x)`` — so expressions
+    over plan-time vectors can be built as ONE parsed string instead of
+    one py4j call per element (round 12: literal-heavy scorers measured
+    0.5-1.7 s of driver Python per plan BUILD; see
+    :func:`_dmat_sql`)."""
+    return "array(" + ", ".join(f"{x!r}D" for x in vec) + ")"
+
+
+def _dmat_sql(mat: list[list[float]]) -> str:
+    """SQL text of an ``array<array<double>>`` literal (one parsed
+    string; ConstantFolding collapses it to a single Literal before
+    codegen, so plan size stays O(1) in the matrix)."""
+    return "array(" + ", ".join(_dvec_sql(row) for row in mat) + ")"
+
+
 def norm(a: Column) -> Column:
     return F.sqrt(dot(a, a))
 
@@ -520,20 +538,33 @@ def hyperplanes(dim: int, n_planes: int = 8, seed: int = 7) -> list[list[float]]
 
 
 def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
-    """Sign-pattern bucket id: bit p = [vec · plane_p > 0]."""
-    bucket = F.lit(0).cast("long")
-    for p, plane in enumerate(planes):
-        d = F.aggregate(
-            F.zip_with(
-                vec,
-                F.array(*[F.lit(x) for x in plane]),
-                lambda x, y: x.cast("double") * y,
-            ),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-        bucket = bucket + F.when(d > 0, F.lit(1 << p).cast("long")).otherwise(F.lit(0).cast("long"))
-    return bucket
+    """Sign-pattern bucket id: bit p = [vec · plane_p > 0].
+
+    The plane matrix rides as ONE parsed literal (:func:`_dmat_sql`) and
+    the per-plane term is a ``transform`` over it — ~20 py4j calls
+    instead of ~600 (round 12; the per-plane dot is the same
+    ``x.cast(double) * y`` fold, and the bit weights come from a
+    power-of-two literal vector, so every double product and the integer
+    bit sum are bit-identical to the unrolled per-plane form)."""
+    pm = F.expr(_dmat_sql(planes))
+    powers = F.expr(
+        "array(" + ", ".join(f"{1 << p}L" for p in range(len(planes))) + ")"
+    )
+    terms = F.transform(
+        pm,
+        lambda pl, p: F.when(
+            F.aggregate(
+                F.zip_with(vec, pl, lambda x, y: x.cast("double") * y),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+            > 0,
+            F.element_at(powers, p + F.lit(1)),
+        ).otherwise(F.lit(0).cast("long")),
+    )
+    return F.aggregate(
+        terms, F.lit(0).cast("long"), lambda acc, v: acc + v
+    )
 
 
 def lsh_cosine_topk(
@@ -629,43 +660,42 @@ def ivf_cell(vec: Column, centroids: list[list[float]]) -> Column:
     a positive constant across the argmax (dropping it removes a 64-fold
     per centroid per row), and ``||c||`` is centroid data, precomputed in
     Python and inlined as a double literal (another fold saved). 8 folds
-    per row instead of 24."""
+    per row instead of 24. Round 12: the centroid matrix and the norm
+    vector ride as TWO parsed literals (:func:`_dmat_sql`) iterated by a
+    ``transform`` — same scores, same folds, ~15 py4j calls instead of
+    ~600 of driver Python per plan build."""
+    return (-F.array_max(_ivf_scored_arr(vec, centroids))["nc"]).cast("int")
+
+
+def _ivf_scored_arr(vec: Column, centroids: list[list[float]]) -> Column:
+    """(score, -cell) struct array shared by :func:`ivf_cell` /
+    :func:`ivf_cells_topn`: ``transform`` over the parsed centroid-matrix
+    literal; each centroid's ``dot(vec, c) / ||c||`` evaluates exactly
+    once per row, with ``||c||`` from a parallel norm-vector literal
+    (same Python-float sqrt values as before — ``repr`` round-trips
+    bit-exactly)."""
     import math
 
-    arr = F.array(
-        *[
-            F.struct(
-                (
-                    dot(vec, F.array(*[F.lit(x) for x in c]))
-                    / F.lit(math.sqrt(sum(x * x for x in c)))
-                ).alias("s"),
-                F.lit(-cid).alias("nc"),
-            )
-            for cid, c in enumerate(centroids)
-        ]
+    cm = F.expr(_dmat_sql(centroids))
+    norms = F.expr(
+        _dvec_sql([math.sqrt(sum(x * x for x in c)) for c in centroids])
     )
-    return (-F.array_max(arr)["nc"]).cast("int")
+    return F.transform(
+        cm,
+        lambda c, i: F.struct(
+            (dot(vec, c) / F.element_at(norms, i + F.lit(1))).alias("s"),
+            (-i).alias("nc"),
+        ),
+    )
 
 
 def ivf_cells_topn(vec: Column, centroids: list[list[float]], nprobe: int) -> Column:
     """The query's ``nprobe`` nearest cells (by the same ``dot/||c||``
     score as :func:`ivf_cell`), as an array of cell ids — descending
     score, ties → lower cell id (consistent with ivf_cell's argmax).
-    One scored-struct array, sorted once; each score evaluated once."""
-    import math
-
-    arr = F.array(
-        *[
-            F.struct(
-                (
-                    dot(vec, F.array(*[F.lit(x) for x in c]))
-                    / F.lit(math.sqrt(sum(x * x for x in c)))
-                ).alias("s"),
-                F.lit(-cid).alias("nc"),
-            )
-            for cid, c in enumerate(centroids)
-        ]
-    )
+    One scored-struct array (:func:`_ivf_scored_arr` — parsed-literal
+    matrix, round 12), sorted once; each score evaluated once."""
+    arr = _ivf_scored_arr(vec, centroids)
     top = F.slice(F.reverse(F.array_sort(arr)), 1, nprobe)
     return F.transform(top, lambda e: (-e["nc"]).cast("int"))
 
@@ -1167,31 +1197,37 @@ def _sub(vec: Column, j: int, d_sub: int) -> Column:
     return F.slice(vec, j * d_sub + 1, d_sub)
 
 
-def _l2(a: Column, lit_vec: list[float]) -> Column:
-    """Σ (aᵢ − cᵢ)² as a fixed-order double fold against a literal vector."""
+def _l2_col(a: Column, c: Column) -> Column:
+    """Σ (aᵢ − cᵢ)² as a fixed-order double fold against an array column."""
     return F.aggregate(
         F.zip_with(
             a,
-            F.array(*[F.lit(x) for x in lit_vec]),
-            lambda x, c: (x.cast("double") - c) * (x.cast("double") - c),
+            c,
+            lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
         ),
         F.lit(0.0),
         lambda acc, v: acc + v,
     )
 
 
+def _l2(a: Column, lit_vec: list[float]) -> Column:
+    """Σ (aᵢ − cᵢ)² against a plan-time vector — the literal parses as one
+    string (:func:`_dvec_sql`, round 12) instead of one py4j call per
+    element; the fold itself is :func:`_l2_col`, unchanged."""
+    return _l2_col(a, F.expr(_dvec_sql(lit_vec)))
+
+
 def pq_code(vec: Column, codebook: list[list[list[float]]], j: int) -> Column:
     """Subspace-``j`` PQ code: argmin L2 to the subspace centroids (ties →
     lower code). Same single array_min struct fold as :func:`ivf_cell` —
-    each centroid distance evaluates exactly once per row."""
+    each centroid distance evaluates exactly once per row; the subspace
+    codebook rides as ONE parsed matrix literal iterated by ``transform``
+    (round 12 — build-time py4j, not execution, was the cost)."""
     d_sub = len(codebook[j][0])
-    arr = F.array(
-        *[
-            F.struct(
-                _l2(_sub(vec, j, d_sub), c).alias("d"), F.lit(ci).alias("c")
-            )
-            for ci, c in enumerate(codebook[j])
-        ]
+    sub = _sub(vec, j, d_sub)
+    arr = F.transform(
+        F.expr(_dmat_sql(codebook[j])),
+        lambda c, ci: F.struct(_l2_col(sub, c).alias("d"), ci.alias("c")),
     )
     return F.array_min(arr)["c"].cast("int")
 
@@ -1245,12 +1281,15 @@ def pq_adc_topk(
     q = _lazy_query_guard(
         queries.select(
             F.col(id_col).alias("query_id"),
+            # per-subspace LUT: transform over the parsed codebook-matrix
+            # literal (round 12) — same codebook-order distances, built in
+            # ~4 py4j calls per subspace instead of one per element
             *[
-                F.array(
-                    *[
-                        _l2(_sub(F.col(vec_col), j, d_sub), cent)
-                        for cent in codebook[j]
-                    ]
+                F.transform(
+                    F.expr(_dmat_sql(codebook[j])),
+                    # safe closure: PySpark invokes the lambda synchronously
+                    # inside F.transform, while j holds this iteration's value
+                    lambda c: _l2_col(_sub(F.col(vec_col), j, d_sub), c),
                 ).alias(f"lut_{j}")
                 for j in range(m)
             ],
@@ -1330,12 +1369,15 @@ def ivfpq_topk(
         queries.select(
             F.col(id_col).alias("query_id"),
             ivf_cell(F.col(vec_col), cents).alias("cell"),
+            # per-subspace LUT: transform over the parsed codebook-matrix
+            # literal (round 12) — same codebook-order distances, built in
+            # ~4 py4j calls per subspace instead of one per element
             *[
-                F.array(
-                    *[
-                        _l2(_sub(F.col(vec_col), j, d_sub), cent)
-                        for cent in codebook[j]
-                    ]
+                F.transform(
+                    F.expr(_dmat_sql(codebook[j])),
+                    # safe closure: PySpark invokes the lambda synchronously
+                    # inside F.transform, while j holds this iteration's value
+                    lambda c: _l2_col(_sub(F.col(vec_col), j, d_sub), c),
                 ).alias(f"lut_{j}")
                 for j in range(m)
             ],
