@@ -562,8 +562,17 @@ def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
             F.element_at(powers, p + F.lit(1)),
         ).otherwise(F.lit(0).cast("long")),
     )
-    return F.aggregate(
-        terms, F.lit(0).cast("long"), lambda acc, v: acc + v
+    # the coalesce is never taken at runtime — it restores the
+    # NON-NULLABLE type the old unrolled sum had (element_at and
+    # ArrayAggregate both type nullable). Without it, Catalyst infers
+    # isnotnull(<5 KB bucket expression>) at every join key built from
+    # this bucket and pushes the whole construction chain into a Filter,
+    # duplicating the per-row evaluation — the R4 mega-filter disease,
+    # caught by test_no_mega_expression_filters on the first draft of
+    # this rewrite
+    return F.coalesce(
+        F.aggregate(terms, F.lit(0).cast("long"), lambda acc, v: acc + v),
+        F.lit(0).cast("long"),
     )
 
 
