@@ -3534,14 +3534,19 @@ def train_split_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     "counts, mean, and EXACT discrete p50/p95 token counts via the "
     "rank = ceil(p*n) rule — integer outputs, so bit-stable across engines "
     "(interpolated percentiles would hash-diverge in the last ulp). "
-    "Percentile selection runs on range-bucket prefix sums "
-    "(aggregates.exact_group_percentiles) — a lang key has ~6 values, so "
-    "a partitionBy(lang) window would funnel the corpus into 6 tasks; "
-    "the bucketed form keeps every stage parallel. The profiling pass "
-    "that sizes a curation run before it starts.",
+    "Percentile selection rides a per-(lang, n_tokens) count histogram "
+    "(aggregates._hist_pick_ranks, round 12 — token counts are a "
+    "bounded integer domain, the mad_outlier/winsorized fast-path "
+    "family): ONE map-side-combinable shuffle replaces the range-bucket "
+    "construction's three passes, and the scored docs frame is cached "
+    "so the lang-ID regex scorer evaluates once, not once per pass. A "
+    "lang key has ~6 values, so a partitionBy(lang) window would funnel "
+    "the corpus into 6 tasks; the histogram window touches only "
+    "domain-sized rows. The profiling pass that sizes a curation run "
+    "before it starts.",
 )
 def corpus_token_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from etl_cascalog_spark.operators.aggregates import exact_group_percentiles
+    from etl_cascalog_spark.operators.aggregates import _hist_pick_ranks
     from etl_cascalog_spark.operators.text import lang_id, token_count_ws
 
     docs = (
@@ -3552,15 +3557,19 @@ def corpus_token_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             lang_id(F.col("text")).alias("lang"),
             token_count_ws(F.col("text")).alias("n_tokens"),
         )
+        # feeds the base aggregate AND the percentile histogram: uncached,
+        # the lang-ID scorer + tokenizer re-evaluate per consumer
+        .cache()
     )
     base = docs.groupBy("lang").agg(
         F.count("*").alias("n_docs"),
         dround(F.avg(F.col("n_tokens").cast("double"))).alias("avg_tokens"),
         F.max("n_tokens").alias("max_tokens"),
     )
-    pcts = exact_group_percentiles(
-        docs, "lang", "n_tokens", [0.5, 0.95], id_col="doc_id"
-    )
+    hist = docs.groupBy("lang", "n_tokens").agg(F.count("*").alias("__c"))
+    pcts = _hist_pick_ranks(
+        hist, "lang", "n_tokens", "__c", [0.5, 0.95]
+    ).withColumnRenamed("n_tokens", "value")
     bounds = pcts.groupBy("lang").agg(
         F.max(F.when(F.col("percentile") == 0.5, F.col("value"))).alias(
             "p50_tokens"
