@@ -66,9 +66,6 @@ RUNTIME_GLOBAL_WINDOW_OK = {
     "bpe_merge_candidates": "limit-before-rank over the top-20 pair rows",
     "key_skew_profile": "limit-before-rank over top_k=5 heavy-key rows "
     "(operators/profiling.py)",
-    "kmeans_cluster_profile": "seed-selection window over limit(k=8) rows "
-    "(operators/semantic.py:146-150)",
-    "semantic_dedup_kmeans": "same k=8 seed-selection window",
     "surrogate_ids": "assign_dense_ids_scaled's offset-rebase window runs "
     "over ONE ROW PER RANGE PARTITION (surrogate.py:77), never data rows",
     "ods_merge_pipeline": "dw_id continuation: one window over the "
