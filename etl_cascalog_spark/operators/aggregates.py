@@ -247,10 +247,17 @@ def _hist_pick_ranks(
     value-ordering is invariant to how ties permute; the histogram just
     collapses the ties). The window partitions on ``group_col`` over
     HISTOGRAM rows — bounded by the value DOMAIN, not the corpus (see
-    :func:`mad_outlier_hist`). Returns (group, percentile, value)."""
+    :func:`mad_outlier_hist`). Returns (group, percentile, value).
+
+    NULL histogram values are excluded HERE (ADVICE r12), matching
+    :func:`exact_group_percentiles`'s helper-level convention — without
+    this, a NULL bucket would count toward n and sort FIRST in the
+    cumulative window (Spark ASC: nulls first; DuckDB: last), so the
+    equivalence depended on every call site's upstream guards."""
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
+    hist = hist.where(F.col(value_col).isNotNull())
     n = hist.groupBy(group_col).agg(F.sum(cnt_col).alias("__n"))
     w = (
         Window.partitionBy(group_col)
@@ -281,6 +288,28 @@ def _hist_pick_rank(hist, group_col: str, value_col: str, cnt_col: str, p: float
     return _hist_pick_ranks(hist, group_col, value_col, cnt_col, [p]).select(
         group_col, value_col
     )
+
+
+def _require_discrete_dtype(df, value_col: str, fn_name: str) -> None:
+    """Guard the histogram fast path's domain assumption (VERDICT r12 #9):
+    the per-(group, value) count histogram is domain-bounded ONLY for
+    integral/decimal values — pointed at a high-cardinality double it
+    silently rebuilds the low-cardinality window funnel the engine
+    refuses elsewhere. Fail eagerly with the fallback named."""
+    from pyspark.sql import types as T
+
+    dt = df.schema[value_col].dataType
+    if not isinstance(
+        dt,
+        (T.ByteType, T.ShortType, T.IntegerType, T.LongType, T.DecimalType),
+    ):
+        raise TypeError(
+            f"{fn_name}: value column {value_col!r} is "
+            f"{dt.simpleString()} — the histogram fast path requires a "
+            "discrete (integral/decimal) domain; use "
+            "exact_group_percentiles / winsorized_stats for continuous "
+            "values"
+        )
 
 
 def mad_outlier_hist(
@@ -325,6 +354,7 @@ def mad_outlier_hist(
     """
     from pyspark.sql import functions as F
 
+    _require_discrete_dtype(df, value_col, "mad_outlier_hist")
     df = df.where(F.col(value_col).isNotNull())
     hist = df.groupBy(group_col, value_col).agg(F.count("*").alias("__c"))
     if cache:
@@ -408,6 +438,7 @@ def winsorized_stats_hist(
     """
     from pyspark.sql import functions as F
 
+    _require_discrete_dtype(df, value_col, "winsorized_stats_hist")
     df = df.where(F.col(value_col).isNotNull())
     hist = df.groupBy(group_col, value_col).agg(F.count("*").alias("__c"))
     if cache:

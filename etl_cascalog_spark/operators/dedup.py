@@ -28,8 +28,9 @@ pipelines cap posting lists.
 from __future__ import annotations
 
 import random
+from itertools import count as _itercount
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from etl_cascalog_spark.operators.text import (
@@ -1115,6 +1116,27 @@ def _symmetric(edges: DataFrame) -> DataFrame:
     return edges.unionByName(rev)
 
 
+#: monotone suffix so repeated CC builds in one SparkContext never reuse
+#: an Observation name (names must be unique per session)
+_CC_OBS_SEQ = _itercount()
+
+
+def _explode_symmetric(e: DataFrame) -> DataFrame:
+    """Both edge directions in ONE pass over ``e`` (s/t columns): the
+    union form (:func:`_symmetric`) scans its input lineage twice — fine
+    over checkpointed blocks, a doubled map cost over anything expensive.
+    explode(array(fwd, rev)) emits the same multiset of rows from a
+    single scan."""
+    return e.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("s").alias("s"), F.col("t").alias("t")),
+                F.struct(F.col("t").alias("s"), F.col("s").alias("t")),
+            )
+        ).alias("__e")
+    ).select(F.col("__e.s").alias("s"), F.col("__e.t").alias("t"))
+
+
 def connected_components_star(
     pairs: DataFrame,
     id_a: str = "doc_a",
@@ -1136,88 +1158,138 @@ def connected_components_star(
     - **small-star** (per node u over edges oriented high→low): every
       neighbor v ≤ u (and u itself) re-attaches to the minimum.
 
-    Both are one groupBy-min + one equi-join on the node key — partial
-    aggregation absorbs the hub skew that makes high-degree minimums hot.
+    Round shape (round 13 — was groupBy-min + equi-join back, plus an
+    intermediate distinct, per star op): each star's neighborhood minimum
+    rides on the edge row via ONE min-window over the node-keyed shuffle
+    (the pagerank out-degree lesson: agg+join re-reads the input into the
+    join probe and re-shuffles it anyway), and the large-star output
+    flows UN-deduplicated into small-star, whose terminal distinct
+    already collapses duplicates — min-aggregates are duplicate-
+    insensitive, so the round's edge SET is unchanged. One round = two
+    node-keyed window shuffles + one distinct, with per-partition partial
+    sort absorbing hub skew the way partial aggregation did.
+
     Fixpoint when the edge set stops changing; the surviving edges are
-    exactly (node, component_min) stars. Output matches
-    :func:`connected_components_labelprop` EXACTLY: ``(node, label)``,
-    label = smallest reachable id, INCLUDING nodes that appear only in
-    self-loop pairs (node universe is taken from the raw pairs BEFORE
-    self-loops are dropped, so the two algorithms agree on every input).
-    localCheckpoint + retire-previous-round, identical block lifecycle
-    to the propagation variant.
+    exactly (node, component_min) stars. Convergence is detected from the
+    SAME job that materializes the round (an ``Observation`` on the
+    checkpoint carrying count + two order-independent checksums); only
+    when the observed triple repeats does ONE exact set-difference probe
+    confirm — equal sets always produce equal observations, so a round
+    that changed anything is never probed, and the exact probe means a
+    checksum collision cannot terminate early (it would just cost one
+    wasted probe). Net: the per-round convergence job of rounds ≤ 12 is
+    gone; the probe runs once, at the actual fixpoint.
+
+    Output matches :func:`connected_components_labelprop` EXACTLY:
+    ``(node, label)``, label = smallest reachable id, INCLUDING nodes
+    that appear only in self-loop pairs (node universe is taken from the
+    symmetric closure BEFORE self-loops are dropped, so the two
+    algorithms agree on every input). localCheckpoint +
+    retire-previous-round, identical block lifecycle to the propagation
+    variant.
     """
+    from pyspark.sql import Observation
+
     from etl_cascalog_spark.session import persistent_rdd_ids, unpersist_rdd_ids
 
     spark = pairs.sparkSession
     before = persistent_rdd_ids(spark)
-    # materialize the (possibly expensive) pair lineage ONCE; edges and the
-    # node universe both derive from the materialized rows
-    raw = pairs.select(
-        F.col(id_a).alias("s"), F.col(id_b).alias("t")
-    ).localCheckpoint(eager=True)
-    raw_ids = persistent_rdd_ids(spark) - before
-    sym = _symmetric(raw)
-    edges = (
-        sym.where(F.col("s") != F.col("t"))
+    # ONE setup checkpoint (round 13; was raw-pairs + distinct-edges = two
+    # eager jobs): the symmetric closure INCLUDING self-loops materializes
+    # in a single job — the explode emits both directions in one pass over
+    # the (possibly expensive) pair lineage, distinct dedups. The working
+    # edge set (self-loops dropped) and the node universe are narrow /
+    # one-shuffle derivations over the checkpointed blocks, built lazily
+    # where they are consumed (round 1 and the final label join). sym's
+    # blocks live until the caller releases the returned frame.
+    sym = (
+        _explode_symmetric(
+            pairs.select(F.col(id_a).alias("s"), F.col(id_b).alias("t"))
+        )
         .distinct()
         .localCheckpoint(eager=True)
     )
-    edge_ids = persistent_rdd_ids(spark) - before - raw_ids
-    # node universe stays LAZY over the raw checkpoint (round 12): it is
-    # read once, by the final label join — eagerly checkpointing it was
-    # one more setup job per CC run (measured ~0.2 s at sf0.1) for a
-    # frame the consumer job derives in a single distinct over rows that
-    # are already materialized. raw's blocks therefore live until the
-    # caller releases the returned frame (same lifecycle the labels
-    # frame already has).
+    edges = sym.where(F.col("s") != F.col("t"))
+    edge_ids: set[int] = set()  # round-1 edges live on sym's blocks
     all_nodes = sym.select(F.col("s").alias("node")).distinct()
 
     def large_star(e: DataFrame) -> DataFrame:
-        sym = _symmetric(e)
-        m = sym.groupBy("s").agg(
-            F.least(F.min("t"), F.first("s")).alias("m")
-        )
+        sym_e = _explode_symmetric(e)
+        w = Window.partitionBy("s")
         return (
-            sym.join(m, "s")
+            sym_e.withColumn(
+                "m", F.least(F.min("t").over(w), F.col("s"))
+            )
             .where(F.col("t") > F.col("s"))
+            # m <= s < t, so the rewired edge is strictly high -> low and
+            # never a self-loop — no filter, no distinct (small_star's
+            # terminal distinct collapses duplicates)
             .select(F.col("t").alias("s"), F.col("m").alias("t"))
+        )
+
+    def small_star(e: DataFrame) -> DataFrame:
+        # orient high -> low: s > t (identity on large_star output, kept
+        # so the operator matches the published form on any input)
+        hi = e.select(
+            F.greatest("s", "t").alias("s"), F.least("s", "t").alias("t")
+        )
+        w = Window.partitionBy("s")
+        hm = hi.withColumn("m", F.min("t").over(w))
+        return (
+            hm.select(
+                F.explode(
+                    F.array(
+                        F.struct(F.col("t").alias("v"), F.col("m").alias("m")),
+                        F.struct(F.col("s").alias("v"), F.col("m").alias("m")),
+                    )
+                ).alias("__r")
+            )
+            .select(F.col("__r.v").alias("s"), F.col("__r.m").alias("t"))
             .where(F.col("s") != F.col("t"))
             .distinct()
         )
 
-    def small_star(e: DataFrame) -> DataFrame:
-        # orient high -> low: s > t
-        hi = e.select(
-            F.greatest("s", "t").alias("s"), F.least("s", "t").alias("t")
-        ).distinct()
-        m = hi.groupBy("s").agg(F.min("t").alias("m"))
-        rewired = (
-            hi.join(m, "s")
-            .select(F.col("t").alias("v"), F.col("m"))
-            .unionByName(
-                m.select(F.col("s").alias("v"), F.col("m"))
-            )
-            .where(F.col("v") != F.col("m"))
-            .select(F.col("v").alias("s"), F.col("m").alias("t"))
-            .distinct()
-        )
-        return rewired
-
-    for _ in range(max_iter):
+    # order-independent exact-set fingerprints: equal sets ALWAYS agree,
+    # so differing observations prove the round changed something with no
+    # extra job. sum() is taken over 32-bit slices (ANSI long sum over
+    # full 64-bit hashes could overflow); bit_xor cannot overflow.
+    _obs_metrics = (
+        F.count(F.lit(1)).alias("n"),
+        F.expr("bit_xor(xxhash64(s, t))").alias("hx"),
+        F.expr("sum(xxhash64(s, t) & 4294967295)").alias("hs"),
+    )
+    prev_obs: tuple | None = None
+    run_tag = next(_CC_OBS_SEQ)
+    for round_i in range(max_iter):
         seen = persistent_rdd_ids(spark)
-        new_edges = small_star(large_star(edges)).localCheckpoint(eager=True)
-        new_ids = persistent_rdd_ids(spark) - seen
-        changed = (
-            new_edges.unionByName(edges)
-            .groupBy("s", "t")
-            .agg(F.count("*").alias("c"))
-            .where(F.col("c") == 1)
-            .limit(1)
-            .count()
+        obs = Observation(f"cc_star_{run_tag}_{round_i}")
+        new_edges = (
+            small_star(large_star(edges))
+            .observe(obs, *_obs_metrics)
+            .localCheckpoint(eager=True)
         )
-        # retire round N-1's edge blocks; all_nodes' blocks stay (the
-        # final label join reads them)
+        new_ids = persistent_rdd_ids(spark) - seen
+        row = obs.get
+        cur_obs = (row["n"], row["hx"], row["hs"])
+        if cur_obs == prev_obs or cur_obs[0] == 0:
+            # suspected fixpoint: round outputs are distinct SETS, so
+            # equality needs count + content match. n == 0 is exact on
+            # its own (a nonempty symmetric edge set always emits rows).
+            # Otherwise confirm with the exact symmetric-difference probe
+            # — runs ONCE per build in the non-collision case.
+            changed = 0 if cur_obs[0] == 0 else (
+                new_edges.unionByName(edges)
+                .groupBy("s", "t")
+                .agg(F.count("*").alias("c"))
+                .where(F.col("c") == 1)
+                .limit(1)
+                .count()
+            )
+        else:
+            changed = 1  # sets provably differ — no probe job
+        prev_obs = cur_obs
+        # retire round N-1's edge blocks; sym's stay (the final label
+        # join reads them)
         unpersist_rdd_ids(spark, edge_ids)
         edge_ids = new_ids
         edges = new_edges

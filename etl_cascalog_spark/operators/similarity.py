@@ -61,7 +61,17 @@ def _dvec_sql(vec: list[float]) -> str:
     over plan-time vectors can be built as ONE parsed string instead of
     one py4j call per element (round 12: literal-heavy scorers measured
     0.5-1.7 s of driver Python per plan BUILD; see
-    :func:`_dmat_sql`)."""
+    :func:`_dmat_sql`). Non-finite elements are rejected eagerly: repr
+    of inf/nan would render ``infD``/``nanD``, which the SQL parser
+    rejects with an opaque ParseException far from the bad vector —
+    today's callers pass seeded literals, but trained codebooks come
+    from data (ADVICE r12)."""
+    bad = [x for x in vec if not math.isfinite(x)]
+    if bad:
+        raise ValueError(
+            f"_dvec_sql: non-finite vector element(s) {bad[:3]} — literal "
+            "plan-time vectors must be finite doubles"
+        )
     return "array(" + ", ".join(f"{x!r}D" for x in vec) + ")"
 
 

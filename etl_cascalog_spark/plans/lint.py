@@ -315,27 +315,32 @@ EAGER_BUILD_OK: dict[str, tuple[int, str]] = {
         "(b) trained-centroid Lloyd rounds (28 measured at sf0.001)",
     ),
     "neardup_clusters": (
-        70,
+        50,
         "(b) connected-components star rounds checkpoint per iteration"
-        " until fixpoint (44 measured at sf0.001; rounds grow O(log n))",
+        " until fixpoint (round-13 fused shape: one setup checkpoint,"
+        " window-star rounds, Observation-fused convergence — 30 measured"
+        " at sf0.001 AND sf0.1, was 42; rounds grow O(log n))",
     ),
-    "neardup_clusters_star": (70, "(b) same CC recurrence"),
-    "neardup_keep_best": (70, "(b) same CC recurrence feeding keep-best"),
+    "neardup_clusters_star": (50, "(b) same CC recurrence"),
+    "neardup_keep_best": (50, "(b) same CC recurrence feeding keep-best"),
     "dedup_cluster_sizes": (
-        70,
+        50,
         "(b) same CC recurrence feeding size profile",
     ),
     "cluster_keyed_split_audit": (
-        70,
-        "(b) same CC recurrence feeding the leakage-safe split audit",
+        50,
+        "(b) same CC recurrence feeding the leakage-safe split audit"
+        " (22 measured at sf0.001, was 32)",
     ),
     "corpus_curation_pipeline": (
-        80,
-        "(b) composition embeds the CC recurrence (48 measured at sf0.001)",
+        55,
+        "(b) composition embeds the CC recurrence (34 measured at"
+        " sf0.001, was 46)",
     ),
     "training_data_pipeline": (
-        80,
-        "(b) composition embeds the CC recurrence (48 measured at sf0.001)",
+        55,
+        "(b) composition embeds the CC recurrence (34 measured at"
+        " sf0.001, was 46)",
     ),
 }
 

@@ -1225,6 +1225,72 @@ def test_mad_outlier_hist_matches_naive(spark):
     assert got == want
 
 
+def test_hist_fast_path_rejects_continuous_dtype(spark):
+    """VERDICT r12 #9: the histogram fast path's domain-boundedness holds
+    only for integral/decimal values — a double column must fail eagerly
+    with the continuous-domain fallback named, not silently rebuild the
+    low-cardinality window funnel."""
+    import pytest
+
+    from etl_cascalog_spark.operators.aggregates import (
+        mad_outlier_hist,
+        winsorized_stats_hist,
+    )
+
+    df = spark.createDataFrame([("a", 1.5), ("a", 2.5)], "grp string, v double")
+    with pytest.raises(TypeError, match="exact_group_percentiles"):
+        mad_outlier_hist(df, "grp", "v")
+    with pytest.raises(TypeError, match="exact_group_percentiles"):
+        winsorized_stats_hist(df, "grp", "v")
+    # integral and decimal stay accepted (plan builds lazily, no job)
+    mad_outlier_hist(
+        spark.createDataFrame([("a", 1)], "grp string, v long"),
+        "grp",
+        "v",
+        cache=False,
+    )
+    winsorized_stats_hist(
+        spark.createDataFrame([("a", 1)], "grp string, v long").select(
+            "grp", F.col("v").cast("decimal(12,2)").alias("v")
+        ),
+        "grp",
+        "v",
+        cache=False,
+    )
+
+
+def test_hist_pick_ranks_excludes_null_values(spark):
+    """ADVICE r12: _hist_pick_ranks must NULL-filter its value column
+    itself (matching exact_group_percentiles) instead of relying on each
+    call site's upstream guards — a NULL bucket would count toward n and
+    sort first in the cumulative window."""
+    from etl_cascalog_spark.operators.aggregates import _hist_pick_ranks
+
+    hist = spark.createDataFrame(
+        [("a", None, 10), ("a", 1, 1), ("a", 2, 1), ("a", 3, 1), ("a", 4, 1)],
+        "grp string, v long, c long",
+    )
+    got = {
+        (r.grp, r.percentile): r.v
+        for r in _hist_pick_ranks(hist, "grp", "v", "c", [0.5, 1.0]).collect()
+    }
+    # n = 4 (NULL bucket's 10 rows excluded): median = rank ceil(2) = 2
+    assert got == {("a", 0.5): 2, ("a", 1.0): 4}
+
+
+def test_dvec_sql_rejects_non_finite(spark):
+    """ADVICE r12: a non-finite plane/centroid element must fail with a
+    clear ValueError, not an opaque ParseException from 'infD'."""
+    import pytest
+
+    from etl_cascalog_spark.operators.similarity import _dvec_sql
+
+    assert _dvec_sql([1.0, -2.5]) == "array(1.0D, -2.5D)"
+    for bad in (float("inf"), float("-inf"), float("nan")):
+        with pytest.raises(ValueError, match="non-finite"):
+            _dvec_sql([1.0, bad])
+
+
 def test_snapshot_diff_classifies(spark):
     """added / removed / changed classification on a crafted pair."""
     from etl_cascalog_spark.incremental import snapshot_diff
