@@ -1211,7 +1211,6 @@ def connected_components_star(
     )
     edges = sym.where(F.col("s") != F.col("t"))
     edge_ids: set[int] = set()  # round-1 edges live on sym's blocks
-    all_nodes = sym.select(F.col("s").alias("node")).distinct()
 
     def large_star(e: DataFrame) -> DataFrame:
         sym_e = _explode_symmetric(e)
@@ -1295,15 +1294,20 @@ def connected_components_star(
         edges = new_edges
         if changed == 0:
             break
-    # surviving edges are (node, min) stars; add self-labels for minima
+    # surviving edges are (node, min) stars; the label attach is ONE
+    # groupBy-min over self-labels ∪ star edges (round 13; was node-
+    # universe distinct + left join = two exchanges and a join sort):
+    # label ≤ node always (min reachable id), so min over {node} ∪
+    # {star target} IS the star target for rewired nodes and the node
+    # itself for component minima / self-loop-only nodes — the identical
+    # labeling, one shuffle, and multi-reference consumers re-execute
+    # one hash aggregate over in-memory blocks instead of a join.
     labels = (
-        all_nodes.join(
-            edges.select(F.col("s").alias("node"), F.col("t").alias("label")),
-            "node",
-            "left",
+        sym.select(F.col("s").alias("node"), F.col("s").alias("label"))
+        .unionByName(
+            edges.select(F.col("s").alias("node"), F.col("t").alias("label"))
         )
-        .select(
-            "node", F.coalesce("label", F.col("node")).alias("label")
-        )
+        .groupBy("node")
+        .agg(F.min("label").alias("label"))
     )
     return labels
