@@ -266,6 +266,39 @@ def _perm_params(num_hashes: int, seed: int = 42) -> list[tuple[int, int]]:
     ]
 
 
+def _minhash_min_exprs(num_hashes: int, seed: int = 42) -> list[Column]:
+    """The K permutation-min aggregate expressions over a base-hash column
+    ``h`` — one parsed string per permutation (round 12: the py4j-built
+    Column chain measured ~0.5 s of driver Python per plan BUILD for
+    K=64); shared by every signature pass (batch, incremental)."""
+    return [
+        F.expr(f"min(({a}L * h + {b}L) % {_MERSENNE}L) AS mh_{i}")
+        for i, (a, b) in enumerate(_perm_params(num_hashes, seed))
+    ]
+
+
+def _band_array_expr(bands: int, rows: int, hash_fn: str = "xxhash64") -> Column:
+    """The banded-struct array over signature columns ``mh_0..mh_{K-1}``
+    as ONE parsed expression (round 12: ~130 py4j calls otherwise, same
+    analyzed tree). ``hash_fn="md5"`` renders the injective min-tuple
+    string key instead (oracle-reproducible banding)."""
+
+    def band_key_sql(bi: int) -> str:
+        cols = ", ".join(f"mh_{bi * rows + r}" for r in range(rows))
+        if hash_fn == "md5":
+            return f"concat_ws('_', {cols})"
+        return f"xxhash64({cols})"
+
+    return F.expr(
+        "array("
+        + ", ".join(
+            f"named_struct('band', {bi}, 'bh', {band_key_sql(bi)})"
+            for bi in range(bands)
+        )
+        + ")"
+    )
+
+
 def minhash_signatures(
     df: DataFrame,
     id_col: str,
@@ -300,15 +333,7 @@ def minhash_signatures(
     else:
         raise ValueError(f"minhash_signatures: unknown hash_fn {hash_fn!r}")
     sh = shingle_sets(df, id_col, text_col, n).select("doc", base.alias("h"))
-    # one parsed string per permutation (round 12): the py4j-built
-    # Column chain measured ~0.5 s of driver Python per plan BUILD for
-    # K=64 — billed to every minhash-family query; the SQL text parses
-    # to the identical (a*h + b) % M min-aggregate
-    mins = [
-        F.expr(f"min(({a}L * h + {b}L) % {_MERSENNE}L) AS mh_{i}")
-        for i, (a, b) in enumerate(_perm_params(num_hashes, seed))
-    ]
-    return sh.groupBy("doc").agg(*mins)
+    return sh.groupBy("doc").agg(*_minhash_min_exprs(num_hashes, seed))
 
 
 def minhash_lsh_pairs(
@@ -354,22 +379,7 @@ def minhash_lsh_pairs(
         df, id_col, text_col, n, num_hashes, seed, hash_fn=hash_fn
     ).cache()
 
-    def band_key_sql(bi: int) -> str:
-        cols = ", ".join(f"mh_{bi * rows + r}" for r in range(rows))
-        if hash_fn == "md5":
-            return f"concat_ws('_', {cols})"
-        return f"xxhash64({cols})"
-
-    # the whole banded-struct array parses as ONE expression (round 12:
-    # ~130 py4j calls of plan-build Python otherwise, same analyzed tree)
-    band_cols = F.expr(
-        "array("
-        + ", ".join(
-            f"named_struct('band', {bi}, 'bh', {band_key_sql(bi)})"
-            for bi in range(bands)
-        )
-        + ")"
-    )
+    band_cols = _band_array_expr(bands, rows, hash_fn)
     banded = sigs.select(F.col("doc"), F.explode(band_cols).alias("b")).select(
         "doc", F.col("b.band").alias("band"), F.col("b.bh").alias("bh")
     )
@@ -775,41 +785,58 @@ def incremental_dedup(
     new_surv = new_df.join(survivors, on=id_col, how="left_semi").cache()
 
     rows = num_hashes // bands
-    def banded(df: DataFrame, side: str) -> DataFrame:
-        sigs = minhash_signatures(df, id_col, text_col, n, num_hashes, seed)
-        band_cols = F.array(
-            *[
-                F.struct(
-                    F.lit(bi).alias("band"),
-                    F.xxhash64(
-                        *[F.col(f"mh_{bi * rows + r}") for r in range(rows)]
-                    ).alias("bh"),
-                )
-                for bi in range(bands)
-            ]
+    # ONE signature/banding pass over history ∪ surviving delta (round 13;
+    # was one full shingle+K-mins shuffle per side): a (id, side) struct
+    # key keeps any id that appears on both sides separate, so the
+    # signatures are exactly the two separate passes' values. The banding
+    # array parses as one expression (the round-12 de-py4j treatment,
+    # which this operator had missed).
+    tagged = history_df.select(
+        F.struct(
+            F.col(id_col).alias("__id"), F.lit(1).alias("__hist")
+        ).alias("__k"),
+        F.col(text_col),
+    ).unionByName(
+        new_surv.select(
+            F.struct(
+                F.col(id_col).alias("__id"), F.lit(0).alias("__hist")
+            ).alias("__k"),
+            F.col(text_col),
         )
-        return sigs.select(
-            F.col("doc").alias(side), F.explode(band_cols).alias("b")
-        ).select(side, F.col("b.band").alias("band"), F.col("b.bh").alias("bh"))
-
-    b_new = banded(new_surv, "doc_n").cache()
-    b_hist = banded(history_df, "doc_h")
-    # candidates driven by the NEW side only
-    cand_hist = (
-        b_new.join(b_hist, on=["band", "bh"]).select("doc_n", "doc_h").distinct()
     )
-    cand_new = (
+    base = F.xxhash64(F.col("shingle")).bitwiseAND(F.lit((1 << 32) - 1))
+    sh = shingle_sets(tagged, "__k", text_col, n).select(
+        "doc", base.alias("h")
+    )
+    sigs = sh.groupBy("doc").agg(*_minhash_min_exprs(num_hashes, seed))
+    b_all = (
+        sigs.select("doc", F.explode(_band_array_expr(bands, rows)).alias("b"))
+        .select(
+            F.col("doc.__id").alias("__bid"),
+            F.col("doc.__hist").alias("__hist"),
+            F.col("b.band").alias("band"),
+            F.col("b.bh").alias("bh"),
+        )
+        .cache()  # feeds the new-side probe AND the full build side
+    )
+    b_new = b_all.where(F.col("__hist") == 0).select(
+        F.col("__bid").alias("doc_n"), "band", "bh"
+    )
+    # candidates driven by the NEW side only, in ONE bucket join (was
+    # new-vs-history + new-vs-new + union): a history row always
+    # qualifies, a new row only below the probe id (lower-id new doc
+    # wins) — the union of the two joins, identically deduplicated
+    candidates = (
         b_new.join(
-            b_new.select(F.col("doc_n").alias("doc_h"), "band", "bh"),
+            b_all.select(F.col("__bid").alias("doc_h"), "__hist", "band", "bh"),
             on=["band", "bh"],
         )
-        .where(F.col("doc_h") < F.col("doc_n"))  # lower-id new doc wins
+        .where((F.col("__hist") == 1) | (F.col("doc_h") < F.col("doc_n")))
         .select("doc_n", "doc_h")
         .distinct()
+        .cache()  # bounded (bucket-join output); feeds BOTH id prunes
+        # and the verification join
     )
-    # candidate pairs are bounded (bucket-join output) and feed BOTH id
-    # prunes and the verification join — materialize once
-    candidates = cand_hist.unionByName(cand_new).distinct().cache()
 
     # verification shingles ONLY the candidate docs: at 100 TB the
     # history side is the corpus, and shingling it wholesale for a
