@@ -97,9 +97,12 @@ def pagerank_int(
         .localCheckpoint(eager=True)
     )
     static_ids = persistent_rdd_ids(spark) - before
+    # both endpoints in one pass over the checkpointed edges (round 13;
+    # the union form scanned the blocks twice)
     nodes = (
-        contrib_edges.select(F.col("src").alias("node"))
-        .union(contrib_edges.select(F.col("dst")))
+        contrib_edges.select(
+            F.explode(F.array(F.col("src"), F.col("dst"))).alias("node")
+        )
         .distinct()
     )
 
@@ -125,28 +128,34 @@ def pagerank_int(
     rounds_run = 0
     for _ in range(iters):
         rounds_run += 1
-        contribs = (
-            contrib_edges.join(
-                ranks, contrib_edges["src"] == ranks["node"]
-            )
-            .select(
-                F.col("dst").alias("node"),
-                F.expr("rank_units div out_deg").alias("c"),
-            )
-            .groupBy("node")
-            .agg(F.sum("c").alias("in_sum"))
+        # per-edge contributions; the per-node in-sum AND the damping
+        # update fuse into ONE groupBy over contributions ∪ self rows
+        # (round 13; was groupBy(in_sum) + left join back onto ranks —
+        # the join re-sorted/re-exchanged the rank side every round).
+        # The self row carries (base, c=0): max(base) recovers the
+        # per-node constant, sum(c) is exactly the old
+        # coalesce(in_sum, 0) — nodes with no in-edges sum their lone 0.
+        # Same exact integer arithmetic, one exchange per round.
+        msgs = contrib_edges.join(
+            ranks, contrib_edges["src"] == ranks["node"]
+        ).select(
+            F.col("dst").alias("node"),
+            F.lit(None).cast("long").alias("base"),
+            F.expr("rank_units div out_deg").alias("c"),
         )
         prev_ranks = ranks
         seen = persistent_rdd_ids(spark)
         ranks = (
-            ranks.select("node", "base")
-            .join(contribs, "node", "left")
+            ranks.select("node", "base", F.lit(0).cast("long").alias("c"))
+            .unionByName(msgs)
+            .groupBy("node")
+            .agg(F.max("base").alias("base"), F.sum("c").alias("in_sum"))
             .select(
                 "node",
                 "base",
                 F.expr(
                     f"({100 - damping_pct} * base"
-                    f" + {damping_pct} * coalesce(in_sum, 0L)) div 100"
+                    f" + {damping_pct} * in_sum) div 100"
                 ).cast("long").alias("rank_units"),
             )
             .localCheckpoint(eager=True)
@@ -195,15 +204,25 @@ def copurchase_edges(
     in the LSH joins: at 100 TB one degenerate mega-order must not emit
     |basket|² rows). Edges are distinct (src, dst) pairs, both directions.
     """
+    from pyspark.sql import Window
+
     baskets = (
         lineitem.select(
             F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
         )
         .distinct()
     )
-    sizes = baskets.groupBy("ok").agg(F.count("*").alias("n_items"))
-    bounded = baskets.join(
-        sizes.where(F.col("n_items") <= max_order_items), "ok"
+    # basket size rides on the row via one count-window over the
+    # ok-shuffled baskets (round 13; was groupBy-agg + join back = two
+    # extra exchanges — the pagerank out-degree lesson), and the pair
+    # self-join below reuses that same ok-partitioning, so the cap costs
+    # ZERO additional shuffles beyond the distinct
+    bounded = (
+        baskets.withColumn(
+            "__n", F.count("*").over(Window.partitionBy("ok"))
+        )
+        .where(F.col("__n") <= max_order_items)
+        .select("ok", "pk")
     )
     a = bounded.select("ok", F.col("pk").alias("src"))
     b = bounded.select("ok", F.col("pk").alias("dst"))

@@ -297,10 +297,11 @@ EAGER_BUILD_OK: dict[str, tuple[int, str]] = {
         "(c) binaryFile source file-discovery job",
     ),
     "pagerank_copurchase": (
-        50,
+        45,
         "(b) per-round eager localCheckpoint of the rank frame"
         " (graph.pagerank_int block-lifecycle contract; iteration-capped"
-        " — 37 jobs measured at sf0.001)",
+        " — 29 jobs measured at sf0.1 after the round-13 fused update"
+        " aggregate, was 37)",
     ),
     "semantic_dedup_kmeans": (
         12,
