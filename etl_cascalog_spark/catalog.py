@@ -7345,11 +7345,19 @@ def association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     baskets = li.select(
         F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
     ).distinct()
-    sizes = baskets.groupBy("ok").agg(F.count("*").alias("n"))
-    # bounded feeds four consumers (the S5 count action, item supports,
-    # and both self-join sides) — cache or its distinct+join lineage
-    # executes per branch (released by the loops' release_all_blocks)
-    bounded = baskets.join(sizes.where(F.col("n") <= 7), "ok").select("ok", "pk").cache()
+    # basket-size cap rides on the row via one count window over the
+    # ok-shuffled baskets (round 13; was groupBy-agg + join back — two
+    # extra exchanges before the cache materialized, the same shape
+    # graph.copurchase_edges dropped). bounded feeds four consumers (the
+    # S5 count action, item supports, and both self-join sides) — cache
+    # or its lineage executes per branch (released by the loops'
+    # release_all_blocks)
+    bounded = (
+        baskets.withColumn("__n", F.count("*").over(Window.partitionBy("ok")))
+        .where(F.col("__n") <= 7)
+        .select("ok", "pk")
+        .cache()
+    )
     # basket total as a broadcast aggregate (crossJoin below), NOT an eager
     # .count() at plan-build time — single job submission (same fold as
     # pmi_copurchase / pagerank_int)

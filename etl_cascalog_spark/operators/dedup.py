@@ -211,9 +211,20 @@ def prefix_filter_jaccard_pairs(
     exactly on the full sets, so recall is 100% — no banding probability,
     no ``max_df`` survivability cap.
 
+    Candidates additionally pass the published LENGTH filter before the
+    dedup shuffle (round 13): ``J(A,B) ≥ t`` forces ``t·|A| ≤ |B| ≤
+    |A|/t``, so a size-incompatible prefix collision can never verify —
+    dropping it early only removes false candidates (measured at sf0.1:
+    202k → 104k distinct candidates, exact same verified output).
+    Verification shingles ONLY docs in some surviving candidate pair —
+    the :func:`minhash_lsh_pairs` discipline: at corpus scale the
+    verification join would otherwise shuffle every doc's full shingle
+    set for a join that keeps the near-dup fraction.
+
     100 TB shape: one df-count agg + one rarity-sorted per-doc pass
-    (both shuffle on shingle/doc), candidate equi-join on prefix shingles,
-    broadcast-verified. Output: (doc_a, doc_b, jaccard), doc_a < doc_b.
+    (both shuffle on shingle/doc), candidate equi-join on prefix shingles
+    with the length predicate, id-pruned exact verification. Output:
+    (doc_a, doc_b, jaccard), doc_a < doc_b.
     """
     sh = shingle_sets(df, id_col, text_col, n).cache()
     dfreq = sh.groupBy("shingle").agg(F.count("*").alias("__df"))
@@ -231,17 +242,32 @@ def prefix_filter_jaccard_pairs(
     size = F.size("ord")
     p = (size - F.ceil(F.lit(threshold) * size) + 1).cast("int")
     pref = ordered.select(
-        "doc", F.explode(F.slice("ord", F.lit(1), p)).alias("e")
-    ).select("doc", F.col("e.s").alias("shingle"))
-    a = pref.toDF("doc_a", "shingle")
-    b = pref.toDF("doc_b", "shingle")
+        "doc",
+        size.alias("sz"),
+        F.explode(F.slice("ord", F.lit(1), p)).alias("e"),
+    ).select("doc", "sz", F.col("e.s").alias("shingle"))
+    a = pref.toDF("doc_a", "sz_a", "shingle")
+    b = pref.toDF("doc_b", "sz_b", "shingle")
+    t = F.lit(threshold)
     candidates = (
         a.join(b, on="shingle")
-        .where(F.col("doc_a") < F.col("doc_b"))
+        .where(
+            (F.col("doc_a") < F.col("doc_b"))
+            # length filter: t·|A| ≤ |B| AND t·|B| ≤ |A| (symmetric form)
+            & (F.col("sz_a") * t <= F.col("sz_b"))
+            & (F.col("sz_b") * t <= F.col("sz_a"))
+        )
         .select("doc_a", "doc_b")
         .distinct()
+        .cache()  # feeds the id prune AND the verification joins
     )
-    sets = shingle_arrays(df, id_col, text_col, n)
+    cand_ids = (
+        candidates.select(F.col("doc_a").alias(id_col))
+        .unionByName(candidates.select(F.col("doc_b").alias(id_col)))
+        .distinct()
+    )
+    pruned = df.join(cand_ids, id_col, "left_semi")
+    sets = shingle_arrays(pruned, id_col, text_col, n).cache()
     sa = sets.toDF("doc_a", "sh_a")
     sb = sets.toDF("doc_b", "sh_b")
     common = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
