@@ -9272,9 +9272,13 @@ def pmi_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     baskets = li.select(
         F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
     ).distinct()
-    sizes = baskets.groupBy("ok").agg(F.count("*").alias("n"))
+    # size cap via one count window over the ok-shuffled baskets
+    # (round 13; was groupBy-agg + join back — see association_rules)
     bounded = (
-        baskets.join(sizes.where(F.col("n") <= 7), "ok").select("ok", "pk").cache()
+        baskets.withColumn("__n", F.count("*").over(Window.partitionBy("ok")))
+        .where(F.col("__n") <= 7)
+        .select("ok", "pk")
+        .cache()
     )
     # basket total as a broadcast aggregate (crossJoin below), NOT an eager
     # .count() at plan-build time — keeps the whole query one submission
