@@ -877,19 +877,23 @@ def duplicate_token_spans(
     2. positional n-grams via ``lead`` chains over ONE window spec (the
        per-window-slice-inside-``transform`` inlining trap from the
        measured-lessons list is avoided by construction);
-    3. md5 the gram (engine-portable), count occurrences per hash —
-       map-side-combinable groupBy; the shuffle carries one row per
-       token, the 100 TB cost center, same as any tokenizer pass;
-    4. equi-join occurrences to the >= 2 hashes (hash-keyed shuffle join
-       — the duplicated-hash side is corpus-sized in the worst
-       boilerplate case, so no broadcast; AQE handles skew);
-    5. classic interval merge per doc: running ``max(end)`` over
+    3. md5 the gram (engine-portable); the per-hash occurrence count
+       rides on the gram row via ONE count-window over the gh-shuffled
+       grams (round 13; was groupBy-count + equi-join back — which
+       re-evaluated the whole posexplode + lead-window gram pipeline
+       into the join probe AND paid a second corpus-sized exchange).
+       The shuffle carries one row per token, the 100 TB cost center,
+       same as any tokenizer pass;
+    4. classic interval merge per doc: running ``max(end)`` over
        preceding spans, new-span flag, prefix-sum span ids — one window
        pass, then groupBy (id, span_id).
 
-    At 100 TB, step 3-4's gram-hash traffic is ~|corpus tokens| rows of
+    At 100 TB, step 3's gram-hash traffic is ~|corpus tokens| rows of
     (16-byte hash, id, pos) — the same order as the BPE/token-count
-    passes; nothing is quadratic and no driver-side state exists.
+    passes; nothing is quadratic and no driver-side state exists. The
+    boilerplate-hash skew the old join absorbed via AQE now lands on the
+    count-window's gh partitions — same key distribution, one exchange
+    earlier.
     """
     w_doc = Window.partitionBy("__id").orderBy("pos")
     toks = docs.select(
@@ -907,9 +911,12 @@ def duplicate_token_spans(
         .where(F.col("__last").isNotNull())
         .select("__id", "pos", F.md5(F.col("gram")).alias("gh"))
     )
-    dup = grams.groupBy("gh").agg(F.count("*").alias("c")).where(F.col("c") >= 2)
-    occ = grams.join(dup.select("gh"), "gh").select(
-        "__id", F.col("pos").alias("s"), (F.col("pos") + n - 1).alias("e")
+    occ = (
+        grams.withColumn(
+            "__c", F.count("*").over(Window.partitionBy("gh"))
+        )
+        .where(F.col("__c") >= 2)
+        .select("__id", F.col("pos").alias("s"), (F.col("pos") + n - 1).alias("e"))
     )
     w_prev = (
         Window.partitionBy("__id")
@@ -944,15 +951,21 @@ def remove_duplicate_spans(
     span_end) frame the marker produced (token positions, 1-based
     inclusive).
 
-    Shape: tokenize with positions (same one window shuffle as the
-    marker), explode each span into its positions (span length is
-    bounded by doc length — map-side), anti-join, then rebuild order
-    with ``array_sort(collect_list(struct(pos, tok)))`` — the sort key
-    makes reconstruction partition-order-independent, so the output is
+    Shape (round 13): tokenize with positions, explode each span into
+    its positions (span length is bounded by doc length — map-side),
+    LEFT-join the span marker onto the token rows, then ONE groupBy(id)
+    produces the total count, the kept count, and the rebuilt text in a
+    single pass — ``collect_list`` skips NULL elements, so collecting
+    ``when(unmarked, struct(pos, tok))`` rebuilds from kept tokens only
+    (previously: an anti join + a rebuilt groupBy + a totals groupBy + a
+    final join = two extra aggregations of the tokenized corpus and a
+    join). The ``array_sort(collect_list(struct(pos, tok)))`` key makes
+    reconstruction partition-order-independent, so the output is
     deterministic under any shuffle. Docs whose every token was removed
     surface with empty ``clean_text`` (n_kept = 0); docs that had NO
-    tokens at all are omitted from the output (totals derives from the
-    tokenized frame, which has no row for a token-less doc).
+    tokens at all are omitted from the output (no token row exists).
+    ``spans`` must be non-overlapping per doc — what the marker emits
+    (merged intervals); overlapping spans would fan the left join out.
     """
     toks = docs.select(
         F.col(id_col).alias("__id"),
@@ -965,28 +978,31 @@ def remove_duplicate_spans(
         F.explode(
             F.sequence(F.col("span_start"), F.col("span_end"))
         ).alias("pos"),
+    ).withColumn("__cut", F.lit(1))
+    keep_struct = F.when(
+        F.col("__cut").isNull(), F.struct("pos", "tok")
     )
-    kept = toks.join(span_pos, ["__id", "pos"], "left_anti")
-    rebuilt = kept.groupBy("__id").agg(
-        F.concat_ws(
-            " ",
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "tok"))),
-                lambda x: x["tok"],
-            ),
-        ).alias("clean_text"),
-        F.count("*").alias("n_kept"),
-    )
-    totals = toks.groupBy("__id").agg(F.count("*").alias("n_tokens"))
     return (
-        totals.join(rebuilt, "__id", "left")
+        toks.join(span_pos, ["__id", "pos"], "left")
+        .groupBy("__id")
+        .agg(
+            F.count("*").cast("long").alias("__n_tokens"),
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(F.collect_list(keep_struct)),
+                    lambda x: x["tok"],
+                ),
+            ).alias("clean_text"),
+            F.sum(F.when(F.col("__cut").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("__n_kept"),
+        )
         .select(
             F.col("__id").alias(id_col),
-            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
-            F.col("n_tokens").cast("long").alias("n_tokens"),
-            (F.col("n_tokens") - F.coalesce("n_kept", F.lit(0)))
-            .cast("long")
-            .alias("n_removed"),
+            "clean_text",
+            F.col("__n_tokens").alias("n_tokens"),
+            (F.col("__n_tokens") - F.col("__n_kept")).cast("long").alias("n_removed"),
         )
     )
 
